@@ -1,0 +1,89 @@
+"""Serialized container format for encoded frames.
+
+Core blob layout is byte-identical to the reference encoder's in-memory
+serialization (``HuffmanEncoder.cpp:310-381``):
+
+    [0:4]    magic 0xFFEEEEDD, little-endian   (``:328-333``)
+    [4:8]    original size in bytes, LE uint32 (``:335-340``)
+    [8:264]  256-byte canonical bit-width table (``:342-349``)
+    [264:]   MSB-first code bytes + 2 zero read-ahead pad bytes (``:364-378``)
+
+The reference never writes its stream to disk (SURVEY.md section 5, checkpoint
+row); we additionally define a versioned on-disk container ("MHT1") that
+prepends frame geometry and appends the per-block bit-offset index so a decoder
+can start without re-scanning the stream.
+"""
+
+from __future__ import annotations
+
+import struct
+from dataclasses import dataclass
+
+import numpy as np
+
+MAGIC = 0xFFEEEEDD
+DISK_MAGIC = b"MHT1"
+
+
+@dataclass(frozen=True)
+class EncodedStream:
+    """A reference-format encoded stream plus the block-offset index."""
+
+    num_symbols: int  # original input size in bytes/symbols
+    widths: np.ndarray  # (256,) uint8 canonical bit-width table
+    code_bytes: np.ndarray  # uint8 stream incl. +2 read-ahead pad bytes
+    block_offsets: np.ndarray  # (num_blocks,) uint32 bit offset per block root
+
+    def core_blob(self) -> bytes:
+        """Reference-compatible blob; its length is the compressed size used
+        for parity comparison against the reference encoder."""
+        header = struct.pack("<II", MAGIC, self.num_symbols)
+        return header + self.widths.tobytes() + self.code_bytes.tobytes()
+
+    @property
+    def compressed_size(self) -> int:
+        """Total bytes of the reference-format blob (header+table+codes+pad)."""
+        return 8 + 256 + int(self.code_bytes.size)
+
+
+def parse_core_blob(blob: bytes) -> tuple[int, np.ndarray, np.ndarray]:
+    """Parse a reference-format blob -> (num_symbols, widths, code_bytes)."""
+    if len(blob) < 264:
+        raise ValueError("blob too short for header + canonical table")
+    magic, num_symbols = struct.unpack_from("<II", blob, 0)
+    if magic != MAGIC:
+        raise ValueError(f"bad magic 0x{magic:08X}")
+    widths = np.frombuffer(blob, dtype=np.uint8, count=256, offset=8).copy()
+    code_bytes = np.frombuffer(blob, dtype=np.uint8, offset=264).copy()
+    return num_symbols, widths, code_bytes
+
+
+def write_frame(
+    stream: EncodedStream, height: int, width: int, block_dim: int, delta: bool
+) -> bytes:
+    """Serialize to the on-disk MHT1 container (geometry + core + offsets)."""
+    head = DISK_MAGIC + struct.pack(
+        "<IIIBB", height, width, stream.block_offsets.size, block_dim, int(delta)
+    )
+    core = stream.core_blob()
+    return (
+        head
+        + struct.pack("<I", len(core))
+        + core
+        + stream.block_offsets.astype("<u4").tobytes()
+    )
+
+
+def read_frame(data: bytes):
+    """Parse an MHT1 container -> (stream, height, width, block_dim, delta)."""
+    if data[:4] != DISK_MAGIC:
+        raise ValueError("not an MHT1 container")
+    height, width, n_blocks, block_dim, delta = struct.unpack_from("<IIIBB", data, 4)
+    (core_len,) = struct.unpack_from("<I", data, 18)
+    core = data[22 : 22 + core_len]
+    num_symbols, widths, code_bytes = parse_core_blob(core)
+    offsets = np.frombuffer(
+        data, dtype="<u4", count=n_blocks, offset=22 + core_len
+    ).astype(np.uint32)
+    stream = EncodedStream(num_symbols, widths, code_bytes, offsets)
+    return stream, height, width, block_dim, bool(delta)
