@@ -1,0 +1,84 @@
+"""Pallas decode kernel vs the XLA/NumPy oracles (interpret mode on CPU).
+
+The TPU analog of the reference's CPU-oracle strategy (SURVEY.md section 4):
+``interpret=True`` is the "serial reference decoder" role; the same kernel
+runs compiled on hardware (exercised by bench.py / __graft_entry__).
+"""
+
+import numpy as np
+import pytest
+
+from metalhuffman_tpu.core import blocks, delta, encode_symbols
+from metalhuffman_tpu.ops import decode_pallas
+
+
+def _roundtrip(img, use_delta=True):
+    blk = blocks.image_to_blocks(img)
+    payload = delta.delta_encode_blocks(blk) if use_delta else blk
+    enc = encode_symbols(payload.ravel(), block_size=64)
+    out = np.asarray(
+        decode_pallas.decode_stream_pallas(enc, delta=use_delta, interpret=True)
+    )
+    np.testing.assert_array_equal(out, blk)
+
+
+@pytest.mark.parametrize("use_delta", [True, False], ids=["delta", "nodelta"])
+def test_random_image(use_delta):
+    rng = np.random.default_rng(0)
+    _roundtrip(rng.integers(0, 256, (64, 96), np.uint8), use_delta)
+
+
+def test_gradient_image():
+    _roundtrip(np.add.outer(np.arange(40), np.arange(56)).astype(np.uint8))
+
+
+def test_constant_image():
+    _roundtrip(np.full((24, 24), 130, np.uint8))
+
+
+def test_long_codes():
+    rng = np.random.default_rng(7)
+    p = 0.6 ** np.arange(200)
+    data = rng.choice(np.arange(200), size=64 * 130, p=p / p.sum()).astype(np.uint8)
+    enc = encode_symbols(data, block_size=64)
+    assert enc.widths.max() > 8
+    out = np.asarray(
+        decode_pallas.decode_stream_pallas(enc, delta=False, interpret=True)
+    )
+    np.testing.assert_array_equal(out.ravel(), data)
+
+
+def test_partial_tile_padding():
+    # 3 blocks << one 1024-block tile: padded lanes must decode harmlessly.
+    rng = np.random.default_rng(9)
+    data = rng.integers(0, 256, 64 * 3, np.uint8)
+    enc = encode_symbols(data, block_size=64)
+    out = np.asarray(
+        decode_pallas.decode_stream_pallas(enc, delta=False, interpret=True)
+    )
+    assert out.shape == (3, 64)
+    np.testing.assert_array_equal(out.ravel(), data)
+
+
+def test_canonical_meta_intervals():
+    # Interval arithmetic must agree with the LUT for every 16-bit window.
+    from metalhuffman_tpu.core import canonical, tables
+
+    rng = np.random.default_rng(3)
+    data = rng.choice(
+        [0, 1, 2, 7, 90, 255], size=6000, p=[0.55, 0.2, 0.1, 0.08, 0.05, 0.02]
+    ).astype(np.uint8)
+    w = canonical.huffman_code_lengths(canonical.symbol_frequencies(data))
+    sym_plane, w_plane = tables.build_single_table(w)
+    meta = decode_pallas.canonical_meta(w)
+
+    windows = np.arange(65536, dtype=np.int64)
+    widths = np.ones(65536, dtype=np.int64)
+    for L in range(2, 17):
+        widths += windows >= int(np.uint32(meta.bounds[0, L - 1]))
+    adj = meta.adj[0, :16].astype(np.int64)
+    idx = adj[widths - 1] + (windows >> (16 - widths))
+    syms = np.concatenate([meta.syms_lo[0], meta.syms_hi[0]])[idx]
+    valid = w_plane > 0
+    np.testing.assert_array_equal(widths[valid], w_plane[valid])
+    np.testing.assert_array_equal(syms[valid], sym_plane[valid])
