@@ -1,0 +1,188 @@
+"""Grayscale image codec: the flagship end-to-end pipeline.
+
+Mirrors the reference's full data flow (SURVEY.md section 0): image -> zero
+padded 8x8 blocks (``Util.m:233-323``) -> per-block signed-byte delta
+(``AAPLRenderer.m:432-515``) -> canonical Huffman bitstream + per-block bit
+offsets (``HuffmanUtil.cpp:1051-1131``) -> device decode -> inverse reorder ->
+image, with the byte-exact verification the reference runs in its capture path
+(``AAPLRenderer.m:1849-1876``).
+
+The decode is TPU-native: either the Pallas kernel (``ops.decode_pallas``) or
+the portable XLA path (``ops.decode_xla``), selected by config. Decoding is
+split into a host ``prepare`` step (done once per stream — the analog of the
+reference's buffer upload, ``AAPLRenderer.m:577-667``) and a jitted device
+step that can run every "frame".
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core import bitstream, blocks, container, delta, encode
+from ..ops import decode_pallas, decode_xla, layout as layout_mod
+
+
+@dataclass(frozen=True)
+class CodecConfig:
+    """Framework configuration (replaces the reference's compile-time #defines
+    in ``AAPLShaderTypes.h:109-123`` and comment-toggled settings)."""
+
+    block_dim: int = 8  # HUFF_BLOCK_DIM (reference: AAPLShaderTypes.h:112)
+    delta: bool = True  # IMPL_DELTAS_BEFORE_HUFF_ENCODING (:109)
+    table1_bits: int = 8  # HUFF_TABLE1_NUM_BITS (:120)
+    table2_bits: int = 8  # HUFF_TABLE2_NUM_BITS (:121)
+    backend: str = "pallas"  # 'pallas' | 'xla'
+    interpret: bool = False  # Pallas interpret mode (CPU oracle of the kernel)
+
+    @property
+    def block_size(self) -> int:
+        return self.block_dim * self.block_dim
+
+
+@dataclass(frozen=True)
+class PreparedFrame:
+    """Device-resident decode inputs for one encoded frame."""
+
+    height: int
+    width: int
+    n_blocks: int
+    words_per_row: int
+    device_args: tuple  # backend-specific jnp arrays
+    stream: container.EncodedStream
+
+
+class ImageCodec:
+    """Encode/decode grayscale images with device-parallel Huffman decode."""
+
+    def __init__(self, config: CodecConfig | None = None):
+        self.config = config or CodecConfig()
+
+    # -- encode (host) ------------------------------------------------------
+
+    def encode(self, img: np.ndarray) -> container.EncodedStream:
+        """Image -> blocked+delta'd canonical Huffman stream."""
+        cfg = self.config
+        blk = blocks.image_to_blocks(img, cfg.block_dim)
+        payload = delta.delta_encode_blocks(blk) if cfg.delta else blk
+        return encode.encode_symbols(payload.ravel(), block_size=cfg.block_size)
+
+    def encode_to_bytes(self, img: np.ndarray) -> bytes:
+        """Image -> on-disk MHT1 container."""
+        h, w = img.shape
+        return container.write_frame(
+            self.encode(img), h, w, self.config.block_dim, self.config.delta
+        )
+
+    # -- decode (device) ----------------------------------------------------
+
+    def prepare(
+        self, stream: container.EncodedStream, height: int, width: int
+    ) -> PreparedFrame:
+        """Stage a stream's decode inputs on device (upload analog)."""
+        cfg = self.config
+        total_bits = 8 * (stream.code_bytes.size - bitstream.READ_AHEAD_PAD_BYTES)
+        wpr = layout_mod.words_per_block(
+            layout_mod.max_block_bits(stream.block_offsets, total_bits),
+            symbols_per_block=cfg.block_size,
+        )
+        words = bitstream.bytes_to_be_words(stream.code_bytes, pad_words=wpr)
+        nb = int(stream.block_offsets.size)
+        if cfg.backend == "pallas":
+            meta = decode_pallas.canonical_meta(stream.widths)
+            rows, init, _ = decode_pallas.tile_layout_jax(
+                jnp.asarray(words),
+                jnp.asarray(stream.block_offsets.astype(np.int32)),
+                wpr,
+            )
+            meta_stack = jnp.asarray(
+                np.stack([meta.adj, meta.syms_lo, meta.syms_hi]), dtype=jnp.int32
+            )
+            args = (rows, init, jnp.asarray(meta.bounds), meta_stack)
+        elif cfg.backend == "xla":
+            t1, t2 = decode_xla.prepare_tables(
+                stream.widths, cfg.table1_bits, cfg.table2_bits
+            )
+            rows, bit_init = layout_mod.build_layout_jax(
+                jnp.asarray(words),
+                jnp.asarray(stream.block_offsets.astype(np.int32)),
+                wpr,
+            )
+            args = (rows, bit_init, jnp.asarray(t1), jnp.asarray(t2))
+        else:
+            raise ValueError(f"unknown backend {self.config.backend!r}")
+        args = tuple(jax.device_put(a) for a in args)
+        return PreparedFrame(height, width, nb, wpr, args, stream)
+
+    def decode_step(self, prep: PreparedFrame):
+        """Jitted device decode: PreparedFrame -> (H, W) uint8 device image.
+
+        This is the per-frame hot path (the analog of the reference's
+        ``drawInMTKView:`` 7-pass chain, collapsed into one fused program).
+        """
+        cfg = self.config
+        return _decode_step_jit(
+            prep.device_args,
+            backend=cfg.backend,
+            height=prep.height,
+            width=prep.width,
+            n_blocks=prep.n_blocks,
+            block_dim=cfg.block_dim,
+            delta=cfg.delta,
+            interpret=cfg.interpret,
+        )
+
+    def decode(self, data: bytes | container.EncodedStream, height=None, width=None):
+        """Host convenience: container bytes (or stream) -> (H, W) uint8."""
+        if isinstance(data, (bytes, bytearray, memoryview)):
+            stream, height, width, block_dim, use_delta = container.read_frame(
+                bytes(data)
+            )
+            if block_dim != self.config.block_dim or use_delta != self.config.delta:
+                raise ValueError("container geometry does not match codec config")
+        else:
+            stream = data
+            if height is None or width is None:
+                raise ValueError("height/width required when passing a raw stream")
+        prep = self.prepare(stream, height, width)
+        return np.asarray(self.decode_step(prep))
+
+    def roundtrip_verify(self, img: np.ndarray) -> container.EncodedStream:
+        """Encode+decode+byte-compare (reference: ``AAPLRenderer.m:1849-1876``)."""
+        stream = self.encode(img)
+        out = self.decode(stream, *img.shape)
+        if not np.array_equal(out, img):
+            diff = int(np.sum(out != img))
+            raise AssertionError(f"roundtrip mismatch: {diff} bytes differ")
+        return stream
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "backend", "height", "width", "n_blocks", "block_dim", "delta", "interpret"
+    ),
+)
+def _decode_step_jit(
+    device_args, *, backend, height, width, n_blocks, block_dim, delta, interpret
+):
+    block_size = block_dim * block_dim
+    if backend == "pallas":
+        rows, init, bounds, meta_stack = device_args
+        out = decode_pallas.decode_tiles(
+            rows, init, bounds, meta_stack,
+            num_steps=block_size, width=rows.shape[1], delta=delta,
+            interpret=interpret,
+        )
+        blk = jnp.moveaxis(out, 1, -1).reshape(-1, block_size)[:n_blocks]
+        blk = blk.astype(jnp.uint8)
+    else:
+        rows, bit_init, t1, t2 = device_args
+        blk = decode_xla.decode_blocks(
+            rows, bit_init, t1, t2, num_steps=block_size, delta=delta
+        )[:n_blocks]
+    return blocks.blocks_to_image_jax(blk, height, width, block_dim)

@@ -85,7 +85,9 @@ def decode_blocks(rows, bit_init, t1_packed, t2_packed, *, num_steps: int = 64,
             out = sym
         return (bits + width, prev), out.astype(jnp.uint8)
 
-    init = (bit_init.astype(jnp.int32), jnp.zeros(nblocks, jnp.uint32))
+    # prev derives from bit_init (not a fresh zeros) so its varying-axis type
+    # matches the loop output when this function runs inside shard_map.
+    init = (bit_init.astype(jnp.int32), (bit_init * 0).astype(jnp.uint32))
     _, out = jax.lax.scan(step, init, None, length=num_steps)
     return out.T  # (nblocks, num_steps)
 

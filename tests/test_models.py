@@ -1,0 +1,47 @@
+"""End-to-end ImageCodec pipeline tests (CPU: xla backend + pallas interpret)."""
+
+import numpy as np
+import pytest
+
+from metalhuffman_tpu.models import CodecConfig, ImageCodec
+
+
+def _frame(h, w, seed=0):
+    rng = np.random.default_rng(seed)
+    yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    img = 96 + 80 * np.sin(xx / 29.0) * np.cos(yy / 23.0) + rng.normal(0, 3, (h, w))
+    return np.clip(img, 0, 255).astype(np.uint8)
+
+
+@pytest.mark.parametrize("backend", ["xla", "pallas"])
+def test_roundtrip_verify(backend):
+    codec = ImageCodec(CodecConfig(backend=backend, interpret=backend == "pallas"))
+    codec.roundtrip_verify(_frame(64, 96))
+
+
+@pytest.mark.parametrize("shape", [(40, 56), (8, 8), (100, 100), (17, 33)])
+def test_container_roundtrip(shape):
+    codec = ImageCodec(CodecConfig(backend="xla"))
+    img = _frame(*shape, seed=3)
+    blob = codec.encode_to_bytes(img)
+    out = codec.decode(blob)
+    np.testing.assert_array_equal(out, img)
+
+
+def test_no_delta_config():
+    codec = ImageCodec(CodecConfig(backend="xla", delta=False))
+    codec.roundtrip_verify(_frame(48, 48))
+
+
+def test_config_mismatch_raises():
+    img = _frame(32, 32)
+    blob = ImageCodec(CodecConfig(backend="xla")).encode_to_bytes(img)
+    with pytest.raises(ValueError):
+        ImageCodec(CodecConfig(backend="xla", delta=False)).decode(blob)
+
+
+def test_compression_beats_raw_on_natural_frame():
+    codec = ImageCodec(CodecConfig(backend="xla"))
+    img = _frame(256, 256)
+    stream = codec.encode(img)
+    assert stream.compressed_size < img.size  # compresses a natural frame
