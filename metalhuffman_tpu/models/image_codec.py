@@ -23,7 +23,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core import bitstream, blocks, container, delta, encode
+from .. import native
+from ..core import bitstream, blocks, container
 from ..ops import decode_pallas, decode_xla, layout as layout_mod
 
 
@@ -67,9 +68,9 @@ class ImageCodec:
     def encode(self, img: np.ndarray) -> container.EncodedStream:
         """Image -> blocked+delta'd canonical Huffman stream."""
         cfg = self.config
-        blk = blocks.image_to_blocks(img, cfg.block_dim)
-        payload = delta.delta_encode_blocks(blk) if cfg.delta else blk
-        return encode.encode_symbols(payload.ravel(), block_size=cfg.block_size)
+        blk = blocks.image_to_blocks(img, cfg.block_dim).ravel()
+        payload = native.delta_encode(blk, cfg.block_size) if cfg.delta else blk
+        return native.encode_symbols(payload, block_size=cfg.block_size)
 
     def encode_to_bytes(self, img: np.ndarray) -> bytes:
         """Image -> on-disk MHT1 container."""

@@ -1,0 +1,220 @@
+"""C++ native codec fast path with ctypes bindings.
+
+The reference's codec core is native C++ (``HuffmanEncoder.cpp``,
+``HuffmanUtil.cpp``); this package is its TPU-framework counterpart. The
+shared library builds lazily on first import (g++ -O3 into a per-user cache)
+and every entry point falls back to the NumPy mirror in
+:mod:`metalhuffman_tpu.core` if the toolchain is unavailable — call
+:func:`backend_name` to see which implementation is active.
+
+The native and NumPy paths are bit-identical by construction (same tie-break
+rules); ``tests/test_native.py`` enforces it differentially.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import hashlib
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+
+_SRC = Path(__file__).parent / "src" / "mht_codec.cpp"
+_LIB = None
+_BUILD_ERROR: str | None = None
+
+
+def _cache_dir() -> Path:
+    root = os.environ.get("MHT_CACHE_DIR") or os.path.join(
+        os.path.expanduser("~"), ".cache", "metalhuffman_tpu"
+    )
+    p = Path(root)
+    p.mkdir(parents=True, exist_ok=True)
+    return p
+
+
+def _build() -> ctypes.CDLL | None:
+    global _BUILD_ERROR
+    src = _SRC.read_bytes()
+    tag = hashlib.sha256(src).hexdigest()[:16]
+    out = _cache_dir() / f"libmht_codec_{tag}.so"
+    if not out.exists():
+        tmp = out.with_suffix(f".tmp{os.getpid()}.so")
+        cmd = [
+            "g++", "-O3", "-std=c++17", "-shared", "-fPIC",
+            "-o", str(tmp), str(_SRC),
+        ]
+        try:
+            subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+            os.replace(tmp, out)
+        except Exception as e:  # missing g++, compile error, ...
+            _BUILD_ERROR = f"{type(e).__name__}: {e}"
+            return None
+    try:
+        lib = ctypes.CDLL(str(out))
+    except OSError as e:
+        _BUILD_ERROR = str(e)
+        return None
+
+    i64 = ctypes.c_int64
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.mht_code_lengths.argtypes = [ctypes.POINTER(i64), u8p]
+    lib.mht_canonical_codes.argtypes = [u8p, ctypes.POINTER(ctypes.c_uint16)]
+    lib.mht_encode.argtypes = [
+        u8p, i64, i64, u8p, u8p, i64, ctypes.POINTER(i64),
+        ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(i64),
+    ]
+    lib.mht_decode_serial.argtypes = [u8p, i64, u8p, i64, i64, u8p]
+    lib.mht_delta_encode.argtypes = [u8p, i64, i64, u8p]
+    lib.mht_delta_decode.argtypes = [u8p, i64, i64, u8p]
+    for fn in (
+        lib.mht_code_lengths, lib.mht_canonical_codes, lib.mht_encode,
+        lib.mht_decode_serial, lib.mht_delta_encode, lib.mht_delta_decode,
+    ):
+        fn.restype = ctypes.c_int
+    return lib
+
+
+def _lib() -> ctypes.CDLL | None:
+    global _LIB
+    if _LIB is None and _BUILD_ERROR is None:
+        _LIB = _build()
+    return _LIB
+
+
+def available() -> bool:
+    return _lib() is not None
+
+
+def backend_name() -> str:
+    return "native" if available() else f"numpy (native unavailable: {_BUILD_ERROR})"
+
+
+def _u8p(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def code_lengths(freqs: np.ndarray) -> np.ndarray:
+    """Native Huffman code lengths; falls back to the NumPy mirror."""
+    lib = _lib()
+    freqs = np.ascontiguousarray(freqs, dtype=np.int64)
+    if lib is None:
+        from ..core import canonical
+
+        return canonical.huffman_code_lengths(freqs)
+    widths = np.zeros(256, dtype=np.uint8)
+    rc = lib.mht_code_lengths(
+        freqs.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)), _u8p(widths)
+    )
+    if rc:
+        raise RuntimeError(f"mht_code_lengths failed: {rc}")
+    return widths
+
+
+def canonical_codes(widths: np.ndarray) -> np.ndarray:
+    lib = _lib()
+    widths = np.ascontiguousarray(widths, dtype=np.uint8)
+    if lib is None:
+        from ..core import canonical
+
+        return canonical.canonical_codes(widths)
+    codes = np.zeros(256, dtype=np.uint16)
+    rc = lib.mht_canonical_codes(
+        _u8p(widths), codes.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16))
+    )
+    if rc:
+        raise RuntimeError(f"mht_canonical_codes failed: {rc}")
+    return codes
+
+
+def encode_symbols(data: np.ndarray, block_size: int = 64):
+    """Native full encode -> EncodedStream; NumPy fallback otherwise."""
+    from ..core.container import EncodedStream
+
+    data = np.ascontiguousarray(data, dtype=np.uint8).ravel()
+    if data.size == 0:
+        raise ValueError("empty input")
+    lib = _lib()
+    if lib is None:
+        from ..core import encode
+
+        return encode.encode_symbols(data, block_size)
+
+    widths = np.zeros(256, dtype=np.uint8)
+    capacity = 2 * data.size + 16
+    code_bytes = np.zeros(capacity, dtype=np.uint8)
+    n_blocks = data.size // block_size
+    offsets = np.zeros(max(n_blocks, 1), dtype=np.uint32)
+    code_len = ctypes.c_int64()
+    total_bits = ctypes.c_int64()
+    rc = lib.mht_encode(
+        _u8p(data), data.size, block_size, _u8p(widths), _u8p(code_bytes),
+        capacity, ctypes.byref(code_len),
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        ctypes.byref(total_bits),
+    )
+    if rc:
+        raise RuntimeError(f"mht_encode failed: {rc}")
+    return EncodedStream(
+        num_symbols=data.size,
+        widths=widths,
+        code_bytes=code_bytes[: code_len.value].copy(),
+        block_offsets=offsets[:n_blocks],
+    )
+
+
+def decode_serial(
+    code_bytes: np.ndarray, widths: np.ndarray, num_symbols: int, start_bit: int = 0
+) -> np.ndarray:
+    """Native serial oracle decode; NumPy fallback otherwise."""
+    lib = _lib()
+    code_bytes = np.ascontiguousarray(code_bytes, dtype=np.uint8)
+    widths = np.ascontiguousarray(widths, dtype=np.uint8)
+    if lib is None:
+        from ..core import decode_ref, tables
+
+        sym, w = tables.build_single_table(widths)
+        return decode_ref.decode_single_table(
+            code_bytes, sym, w, num_symbols, start_bit
+        )
+    out = np.zeros(num_symbols, dtype=np.uint8)
+    rc = lib.mht_decode_serial(
+        _u8p(code_bytes), code_bytes.size, _u8p(widths), num_symbols, start_bit,
+        _u8p(out),
+    )
+    if rc:
+        raise RuntimeError(f"mht_decode_serial failed: {rc}")
+    return out
+
+
+def delta_encode(data: np.ndarray, block_size: int = 64) -> np.ndarray:
+    lib = _lib()
+    data = np.ascontiguousarray(data, dtype=np.uint8).ravel()
+    if lib is None:
+        from ..core import delta
+
+        n = data.size
+        pad = (-n) % block_size
+        padded = np.pad(data, (0, pad)).reshape(-1, block_size)
+        return delta.delta_encode_blocks(padded).ravel()[:n]
+    out = np.zeros_like(data)
+    lib.mht_delta_encode(_u8p(data), data.size, block_size, _u8p(out))
+    return out
+
+
+def delta_decode(deltas: np.ndarray, block_size: int = 64) -> np.ndarray:
+    lib = _lib()
+    deltas = np.ascontiguousarray(deltas, dtype=np.uint8).ravel()
+    if lib is None:
+        from ..core import delta
+
+        n = deltas.size
+        pad = (-n) % block_size
+        padded = np.pad(deltas, (0, pad)).reshape(-1, block_size)
+        return delta.delta_decode_blocks(padded).ravel()[:n]
+    out = np.zeros_like(deltas)
+    lib.mht_delta_decode(_u8p(deltas), deltas.size, block_size, _u8p(out))
+    return out

@@ -1,0 +1,281 @@
+// metalhuffman-tpu native codec core (C++17, no deps).
+//
+// Host-side fast path mirroring metalhuffman_tpu.core (NumPy) bit-for-bit:
+// canonical Huffman length assignment (heap Huffman + package-merge cap 16),
+// canonical code generation, MSB-first bit packing with per-block offsets,
+// serial table decode, and per-block delta coding.
+//
+// Behavioral parity targets in the reference (capability, not code):
+//   - 256-byte bit-width wire header        (huff_util.hpp:45-68)
+//   - (width, symbol)-sorted canonical codes, left-justified 16-bit
+//                                            (huff_util.hpp:94-193)
+//   - MSB-first packing + 2 read-ahead pad   (HuffmanEncoder.cpp:211-276,371-378)
+//   - per-block bit offsets                  (HuffmanUtil.cpp:1102-1117)
+//   - serial single-table decode oracle      (HuffmanUtil.cpp:673-823)
+//
+// All entry points return 0 on success, negative error codes otherwise.
+
+#include <algorithm>
+#include <cstdint>
+#include <cstring>
+#include <queue>
+#include <vector>
+
+namespace {
+
+constexpr int kNumSymbols = 256;
+constexpr int kMaxCodeLen = 16;
+
+struct HeapNode {
+  int64_t weight;
+  int32_t tiebreak;  // smallest symbol in subtree
+  int32_t id;
+  bool operator>(const HeapNode& o) const {
+    if (weight != o.weight) return weight > o.weight;
+    if (tiebreak != o.tiebreak) return tiebreak > o.tiebreak;
+    return id > o.id;
+  }
+};
+
+// Optimal Huffman code lengths via a min-heap; tie-breaking identical to the
+// NumPy mirror (weight, then smallest symbol in subtree, then node id).
+void huffman_lengths_unlimited(const int64_t* freqs, uint8_t* lengths) {
+  std::memset(lengths, 0, kNumSymbols);
+  std::vector<int> active;
+  for (int s = 0; s < kNumSymbols; ++s)
+    if (freqs[s] > 0) active.push_back(s);
+  if (active.empty()) return;
+  if (active.size() == 1) {
+    lengths[active[0]] = 1;  // single symbol: one 1-bit code
+    return;
+  }
+  std::priority_queue<HeapNode, std::vector<HeapNode>, std::greater<HeapNode>> heap;
+  for (int s : active) heap.push({freqs[s], s, s});
+  int next_id = kNumSymbols;
+  std::vector<int> parent(kNumSymbols + active.size(), -1);
+  while (heap.size() > 1) {
+    HeapNode a = heap.top(); heap.pop();
+    HeapNode b = heap.top(); heap.pop();
+    parent[a.id] = next_id;
+    parent[b.id] = next_id;
+    heap.push({a.weight + b.weight, std::min(a.tiebreak, b.tiebreak), next_id});
+    ++next_id;
+  }
+  std::vector<int> depth(next_id, 0);
+  for (int nid = next_id - 2; nid >= 0; --nid)
+    if (parent[nid] >= 0) depth[nid] = depth[parent[nid]] + 1;
+  for (int s : active) lengths[s] = static_cast<uint8_t>(depth[s]);
+}
+
+// Length-limited lengths via package-merge; ordering/stability matches the
+// NumPy mirror exactly (stable sort by (weight, tiebreak), leaves tagged with
+// their symbol, packages tagged 256).
+int package_merge_lengths(const int64_t* freqs, int max_len, uint8_t* lengths) {
+  std::memset(lengths, 0, kNumSymbols);
+  std::vector<int> active;
+  for (int s = 0; s < kNumSymbols; ++s)
+    if (freqs[s] > 0) active.push_back(s);
+  const int n = static_cast<int>(active.size());
+  if (n == 0) return 0;
+  if (n == 1) { lengths[active[0]] = 1; return 0; }
+  if (n > (1 << max_len)) return -2;
+
+  struct Item {
+    int64_t w;
+    int32_t tag;  // symbol for leaves, 256 for packages
+    std::vector<uint16_t> vec;  // leaf multiplicity per symbol
+  };
+  std::vector<Item> leaves;
+  leaves.reserve(n);
+  for (int s : active) {
+    Item it{freqs[s], s, std::vector<uint16_t>(kNumSymbols, 0)};
+    it.vec[s] = 1;
+    leaves.push_back(std::move(it));
+  }
+  std::stable_sort(leaves.begin(), leaves.end(), [](const Item& a, const Item& b) {
+    return a.w != b.w ? a.w < b.w : a.tag < b.tag;
+  });
+
+  std::vector<Item> prev_packages;
+  auto build_items = [&](std::vector<Item>& items) {
+    items.clear();
+    for (const Item& l : leaves) items.push_back(l);
+    for (const Item& p : prev_packages) items.push_back(p);
+    std::stable_sort(items.begin(), items.end(), [](const Item& a, const Item& b) {
+      return a.w != b.w ? a.w < b.w : a.tag < b.tag;
+    });
+  };
+
+  std::vector<Item> items;
+  for (int level = 0; level < max_len - 1; ++level) {
+    build_items(items);
+    prev_packages.clear();
+    for (size_t i = 0; i + 1 < items.size(); i += 2) {
+      Item pkg{items[i].w + items[i + 1].w, kNumSymbols,
+               std::vector<uint16_t>(kNumSymbols, 0)};
+      for (int s = 0; s < kNumSymbols; ++s)
+        pkg.vec[s] = static_cast<uint16_t>(items[i].vec[s] + items[i + 1].vec[s]);
+      prev_packages.push_back(std::move(pkg));
+    }
+  }
+  build_items(items);
+  std::vector<int32_t> counts(kNumSymbols, 0);
+  const int take = 2 * (n - 1);
+  for (int i = 0; i < take && i < static_cast<int>(items.size()); ++i)
+    for (int s = 0; s < kNumSymbols; ++s) counts[s] += items[i].vec[s];
+  for (int s : active) lengths[s] = static_cast<uint8_t>(counts[s]);
+  return 0;
+}
+
+// Canonical codes, left-justified in 16 bits; (width, symbol) sort order.
+void canonical_codes_impl(const uint8_t* widths, uint16_t* codes) {
+  std::memset(codes, 0, kNumSymbols * sizeof(uint16_t));
+  std::vector<std::pair<int, int>> order;  // (width, symbol)
+  for (int s = 0; s < kNumSymbols; ++s)
+    if (widths[s] > 0) order.emplace_back(widths[s], s);
+  std::sort(order.begin(), order.end());
+  uint32_t current = 0;
+  for (size_t i = 0; i < order.size(); ++i) {
+    const int w = order[i].first;
+    const int s = order[i].second;
+    codes[s] = static_cast<uint16_t>((current << (16 - w)) & 0xFFFF);
+    ++current;
+    if (i + 1 < order.size() && order[i + 1].first > w)
+      current <<= (order[i + 1].first - w);
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// Huffman code lengths (<= 16 bits) from a 256-entry frequency table.
+int mht_code_lengths(const int64_t* freqs, uint8_t* widths_out) {
+  huffman_lengths_unlimited(freqs, widths_out);
+  int max_w = 0;
+  for (int s = 0; s < kNumSymbols; ++s) max_w = std::max(max_w, (int)widths_out[s]);
+  if (max_w > kMaxCodeLen)
+    return package_merge_lengths(freqs, kMaxCodeLen, widths_out);
+  return 0;
+}
+
+int mht_canonical_codes(const uint8_t* widths, uint16_t* codes_out) {
+  canonical_codes_impl(widths, codes_out);
+  return 0;
+}
+
+// Full encode: frequencies -> widths -> codes -> MSB-first packed stream
+// (incl. 2 zero read-ahead pad bytes) + per-block bit offsets.
+//
+// code_capacity must be >= 2*n + 16 bytes (worst case 16 bits/symbol).
+// Returns 0; outputs: widths_out[256], code_bytes_out / *code_len_out (bytes
+// used incl. pad), block_offsets_out[n / block_size], *total_bits_out.
+int mht_encode(const uint8_t* data, int64_t n, int64_t block_size,
+               uint8_t* widths_out, uint8_t* code_bytes_out,
+               int64_t code_capacity, int64_t* code_len_out,
+               uint32_t* block_offsets_out, int64_t* total_bits_out) {
+  if (n <= 0) return -1;
+  int64_t freqs[kNumSymbols] = {0};
+  for (int64_t i = 0; i < n; ++i) ++freqs[data[i]];
+  int rc = mht_code_lengths(freqs, widths_out);
+  if (rc) return rc;
+  uint16_t codes[kNumSymbols];
+  canonical_codes_impl(widths_out, codes);
+
+  int64_t total_bits = 0;
+  for (int s = 0; s < kNumSymbols; ++s)
+    total_bits += freqs[s] * static_cast<int64_t>(widths_out[s]);
+  const int64_t total_bytes = (total_bits + 7) / 8 + 2;  // +2 read-ahead pad
+  if (total_bytes > code_capacity) return -3;
+
+  std::memset(code_bytes_out, 0, total_bytes);
+  uint64_t acc = 0;    // bit accumulator, MSB-aligned in the low `nbits` bits
+  int nbits = 0;       // bits currently buffered
+  int64_t byte_pos = 0;
+  int64_t bit_pos = 0;
+  int64_t block_i = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    if (block_i < n / block_size && i % block_size == 0)
+      block_offsets_out[block_i++] = static_cast<uint32_t>(bit_pos);
+    const uint8_t s = data[i];
+    const int w = widths_out[s];
+    if (w == 0) return -4;
+    // append top-w bits of the left-justified 16-bit code
+    acc = (acc << w) | (static_cast<uint64_t>(codes[s]) >> (16 - w));
+    nbits += w;
+    bit_pos += w;
+    while (nbits >= 8) {
+      nbits -= 8;
+      code_bytes_out[byte_pos++] = static_cast<uint8_t>((acc >> nbits) & 0xFF);
+    }
+  }
+  if (nbits > 0)
+    code_bytes_out[byte_pos++] = static_cast<uint8_t>((acc << (8 - nbits)) & 0xFF);
+  *code_len_out = total_bytes;
+  *total_bits_out = total_bits;
+  return 0;
+}
+
+// Serial decode via an internally built full 16-bit table (the oracle path).
+int mht_decode_serial(const uint8_t* code_bytes, int64_t n_code_bytes,
+                      const uint8_t* widths, int64_t num_symbols,
+                      int64_t start_bit, uint8_t* out) {
+  uint16_t codes[kNumSymbols];
+  canonical_codes_impl(widths, codes);
+  std::vector<uint8_t> sym_plane(1 << 16, 0), w_plane(1 << 16, 0);
+  for (int s = 0; s < kNumSymbols; ++s) {
+    const int w = widths[s];
+    if (w == 0) continue;
+    const uint32_t start = codes[s];
+    const uint32_t span = 1u << (16 - w);
+    std::fill(sym_plane.begin() + start, sym_plane.begin() + start + span,
+              static_cast<uint8_t>(s));
+    std::fill(w_plane.begin() + start, w_plane.begin() + start + span,
+              static_cast<uint8_t>(w));
+  }
+  int64_t bits = start_bit;
+  for (int64_t i = 0; i < num_symbols; ++i) {
+    const int64_t byte_i = bits >> 3;
+    if (byte_i + 2 >= n_code_bytes) return -5;
+    const uint32_t window24 = (static_cast<uint32_t>(code_bytes[byte_i]) << 16) |
+                              (static_cast<uint32_t>(code_bytes[byte_i + 1]) << 8) |
+                              static_cast<uint32_t>(code_bytes[byte_i + 2]);
+    const uint16_t window =
+        static_cast<uint16_t>((window24 >> (8 - (bits & 7))) & 0xFFFF);
+    const int w = w_plane[window];
+    if (w == 0) return -6;
+    out[i] = sym_plane[window];
+    bits += w;
+  }
+  return 0;
+}
+
+// Per-block delta coding (first byte literal, then wrapping differences).
+int mht_delta_encode(const uint8_t* data, int64_t n, int64_t block_size,
+                     uint8_t* out) {
+  for (int64_t b = 0; b < n; b += block_size) {
+    const int64_t end = std::min(b + block_size, n);
+    out[b] = data[b];
+    for (int64_t i = b + 1; i < end; ++i)
+      out[i] = static_cast<uint8_t>(data[i] - data[i - 1]);
+  }
+  return 0;
+}
+
+int mht_delta_decode(const uint8_t* deltas, int64_t n, int64_t block_size,
+                     uint8_t* out) {
+  for (int64_t b = 0; b < n; b += block_size) {
+    const int64_t end = std::min(b + block_size, n);
+    uint8_t prev = deltas[b];
+    out[b] = prev;
+    for (int64_t i = b + 1; i < end; ++i) {
+      prev = static_cast<uint8_t>(prev + deltas[i]);
+      out[i] = prev;
+    }
+  }
+  return 0;
+}
+
+int mht_abi_version() { return 1; }
+
+}  // extern "C"
