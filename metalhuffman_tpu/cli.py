@@ -1,0 +1,188 @@
+"""Command-line interface: encode / decode / roundtrip / info / bench.
+
+The reference's L4 is a per-platform app shell whose configuration is edited
+in source (``AAPLRenderer.m:726-744``); the TPU framework's front door is this
+CLI. Images are any PIL-supported format, raw ``.gray``, or ``.tga``;
+containers are MHT1 (single frame) and MHTS (frame sequence).
+
+    python -m metalhuffman_tpu encode photo.png out.mht
+    python -m metalhuffman_tpu decode out.mht restored.png
+    python -m metalhuffman_tpu roundtrip photo.png --backend pallas
+    python -m metalhuffman_tpu info out.mht
+    python -m metalhuffman_tpu bench --height 1536 --width 2048
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def _add_codec_flags(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--block-dim", type=int, default=8)
+    p.add_argument("--no-delta", action="store_true")
+    p.add_argument(
+        "--backend", default="pallas", choices=["pallas", "xla"],
+        help="device decode path (pallas = TPU kernel, xla = portable)",
+    )
+    p.add_argument("--interpret", action="store_true",
+                   help="run the Pallas kernel in interpret mode (CPU debug)")
+
+
+def _config(args):
+    from .models import CodecConfig
+
+    return CodecConfig(
+        block_dim=args.block_dim,
+        delta=not args.no_delta,
+        backend=args.backend,
+        interpret=args.interpret,
+    )
+
+
+def cmd_encode(args) -> int:
+    from .models import ImageCodec
+    from .utils import imageio
+
+    img = imageio.load_grayscale(args.input)
+    codec = ImageCodec(_config(args))
+    t0 = time.perf_counter()
+    blob = codec.encode_to_bytes(img)
+    dt = time.perf_counter() - t0
+    Path(args.output).write_bytes(blob)
+    print(
+        f"{args.input}: {img.shape[0]}x{img.shape[1]} -> {len(blob)} bytes "
+        f"({len(blob)/img.size:.1%}) in {dt*1e3:.1f} ms"
+    )
+    return 0
+
+
+def cmd_decode(args) -> int:
+    from .models import ImageCodec
+    from .utils import imageio
+
+    blob = Path(args.input).read_bytes()
+    codec = ImageCodec(_config(args))
+    t0 = time.perf_counter()
+    img = codec.decode(blob)
+    dt = time.perf_counter() - t0
+    imageio.save_grayscale(img, args.output)
+    print(
+        f"{args.input}: decoded {img.shape[0]}x{img.shape[1]} "
+        f"({args.backend}) in {dt*1e3:.1f} ms -> {args.output}"
+    )
+    return 0
+
+
+def cmd_roundtrip(args) -> int:
+    from .models import ImageCodec
+    from .utils import imageio
+
+    img = imageio.load_grayscale(args.input)
+    codec = ImageCodec(_config(args))
+    stream = codec.roundtrip_verify(img)
+    print(
+        f"{args.input}: {img.shape[0]}x{img.shape[1]} bit-exact on "
+        f"{args.backend}; {stream.compressed_size} bytes "
+        f"({stream.compressed_size/img.size:.1%}), "
+        f"{stream.block_offsets.size} blocks"
+    )
+    return 0
+
+
+def cmd_info(args) -> int:
+    from .core import container
+    from .models import frame_stream
+
+    data = Path(args.input).read_bytes()
+    if data[:4] == frame_stream.STREAM_MAGIC:
+        streams, h, w, bd, delta = frame_stream.read_stream(data)
+        total = sum(s.compressed_size for s in streams)
+        print(
+            f"MHTS: {len(streams)} frames {h}x{w}, block_dim={bd}, "
+            f"delta={delta}, {total} compressed bytes "
+            f"({total/(len(streams)*h*w):.1%})"
+        )
+        return 0
+    stream, h, w, bd, delta = container.read_frame(data)
+    widths = stream.widths
+    active = int((widths > 0).sum())
+    print(
+        f"MHT1: {h}x{w}, block_dim={bd}, delta={delta}, "
+        f"{stream.compressed_size} bytes ({stream.compressed_size/(h*w):.1%}), "
+        f"{stream.block_offsets.size} blocks, {active} active symbols, "
+        f"code widths {int(widths[widths>0].min())}..{int(widths.max())}"
+    )
+    return 0
+
+
+def cmd_bench(args) -> int:
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    import bench
+
+    gbps = bench.run(args.height, args.width, args.backend, args.iters, True)
+    print(f"{gbps:.3f} GB/s")
+    return 0
+
+
+def _enable_compile_cache() -> None:
+    """Persistent XLA compilation cache: first decode in a fresh process pays
+    the (tens of seconds) TPU kernel compile once per shape, not every run."""
+    try:
+        import os
+
+        import jax
+
+        cache = os.path.join(
+            os.path.expanduser("~"), ".cache", "metalhuffman_tpu", "jax_cache"
+        )
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass  # cache is an optimization only
+
+
+def main(argv=None) -> int:
+    _enable_compile_cache()
+    ap = argparse.ArgumentParser(prog="metalhuffman_tpu", description=__doc__)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("encode", help="image file -> MHT1 container")
+    p.add_argument("input")
+    p.add_argument("output")
+    _add_codec_flags(p)
+    p.set_defaults(fn=cmd_encode)
+
+    p = sub.add_parser("decode", help="MHT1 container -> image file")
+    p.add_argument("input")
+    p.add_argument("output")
+    _add_codec_flags(p)
+    p.set_defaults(fn=cmd_decode)
+
+    p = sub.add_parser("roundtrip", help="encode+decode+verify bit-exact")
+    p.add_argument("input")
+    _add_codec_flags(p)
+    p.set_defaults(fn=cmd_roundtrip)
+
+    p = sub.add_parser("info", help="describe an MHT1/MHTS container")
+    p.add_argument("input")
+    p.set_defaults(fn=cmd_info)
+
+    p = sub.add_parser("bench", help="single-chip decode benchmark")
+    p.add_argument("--height", type=int, default=1536)
+    p.add_argument("--width", type=int, default=2048)
+    p.add_argument("--backend", default="pallas", choices=["pallas", "xla"])
+    p.add_argument("--iters", type=int, default=20)
+    p.set_defaults(fn=cmd_bench)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
