@@ -29,6 +29,126 @@ from .image_codec import CodecConfig, ImageCodec
 STREAM_MAGIC = b"MHTS"
 
 
+# -- shared-table video mode --------------------------------------------------
+#
+# One canonical table across the whole sequence: all frames' blocked payloads
+# concatenate into a single stream, so the entire batch decodes in ONE kernel
+# dispatch (the per-dispatch overhead of chained per-frame decodes disappears;
+# this is also how fixed-table video codecs amortize table cost). The u32
+# per-block bit offsets cap a shared stream at 2^32 bits = 512 MB compressed.
+
+
+def encode_frames_shared(
+    frames: np.ndarray, config: CodecConfig | None = None
+) -> container.EncodedStream:
+    """(T, H, W) frames -> one EncodedStream with a shared canonical table."""
+    from .. import native
+
+    cfg = config or CodecConfig()
+    frames = np.asarray(frames)
+    if frames.ndim != 3:
+        raise ValueError("frames must be (T, H, W)")
+    payloads = []
+    for f in frames:
+        blk = blocks.image_to_blocks(f, cfg.block_dim).ravel()
+        payloads.append(
+            native.delta_encode(blk, cfg.block_size) if cfg.delta else blk
+        )
+    payload = np.concatenate(payloads)
+    if payload.size * 16 >= 1 << 32:  # worst case bits must fit u32 offsets
+        raise ValueError("shared stream too large for u32 block offsets")
+    return native.encode_symbols(payload, block_size=cfg.block_size)
+
+
+@dataclass(frozen=True)
+class PreparedShared:
+    """Device-staged shared-table batch (stage once, decode every frame tick)."""
+
+    num_frames: int
+    height: int
+    width: int
+    nb_total: int
+    wpr: int
+    rows: jnp.ndarray
+    init: jnp.ndarray
+    pair: jnp.ndarray
+    bounds: tuple
+    adj_inc: tuple
+
+
+def prepare_shared(
+    stream: container.EncodedStream,
+    num_frames: int,
+    height: int,
+    width: int,
+    config: CodecConfig | None = None,
+) -> PreparedShared:
+    """Stage a shared-table stream's decode inputs on device."""
+    from ..ops import decode_pallas
+
+    cfg = config or CodecConfig()
+    meta, words, offsets, wpr = decode_pallas.prepare_stream(
+        stream, cfg.block_size
+    )
+    rows, init, nb_total = decode_pallas.tile_layout_jax(
+        jnp.asarray(words), jnp.asarray(offsets), wpr
+    )
+    rows = jax.device_put(rows)
+    init = jax.device_put(init)
+    pair = jax.device_put(jnp.asarray(meta.pair_table))
+    return PreparedShared(
+        num_frames, height, width, nb_total, wpr, rows, init, pair,
+        meta.bounds, meta.adj_inc,
+    )
+
+
+def decode_shared_step(prep: PreparedShared, config: CodecConfig | None = None):
+    """Jitted device decode of a staged batch -> (T, H, W) uint8."""
+    cfg = config or CodecConfig()
+    return _decode_shared_jit(
+        prep.rows, prep.init, prep.pair,
+        bounds=prep.bounds, adj_inc=prep.adj_inc, wpr=prep.wpr,
+        num_frames=prep.num_frames, height=prep.height, width=prep.width,
+        block_dim=cfg.block_dim, delta=cfg.delta, interpret=cfg.interpret,
+        nb_total=prep.nb_total,
+    )
+
+
+def decode_frames_shared(
+    stream: container.EncodedStream,
+    num_frames: int,
+    height: int,
+    width: int,
+    config: CodecConfig | None = None,
+):
+    """Decode a shared-table stream -> (T, H, W) uint8 device array.
+
+    One fused program: Pallas kernel over all T*nb blocks + image reassembly.
+    """
+    prep = prepare_shared(stream, num_frames, height, width, config)
+    return decode_shared_step(prep, config)
+
+
+@partial(jax.jit, static_argnames=(
+    "bounds", "adj_inc", "wpr", "num_frames", "height", "width", "block_dim",
+    "delta", "interpret", "nb_total"))
+def _decode_shared_jit(rows, init, pair, *, bounds, adj_inc, wpr, num_frames,
+                       height, width, block_dim, delta, interpret, nb_total):
+    from ..ops import decode_pallas
+
+    block_size = block_dim * block_dim
+    out = decode_pallas.decode_tiles(
+        rows, init, pair, width=wpr, bounds=bounds, adj_inc=adj_inc,
+        num_steps=block_size, delta=delta, interpret=interpret,
+    )
+    blk = decode_pallas.unpack_to_blocks(out, nb_total, block_size)
+    nb_frame = nb_total // num_frames
+    blk = blk.reshape(num_frames, nb_frame, block_size)
+    return jax.vmap(
+        lambda b: blocks.blocks_to_image_jax(b, height, width, block_dim)
+    )(blk)
+
+
 def encode_frames(
     frames: np.ndarray | list[np.ndarray], config: CodecConfig | None = None
 ) -> list[container.EncodedStream]:

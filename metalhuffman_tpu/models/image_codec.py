@@ -55,6 +55,7 @@ class PreparedFrame:
     words_per_row: int
     device_args: tuple  # backend-specific jnp arrays
     stream: container.EncodedStream
+    static_meta: tuple = ()  # pallas: (bounds, adj_inc) baked into the kernel
 
 
 class ImageCodec:
@@ -93,6 +94,7 @@ class ImageCodec:
         )
         words = bitstream.bytes_to_be_words(stream.code_bytes, pad_words=wpr)
         nb = int(stream.block_offsets.size)
+        static_meta = ()
         if cfg.backend == "pallas":
             meta = decode_pallas.canonical_meta(stream.widths)
             rows, init, _ = decode_pallas.tile_layout_jax(
@@ -100,10 +102,8 @@ class ImageCodec:
                 jnp.asarray(stream.block_offsets.astype(np.int32)),
                 wpr,
             )
-            meta_stack = jnp.asarray(
-                np.stack([meta.adj, meta.syms_lo, meta.syms_hi]), dtype=jnp.int32
-            )
-            args = (rows, init, jnp.asarray(meta.bounds), meta_stack)
+            args = (rows, init, jnp.asarray(meta.pair_table))
+            static_meta = (meta.bounds, meta.adj_inc)
         elif cfg.backend == "xla":
             t1, t2 = decode_xla.prepare_tables(
                 stream.widths, cfg.table1_bits, cfg.table2_bits
@@ -117,7 +117,7 @@ class ImageCodec:
         else:
             raise ValueError(f"unknown backend {self.config.backend!r}")
         args = tuple(jax.device_put(a) for a in args)
-        return PreparedFrame(height, width, nb, wpr, args, stream)
+        return PreparedFrame(height, width, nb, wpr, args, stream, static_meta)
 
     def decode_step(self, prep: PreparedFrame):
         """Jitted device decode: PreparedFrame -> (H, W) uint8 device image.
@@ -135,6 +135,8 @@ class ImageCodec:
             block_dim=cfg.block_dim,
             delta=cfg.delta,
             interpret=cfg.interpret,
+            static_meta=prep.static_meta,
+            words_per_row=prep.words_per_row,
         )
 
     def decode(self, data: bytes | container.EncodedStream, height=None, width=None):
@@ -165,22 +167,24 @@ class ImageCodec:
 @partial(
     jax.jit,
     static_argnames=(
-        "backend", "height", "width", "n_blocks", "block_dim", "delta", "interpret"
+        "backend", "height", "width", "n_blocks", "block_dim", "delta",
+        "interpret", "static_meta", "words_per_row",
     ),
 )
 def _decode_step_jit(
-    device_args, *, backend, height, width, n_blocks, block_dim, delta, interpret
+    device_args, *, backend, height, width, n_blocks, block_dim, delta,
+    interpret, static_meta=(), words_per_row=0
 ):
     block_size = block_dim * block_dim
     if backend == "pallas":
-        rows, init, bounds, meta_stack = device_args
+        rows, init, pair_table = device_args
+        bounds, adj_inc = static_meta
         out = decode_pallas.decode_tiles(
-            rows, init, bounds, meta_stack,
-            num_steps=block_size, width=rows.shape[1], delta=delta,
-            interpret=interpret,
+            rows, init, pair_table,
+            width=words_per_row, bounds=bounds, adj_inc=adj_inc,
+            num_steps=block_size, delta=delta, interpret=interpret,
         )
-        blk = jnp.moveaxis(out, 1, -1).reshape(-1, block_size)[:n_blocks]
-        blk = blk.astype(jnp.uint8)
+        blk = decode_pallas.unpack_to_blocks(out, n_blocks, block_size)
     else:
         rows, bit_init, t1, t2 = device_args
         blk = decode_xla.decode_blocks(

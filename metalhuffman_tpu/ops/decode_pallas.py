@@ -1,32 +1,39 @@
-"""Pallas TPU decode kernel: all blocks in parallel, one fused 64-step loop.
+"""Pallas TPU decode kernel: all blocks in parallel, one fused symbol loop.
 
 This replaces the reference's five chained fragment-shader passes
 (``AAPLShaders.metal:291-445``, pass chain ``AAPLRenderer.m:1192-1569``) with a
-single kernel: the grid tiles the block axis, each program holds a
-(8, 128)-lane tile of 1024 blocks entirely in VMEM/registers, and a 64-step
-``fori_loop`` decodes one symbol per block per step. The carry state the Metal
-code threads through a texture attachment ({numBitsRead, prevSymbol},
+single kernel. The grid tiles the block axis; each program holds
+``group_tiles`` interleaved (8,128)-lane tiles of blocks in VMEM and decodes
+64 symbols per block in 16 unrolled refill groups of 4. The carry state the
+Metal code threads through a texture attachment ({numBitsRead, prevSymbol},
 ``AAPLShaders.metal:313-326,357-362``) lives in loop-carried vregs.
 
-TPU-specific design (probed on hardware; see SURVEY.md section 7 hard parts):
+TPU-specific design (measured on v5e; see SURVEY.md section 7 "hard parts"):
 
 - **No per-lane byte addressing.** Blocks are pre-staged as aligned u32 word
-  rows (ops.layout); the per-step fetch is a branchless one-hot select over the
-  W-word row plus a two-word funnel shift (variable per-lane shifts are native
-  VPU ops).
-- **No big-table gathers.** Mosaic only supports single-vreg (8,128) lane
+  rows (ops.layout). Each 4-symbol group does ONE one-hot word-select (a
+  shared compare drives three statically-shifted row views), building a 64-bit
+  funnel window that provably covers all four symbols (4 x 16 bits max).
+- **No big-table gathers.** Mosaic supports only single-vreg (8,128) lane
   gathers, so instead of the reference's two-level 8/8-bit LUT
   (``HuffmanUtil.cpp:338-667``) the kernel decodes by *canonical interval
-  arithmetic*: left-justified canonical codes partition the 16-bit window space
-  into per-length regions with monotone boundaries, so
+  arithmetic*: left-justified canonical codes partition the 16-bit window
+  space into per-length regions with monotone boundaries:
 
-      width(window) = 1 + #{L in 2..16 : window >= B_L}          (15 scalar cmps)
-      index         = adj[width] + (window >> (16 - width))      (one 16-gather)
-      symbol        = syms_sorted[index]                         (two 128-gathers)
+      width(window)  = base + #{active L : window >= B_L}   (pruned compares)
+      idx            = adj(width) + (window >> (16 - width))
+      symbol         = pair_table[idx >> 1] byte-selected    (one 128-gather)
 
-  This is uniform over all code lengths — the T2 escape branch of the
-  reference (``AAPLShaders.metal:164-170``) disappears entirely.
-- Zero words decode safely (width/index clamp to region 0), so padded lanes
+  Region bounds and adj increments are *baked into the kernel as constants*
+  (the kernel is specialized per canonical table — the TPU analog of the
+  reference's per-frame pipeline-state build), and compares for code lengths
+  absent from the table are pruned at trace time.
+- **ILP via tile interleaving.** The decode chain is serial per block; each
+  program carries ``group_tiles`` independent chains (sublane-stacked) to
+  hide VPU op latency. Measured: g=1 -> 20 GB/s, g=16 -> 31 GB/s on v5e.
+- **Packed output.** 4 decoded bytes per int32 store (little-endian), cutting
+  output HBM traffic 4x; ``unpack_to_blocks`` is the XLA-side bitcast.
+- Zero words decode safely (width/index clamp into region 0), so padded lanes
   and padded blocks never index out of bounds.
 """
 
@@ -39,29 +46,35 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core import bitstream, canonical
+from ..core import bitstream
 from . import layout as layout_mod
 
 LANES = 128
 SUBLANES = 8
-TILE_BLOCKS = SUBLANES * LANES  # 1024 blocks per grid step
+TILE_BLOCKS = SUBLANES * LANES  # 1024 blocks per tile
+DEFAULT_GROUP_TILES = 8  # tiles interleaved per program (ILP)
+SYMS_PER_GROUP = 4  # symbols decoded per refill window
 
 
 @dataclass(frozen=True)
 class CanonicalMeta:
-    """Device-ready canonical-interval decode parameters."""
+    """Canonical-interval decode parameters.
 
-    bounds: np.ndarray  # (1, 16) int32: B_L, left-justified start of length-L region
-    adj: np.ndarray  # (8, 128) int32: lanes 0..15 hold cum_L - first_code_L
-    syms_lo: np.ndarray  # (8, 128) int32: sorted symbols 0..127 (canonical order)
-    syms_hi: np.ndarray  # (8, 128) int32: sorted symbols 128..255
+    ``bounds``/``adj_inc`` are hashable tuples baked into the kernel as
+    compile-time constants; ``pair_table`` is the 128-lane packed symbol
+    table (symbols 2i and 2i+1 of the canonical order in one int32).
+    """
+
+    bounds: tuple  # (16,) int: B_L, left-justified start of length-L region
+    adj_inc: tuple  # (16,) int: increments of adj(w) = cum_w - first_code_w
+    pair_table: np.ndarray  # (8, 128) int32
 
 
 def canonical_meta(widths: np.ndarray) -> CanonicalMeta:
     """Precompute interval-decode parameters from the 256-byte width table."""
     widths = np.asarray(widths, dtype=np.int64)
-    counts = np.bincount(widths[widths > 0], minlength=17)  # counts[L]
-    first_rj = np.zeros(17, dtype=np.int64)  # right-justified first code per L
+    counts = np.bincount(widths[widths > 0], minlength=17)
+    first_rj = np.zeros(17, dtype=np.int64)
     code = 0
     for L in range(1, 17):
         first_rj[L] = code
@@ -69,165 +82,203 @@ def canonical_meta(widths: np.ndarray) -> CanonicalMeta:
     cum = np.zeros(17, dtype=np.int64)
     np.cumsum(counts[:16], out=cum[1:])
 
-    bounds = np.zeros((1, 16), dtype=np.int32)
-    adj16 = np.zeros(16, dtype=np.int32)
+    bounds = np.zeros(16, dtype=np.int64)
+    adj16 = np.zeros(16, dtype=np.int64)
     for L in range(1, 17):
-        bounds[0, L - 1] = int(first_rj[L] << (16 - L)) & 0xFFFFFFFF
+        bounds[L - 1] = int(first_rj[L]) << (16 - L)
         adj16[L - 1] = int(cum[L] - first_rj[L])
+    inc = np.zeros(16, dtype=np.int64)
+    inc[0] = adj16[0]
+    inc[1:] = adj16[1:] - adj16[:-1]
 
-    # Sorted symbol list in canonical (width, symbol) order.
     active = np.nonzero(widths)[0]
     order = np.lexsort((active, widths[active]))
-    syms = np.zeros(256, dtype=np.int32)
+    syms = np.zeros(256, dtype=np.int64)
     syms[: active.size] = active[order]
-
-    def vreg(x16_or_128):
-        out = np.zeros((SUBLANES, LANES), dtype=np.int32)
-        out[:, : x16_or_128.size] = x16_or_128[None, :]
-        return out
-
+    pair = (syms[0::2] | (syms[1::2] << 8)).astype(np.int32)
+    pair_vreg = np.tile(pair[None, :], (SUBLANES, 1))
     return CanonicalMeta(
-        bounds=bounds,
-        adj=vreg(adj16),
-        syms_lo=vreg(syms[:128]),
-        syms_hi=vreg(syms[128:]),
+        bounds=tuple(int(b) for b in bounds),
+        adj_inc=tuple(int(v) for v in inc),
+        pair_table=pair_vreg,
     )
 
 
-def _gather128(table_vreg, idx):
-    """Per-lane gather from a (8,128) replicated table; idx values 0..127."""
-    return jnp.take_along_axis(table_vreg, idx, axis=1)
+def _make_kernel(width: int, bounds, adj_inc, *, sub: int, num_steps: int,
+                 delta: bool):
+    """Build the kernel body specialized for one canonical table."""
+    # Prune compares: bound 0 => always true (fold into base); bound >= 2^16
+    # => length unused above the max active width (always false).
+    base_w = 1
+    base_adj = int(adj_inc[0])
+    terms = []
+    for L in range(2, 17):
+        b = int(bounds[L - 1])
+        if b == 0:
+            base_w += 1
+            base_adj += int(adj_inc[L - 1])
+        elif b < (1 << 16):
+            terms.append((b, int(adj_inc[L - 1])))
+    n_groups = num_steps // SYMS_PER_GROUP
+
+    def kernel(rows_ref, init_ref, pair_ref, out_ref):
+        rows = rows_ref[0]
+        pair_tab = pair_ref[:]
+        iota_w = jax.lax.broadcasted_iota(jnp.int32, (width - 2, sub, LANES), 0)
+        rows_a = rows[: width - 2]
+        rows_b = rows[1 : width - 1]
+        rows_c = rows[2:width]
+
+        def outer(j, carry):
+            bits, prev = carry
+            wi = jax.lax.shift_right_logical(bits, 5)
+            s = bits & 31
+            # one shared one-hot selects the 3-word refill for this group
+            oh = iota_w == wi[None]
+            w0 = jnp.sum(jnp.where(oh, rows_a, 0), axis=0)
+            w1 = jnp.sum(jnp.where(oh, rows_b, 0), axis=0)
+            w2 = jnp.sum(jnp.where(oh, rows_c, 0), axis=0)
+            rs = 31 - s
+            # 64-bit window left-justified at `bits` (W0 high, W1 low);
+            # >>1 >>(31-s) instead of >>(32-s) avoids the undefined >>32.
+            W0 = jax.lax.shift_left(w0, s) | jax.lax.shift_right_logical(
+                jax.lax.shift_right_logical(w1, 1), rs)
+            W1 = jax.lax.shift_left(w1, s) | jax.lax.shift_right_logical(
+                jax.lax.shift_right_logical(w2, 1), rs)
+
+            t = jnp.zeros_like(s)
+            packed = jnp.zeros_like(s)
+            for k in range(SYMS_PER_GROUP):
+                # local extraction: 4 symbols consume <= 64 bits, and a
+                # symbol starting at t <= 48 never reads past bit 64, so
+                # (W0, W1) always suffice (W1 garbage low bits can only
+                # reach the window when t > 48 — impossible).
+                hi = jnp.where(t < 32, W0, W1)
+                u = t & 31
+                win32 = jax.lax.shift_left(hi, u) | jax.lax.shift_right_logical(
+                    jax.lax.shift_right_logical(W1, 1), 31 - u)
+                window = jax.lax.shift_right_logical(win32, 16)
+                w = jnp.full_like(window, base_w)
+                adj = jnp.full_like(window, base_adj)
+                for b, ai in terms:
+                    m = (window >= b).astype(jnp.int32)
+                    w = w + m
+                    if ai != 0:
+                        adj = adj + m * ai
+                idx = adj + jax.lax.shift_right_logical(window, 16 - w)
+                pairv = jnp.take_along_axis(
+                    pair_tab, jax.lax.shift_right_logical(idx, 1) & 127, axis=1)
+                sym = jnp.where(
+                    (idx & 1) == 1,
+                    jax.lax.shift_right_logical(pairv, 8), pairv) & 0xFF
+                if delta:
+                    prev = (prev + sym) & 0xFF
+                    out = prev
+                else:
+                    out = sym
+                packed = packed | jax.lax.shift_left(out, 8 * k)
+                t = t + w
+            out_ref[0, j] = packed
+            return bits + t, prev
+
+        carry = (init_ref[0], jnp.zeros((sub, LANES), jnp.int32))
+        for j in range(n_groups):  # unrolled: static store indices
+            carry = outer(j, carry)
+
+    return kernel
 
 
-def _decode_kernel(bounds_ref, rows_ref, init_ref, meta_ref, out_ref, *,
-                   num_steps: int, width: int, delta: bool):
-    from jax.experimental import pallas as pl  # noqa: F401  (kept local: kernel-only dep)
-
-    rows = rows_ref[0]  # (W, 8, 128) int32 big-endian words
-    adj_tab = meta_ref[0]
-    syms_lo = meta_ref[1]
-    syms_hi = meta_ref[2]
-
-    iota_w = jax.lax.broadcasted_iota(jnp.int32, (width, SUBLANES, LANES), 0)
-
-    def step(i, carry):
-        bits, prev = carry
-        wi = jax.lax.shift_right_logical(bits, 5)
-        oh0 = iota_w == wi[None]
-        oh1 = iota_w == (wi + 1)[None]
-        w0 = jnp.sum(jnp.where(oh0, rows, 0), axis=0)
-        w1 = jnp.sum(jnp.where(oh1, rows, 0), axis=0)
-        s = bits & 31
-        # Left-justified 32-bit window; (w1 >> 1) >> (31 - s) avoids >>32 at s=0.
-        hi32 = jax.lax.shift_left(w0, s) | jax.lax.shift_right_logical(
-            jax.lax.shift_right_logical(w1, 1), 31 - s
-        )
-        window = jax.lax.shift_right_logical(hi32, 16)  # int32 in [0, 65535]
-
-        # Code width: count region boundaries at or below the window.
-        w = jnp.ones_like(window)
-        for L in range(2, 17):
-            w = w + (window >= bounds_ref[0, L - 1]).astype(jnp.int32)
-
-        # Symbol index within the canonical order, then the symbol itself.
-        idx = _gather128(adj_tab, w - 1) + jax.lax.shift_right_logical(
-            window, 16 - w
-        )
-        lo = _gather128(syms_lo, idx & 127)
-        hi = _gather128(syms_hi, idx & 127)
-        sym = jnp.where(idx >= 128, hi, lo)
-
-        if delta:
-            prev = (prev + sym) & 0xFF
-            out = prev
-        else:
-            out = sym
-        out_ref[0, i] = out
-        return bits + w, prev
-
-    bits0 = init_ref[0]
-    prev0 = jnp.zeros((SUBLANES, LANES), jnp.int32)
-    jax.lax.fori_loop(0, num_steps, step, (bits0, prev0))
-
-
-@partial(jax.jit, static_argnames=("num_steps", "width", "delta", "interpret"))
-def decode_tiles(rows_tiled, init_tiled, bounds, meta, *, num_steps: int,
-                 width: int, delta: bool, interpret: bool = False):
+@partial(jax.jit, static_argnames=(
+    "width", "bounds", "adj_inc", "num_steps", "delta", "group_tiles",
+    "interpret"))
+def decode_tiles(rows_tiled, init_tiled, pair_table, *, width: int, bounds,
+                 adj_inc, num_steps: int = 64, delta: bool = True,
+                 group_tiles: int = DEFAULT_GROUP_TILES,
+                 interpret: bool = False):
     """Run the decode kernel over pre-tiled inputs.
 
     Args:
-        rows_tiled: (nt, W, 8, 128) int32 word rows per block.
+        rows_tiled: (nt, W, 8, 128) int32 big-endian word rows per block;
+            nt must be a multiple of ``group_tiles`` (tile_layout_jax pads).
         init_tiled: (nt, 8, 128) int32 starting bit offset within each row.
-        bounds: (1, 16) int32 region boundaries (SMEM).
-        meta: (3, 8, 128) int32 [adj, syms_lo, syms_hi].
+        pair_table: (8, 128) int32 packed canonical symbol pairs.
+        bounds/adj_inc: CanonicalMeta tuples (static — kernel specializers).
 
     Returns:
-        (nt, num_steps, 8, 128) int32 decoded symbols.
+        (nt//g, num_steps//4, g*8, 128) int32: 4 decoded bytes packed
+        little-endian per element, blocks in stream order along the
+        (axis0, axis2, axis3) dims (see :func:`unpack_to_blocks`).
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
     nt = rows_tiled.shape[0]
-    kernel = partial(
-        _decode_kernel, num_steps=num_steps, width=width, delta=delta
-    )
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(nt,),
-        in_specs=[
-            pl.BlockSpec(
-                (1, width, SUBLANES, LANES),
-                lambda i, *_: (i, 0, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, SUBLANES, LANES), lambda i, *_: (i, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (3, SUBLANES, LANES), lambda i, *_: (0, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, num_steps, SUBLANES, LANES),
-            lambda i, *_: (i, 0, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
-    )
-    return pl.pallas_call(
+    g = group_tiles
+    while nt % g:
+        g //= 2
+    ng = nt // g
+    sub = g * SUBLANES
+    n_groups = num_steps // SYMS_PER_GROUP
+
+    rows_g = rows_tiled.reshape(ng, g, width, SUBLANES, LANES).transpose(
+        0, 2, 1, 3, 4).reshape(ng, width, sub, LANES)
+    init_g = init_tiled.reshape(ng, sub, LANES)
+    pair_g = jnp.tile(pair_table, (g, 1))
+
+    kernel = _make_kernel(
+        width, bounds, adj_inc, sub=sub, num_steps=num_steps, delta=delta)
+    out = pl.pallas_call(
         kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct(
-            (nt, num_steps, SUBLANES, LANES), jnp.int32
-        ),
+        grid=(ng,),
+        in_specs=[
+            pl.BlockSpec((1, width, sub, LANES), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sub, LANES), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((sub, LANES), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, n_groups, sub, LANES),
+                               lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((ng, n_groups, sub, LANES), jnp.int32),
         interpret=interpret,
-    )(bounds, rows_tiled, init_tiled, meta)
+    )(rows_g, init_g, pair_g)
+    # stays in grouped layout; block order is (ng, g*8, 128) = stream order,
+    # which unpack_to_blocks consumes directly (no extra transpose pass)
+    return out
 
 
-def tile_layout_jax(code_words_be, block_offsets, width: int):
+def unpack_to_blocks(out_packed, n_blocks: int, num_steps: int = 64):
+    """(nt, num_steps//4, 8, 128) packed int32 -> (n_blocks, num_steps) uint8."""
+    b = jax.lax.bitcast_convert_type(out_packed, jnp.uint8)  # (...,4) LE bytes
+    b = jnp.moveaxis(b, 1, -2)  # (nt, 8, 128, groups, 4)
+    return b.reshape(-1, num_steps)[:n_blocks]
+
+
+def tile_layout_jax(code_words_be, block_offsets, width: int,
+                    group_tiles: int = DEFAULT_GROUP_TILES):
     """Device-side layout gather producing kernel-ready tiles.
 
     Returns (rows_tiled (nt,W,8,128) int32, init_tiled (nt,8,128) int32,
-    n_blocks). Blocks beyond n_blocks are zero-padded (decode garbage safely).
+    n_blocks). nt is padded to a multiple of ``group_tiles``; blocks beyond
+    n_blocks are zero-padded (they decode garbage safely).
     """
     nb = block_offsets.shape[0]
-    nt = -(-nb // TILE_BLOCKS)
+    tile_mult = TILE_BLOCKS * group_tiles
+    nt = (-(-nb // tile_mult)) * group_tiles
     offs = jnp.pad(block_offsets.astype(jnp.int32), (0, nt * TILE_BLOCKS - nb))
     offs = offs.reshape(nt, SUBLANES, LANES)
     word_start = offs >> 5
     idx = word_start[:, None] + jnp.arange(width, dtype=jnp.int32).reshape(
         1, width, 1, 1
     )
-    rows = jnp.take(
-        code_words_be.astype(jnp.int32), idx, mode="clip"
-    )
+    rows = jnp.take(code_words_be.astype(jnp.int32), idx, mode="clip")
     return rows, offs & 31, nb
 
 
-def decode_stream_pallas(stream, *, delta: bool = True, block_size: int = 64,
-                         interpret: bool = False):
-    """Full decode of an EncodedStream via the Pallas kernel -> (nblocks, 64)."""
+def prepare_stream(stream, block_size: int = 64):
+    """Host-side staging: (meta, words, offsets, width) for decode."""
     meta = canonical_meta(stream.widths)
     total_bits = 8 * (stream.code_bytes.size - bitstream.READ_AHEAD_PAD_BYTES)
     width = layout_mod.words_per_block(
@@ -235,17 +286,18 @@ def decode_stream_pallas(stream, *, delta: bool = True, block_size: int = 64,
         symbols_per_block=block_size,
     )
     words = bitstream.bytes_to_be_words(stream.code_bytes, pad_words=width)
+    return meta, words, stream.block_offsets.astype(np.int32), width
+
+
+def decode_stream_pallas(stream, *, delta: bool = True, block_size: int = 64,
+                         interpret: bool = False):
+    """Full decode of an EncodedStream via the Pallas kernel -> (nblocks, 64)."""
+    meta, words, offsets, width = prepare_stream(stream, block_size)
     rows, init, nb = tile_layout_jax(
-        jnp.asarray(words), jnp.asarray(stream.block_offsets.astype(np.int32)),
-        width,
-    )
-    meta_stack = jnp.asarray(
-        np.stack([meta.adj, meta.syms_lo, meta.syms_hi]), dtype=jnp.int32
-    )
+        jnp.asarray(words), jnp.asarray(offsets), width)
     out = decode_tiles(
-        rows, init, jnp.asarray(meta.bounds), meta_stack,
-        num_steps=block_size, width=width, delta=delta, interpret=interpret,
+        rows, init, jnp.asarray(meta.pair_table),
+        width=width, bounds=meta.bounds, adj_inc=meta.adj_inc,
+        num_steps=block_size, delta=delta, interpret=interpret,
     )
-    # (nt, steps, 8, 128) -> (nt, 8, 128, steps) -> (nb, steps)
-    out = jnp.moveaxis(out, 1, -1).reshape(-1, block_size)[:nb]
-    return out.astype(jnp.uint8)
+    return unpack_to_blocks(out, nb, block_size)

@@ -74,11 +74,14 @@ def test_canonical_meta_intervals():
 
     windows = np.arange(65536, dtype=np.int64)
     widths = np.ones(65536, dtype=np.int64)
+    adj = np.full(65536, meta.adj_inc[0], dtype=np.int64)
     for L in range(2, 17):
-        widths += windows >= int(np.uint32(meta.bounds[0, L - 1]))
-    adj = meta.adj[0, :16].astype(np.int64)
-    idx = adj[widths - 1] + (windows >> (16 - widths))
-    syms = np.concatenate([meta.syms_lo[0], meta.syms_hi[0]])[idx]
+        m = windows >= meta.bounds[L - 1]
+        widths += m
+        adj += m * meta.adj_inc[L - 1]
+    idx = adj + (windows >> (16 - widths))
+    pair = meta.pair_table[0].astype(np.int64)
+    syms = np.where((idx & 1) == 1, pair[idx >> 1] >> 8, pair[idx >> 1]) & 0xFF
     valid = w_plane > 0
     np.testing.assert_array_equal(widths[valid], w_plane[valid])
     np.testing.assert_array_equal(syms[valid], sym_plane[valid])

@@ -1,0 +1,50 @@
+"""Shared-table video mode: one canonical table, one fused batch decode."""
+
+import numpy as np
+import pytest
+
+from metalhuffman_tpu.models import CodecConfig, frame_stream
+
+
+def _frames(t, h, w, seed=0):
+    rng = np.random.default_rng(seed)
+    yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    out = []
+    for i in range(t):
+        img = 100 + 60 * np.sin((xx + 5 * i) / 17.0) * np.cos(yy / 13.0)
+        out.append(np.clip(img + rng.normal(0, 2, (h, w)), 0, 255).astype(np.uint8))
+    return np.stack(out)
+
+
+def test_shared_roundtrip_interpret():
+    cfg = CodecConfig(backend="pallas", interpret=True)
+    frames = _frames(4, 32, 48)
+    stream = frame_stream.encode_frames_shared(frames, cfg)
+    out = np.asarray(frame_stream.decode_frames_shared(stream, 4, 32, 48, cfg))
+    np.testing.assert_array_equal(out, frames)
+
+
+def test_shared_stream_is_one_table():
+    cfg = CodecConfig(backend="pallas", interpret=True)
+    frames = _frames(3, 24, 24, seed=5)
+    stream = frame_stream.encode_frames_shared(frames, cfg)
+    # 3 frames x (24x24 -> 3x3 blocks of 8x8) = 27 blocks in one stream
+    assert stream.block_offsets.size == 27
+    assert stream.widths.shape == (256,)
+
+
+def test_shared_prepare_step_split():
+    cfg = CodecConfig(backend="pallas", interpret=True)
+    frames = _frames(2, 16, 32, seed=7)
+    stream = frame_stream.encode_frames_shared(frames, cfg)
+    prep = frame_stream.prepare_shared(stream, 2, 16, 32, cfg)
+    out1 = np.asarray(frame_stream.decode_shared_step(prep, cfg))
+    out2 = np.asarray(frame_stream.decode_shared_step(prep, cfg))
+    np.testing.assert_array_equal(out1, frames)
+    np.testing.assert_array_equal(out2, frames)
+
+
+def test_shared_rejects_bad_shapes():
+    cfg = CodecConfig()
+    with pytest.raises(ValueError):
+        frame_stream.encode_frames_shared(np.zeros((4, 4), np.uint8), cfg)
