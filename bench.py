@@ -60,8 +60,15 @@ def run_video(height: int, width: int, frames: int, iters: int, verbose: bool):
     t_enc = time.perf_counter() - t0
 
     prep = frame_stream.prepare_shared(stream, frames, height, width, cfg)
-    decode = lambda: frame_stream.decode_shared_step(prep, cfg)
-    out = np.asarray(decode())
+    if prep.h2:
+        # production path: kernel emits image layout; bytes are a free host view
+        decode = lambda: frame_stream.decode_shared_step(prep, cfg, raw=True)
+        to_img = lambda r: np.asarray(r).view(np.uint8).reshape(
+            frames, height, width)
+    else:
+        decode = lambda: frame_stream.decode_shared_step(prep, cfg)
+        to_img = np.asarray
+    out = to_img(decode())
     if not np.array_equal(out, batch):
         print(
             f"FATAL: decode mismatch ({int((out != batch).sum())} bytes)",

@@ -74,6 +74,7 @@ class PreparedShared:
     pair: jnp.ndarray
     bounds: tuple
     adj_inc: tuple
+    h2: int = 0  # >0: image-layout kernel (h-major feed, zero-relayout out)
 
 
 def prepare_shared(
@@ -83,35 +84,82 @@ def prepare_shared(
     width: int,
     config: CodecConfig | None = None,
 ) -> PreparedShared:
-    """Stage a shared-table stream's decode inputs on device."""
+    """Stage a shared-table stream's decode inputs on device.
+
+    When the geometry supports it (8x8 blocks, width a multiple of 1024,
+    height a multiple of 8) the image-layout kernel path is used: the kernel
+    writes final image positions and decode needs no relayout pass at all.
+    """
     from ..ops import decode_pallas
 
     cfg = config or CodecConfig()
     meta, words, offsets, wpr = decode_pallas.prepare_stream(
         stream, cfg.block_size
     )
-    rows, init, nb_total = decode_pallas.tile_layout_jax(
-        jnp.asarray(words), jnp.asarray(offsets), wpr
-    )
+    h2 = decode_pallas.image_h2_for(width, cfg.block_dim)
+    if height % cfg.block_dim:
+        h2 = 0
+    if h2:
+        rows, init, nb_total = decode_pallas.tile_layout_images(
+            jnp.asarray(words), jnp.asarray(offsets), wpr, h2
+        )
+    else:
+        rows, init, nb_total = decode_pallas.tile_layout_jax(
+            jnp.asarray(words), jnp.asarray(offsets), wpr
+        )
     rows = jax.device_put(rows)
     init = jax.device_put(init)
     pair = jax.device_put(jnp.asarray(meta.pair_table))
     return PreparedShared(
         num_frames, height, width, nb_total, wpr, rows, init, pair,
-        meta.bounds, meta.adj_inc,
+        meta.bounds, meta.adj_inc, h2,
     )
 
 
-def decode_shared_step(prep: PreparedShared, config: CodecConfig | None = None):
-    """Jitted device decode of a staged batch -> (T, H, W) uint8."""
+def decode_shared_step(prep: PreparedShared, config: CodecConfig | None = None,
+                       raw: bool = False):
+    """Jitted device decode of a staged batch.
+
+    Returns (T, H, W) uint8 — or, with ``raw=True`` on the image-layout
+    path, (T, H, W//4) int32 image words whose host byte view
+    ``np.asarray(x).view(np.uint8).reshape(T, H, W)`` is the image for free
+    (skips the device-side byte relayout; this is the production path for
+    consumers that ship bytes to disk/network).
+    """
     cfg = config or CodecConfig()
-    return _decode_shared_jit(
+    if prep.h2:
+        img32 = _decode_shared_image_jit(
+            prep.rows, prep.init, prep.pair,
+            bounds=prep.bounds, adj_inc=prep.adj_inc, wpr=prep.wpr,
+            num_frames=prep.num_frames, height=prep.height, width=prep.width,
+            h2=prep.h2, delta=cfg.delta, interpret=cfg.interpret,
+        )
+        if raw:
+            return img32
+        return jax.lax.bitcast_convert_type(img32, jnp.uint8).reshape(
+            prep.num_frames, prep.height, prep.width)
+    out = _decode_shared_jit(
         prep.rows, prep.init, prep.pair,
         bounds=prep.bounds, adj_inc=prep.adj_inc, wpr=prep.wpr,
         num_frames=prep.num_frames, height=prep.height, width=prep.width,
         block_dim=cfg.block_dim, delta=cfg.delta, interpret=cfg.interpret,
         nb_total=prep.nb_total,
     )
+    return out
+
+
+@partial(jax.jit, static_argnames=(
+    "bounds", "adj_inc", "wpr", "num_frames", "height", "width", "h2",
+    "delta", "interpret"))
+def _decode_shared_image_jit(rows, init, pair, *, bounds, adj_inc, wpr,
+                             num_frames, height, width, h2, delta, interpret):
+    from ..ops import decode_pallas
+
+    strips = decode_pallas.decode_tiles_images(
+        rows, init, pair, width=wpr, bounds=bounds, adj_inc=adj_inc, h2=h2,
+        delta=delta, interpret=interpret,
+    )
+    return decode_pallas.images_from_strips(strips, num_frames, height, width)
 
 
 def decode_frames_shared(
@@ -141,6 +189,11 @@ def _decode_shared_jit(rows, init, pair, *, bounds, adj_inc, wpr, num_frames,
         rows, init, pair, width=wpr, bounds=bounds, adj_inc=adj_inc,
         num_steps=block_size, delta=delta, interpret=interpret,
     )
+    if block_dim % 4 == 0 and height % block_dim == 0 and width % block_dim == 0:
+        # fast path: reorder packed int32 words, bitcast to bytes at the end
+        return decode_pallas.unpack_to_images(
+            out, num_frames, height, width, block_dim
+        )
     blk = decode_pallas.unpack_to_blocks(out, nb_total, block_size)
     nb_frame = nb_total // num_frames
     blk = blk.reshape(num_frames, nb_frame, block_size)

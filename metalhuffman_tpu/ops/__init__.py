@@ -1,3 +1,3 @@
-"""Device decode paths: XLA vectorized decode, Pallas TPU kernel, layout."""
+"""Device compute paths: Pallas decode kernel, XLA decode/encode, layout."""
 
-from . import decode_xla, layout  # noqa: F401
+from . import decode_pallas, decode_xla, encode_xla, layout  # noqa: F401

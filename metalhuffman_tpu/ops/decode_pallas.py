@@ -105,8 +105,15 @@ def canonical_meta(widths: np.ndarray) -> CanonicalMeta:
 
 
 def _make_kernel(width: int, bounds, adj_inc, *, sub: int, num_steps: int,
-                 delta: bool):
-    """Build the kernel body specialized for one canonical table."""
+                 delta: bool, image_h2: int = 0):
+    """Build the kernel body specialized for one canonical table.
+
+    ``image_h2 > 0`` selects image-strip emission (see decode_tiles_images):
+    after every two 4-symbol groups (= one 8-pixel block row), the two packed
+    vregs are lane-interleaved into half-row word order and stored at the
+    row's final image position — the kernel output IS the image, up to a
+    host-side byte view. Requires num_steps == 64 (8x8 blocks).
+    """
     # Prune compares: bound 0 => always true (fold into base); bound >= 2^16
     # => length unused above the max active width (always false).
     base_w = 1
@@ -128,6 +135,10 @@ def _make_kernel(width: int, bounds, adj_inc, *, sub: int, num_steps: int,
         rows_a = rows[: width - 2]
         rows_b = rows[1 : width - 1]
         rows_c = rows[2:width]
+        if image_h2:
+            lane = jax.lax.broadcasted_iota(jnp.int32, (sub, LANES), 1)
+            half_idx = lane >> 1
+            parity = (lane & 1) == 1
 
         def outer(j, carry):
             bits, prev = carry
@@ -178,12 +189,33 @@ def _make_kernel(width: int, bounds, adj_inc, *, sub: int, num_steps: int,
                     out = sym
                 packed = packed | jax.lax.shift_left(out, 8 * k)
                 t = t + w
-            out_ref[0, j] = packed
-            return bits + t, prev
+            return (bits + t, prev), packed
 
         carry = (init_ref[0], jnp.zeros((sub, LANES), jnp.int32))
-        for j in range(n_groups):  # unrolled: static store indices
-            carry = outer(j, carry)
+        if not image_h2:
+            for j in range(n_groups):  # unrolled: static store indices
+                carry, packed = outer(j, carry)
+                out_ref[0, j] = packed
+        else:
+            rows_pp = sub // image_h2
+            for dy in range(8):
+                carry, p0 = outer(2 * dy, carry)      # pixels 0..3 of row dy
+                carry, p1 = outer(2 * dy + 1, carry)  # pixels 4..7
+                # lane interleave: half-row word k <- block k>>1, word k&1
+                lo = jnp.where(
+                    parity,
+                    jnp.take_along_axis(p1, half_idx, axis=1),
+                    jnp.take_along_axis(p0, half_idx, axis=1))
+                hi2 = jnp.where(
+                    parity,
+                    jnp.take_along_axis(p1, 64 + half_idx, axis=1),
+                    jnp.take_along_axis(p0, 64 + half_idx, axis=1))
+                # h-major sublane feed => contiguous static slices per half
+                for h in range(image_h2):
+                    sl = slice(h * rows_pp, (h + 1) * rows_pp)
+                    out_ref[0, :, dy, (2 * h) * LANES:(2 * h + 1) * LANES] = lo[sl]
+                    out_ref[0, :, dy,
+                            (2 * h + 1) * LANES:(2 * h + 2) * LANES] = hi2[sl]
 
     return kernel
 
@@ -249,11 +281,135 @@ def decode_tiles(rows_tiled, init_tiled, pair_table, *, width: int, bounds,
     return out
 
 
+@partial(jax.jit, static_argnames=(
+    "width", "bounds", "adj_inc", "h2", "delta", "group_tiles", "interpret"))
+def decode_tiles_images(rows_tiled, init_tiled, pair_table, *, width: int,
+                        bounds, adj_inc, h2: int, delta: bool = True,
+                        group_tiles: int = DEFAULT_GROUP_TILES,
+                        interpret: bool = False):
+    """Decode straight into image layout (8x8 blocks, W = h2*1024 pixels).
+
+    Requires inputs staged by :func:`tile_layout_images` (h-major feed
+    permutation). Returns (ng, sub//h2, 8, h2*256) int32: flattened over
+    (axis0, axis1, axis2) it is the image row sequence, each row as W//4
+    little-endian 4-pixel words. A host ``.view(uint8)`` (or
+    :func:`images_from_strips` + bitcast) yields pixels — no device
+    transpose or relayout pass at all.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    nt = rows_tiled.shape[0]
+    g = group_tiles
+    while nt % g:
+        g //= 2
+    ng = nt // g
+    sub = g * SUBLANES
+    if sub % h2:
+        raise ValueError(f"h2={h2} must divide sub={sub}")
+    rows_pp = sub // h2
+
+    rows_g = rows_tiled.reshape(ng, g, width, SUBLANES, LANES).transpose(
+        0, 2, 1, 3, 4).reshape(ng, width, sub, LANES)
+    init_g = init_tiled.reshape(ng, sub, LANES)
+    pair_g = jnp.tile(pair_table, (g, 1))
+
+    kernel = _make_kernel(
+        width, bounds, adj_inc, sub=sub, num_steps=64, delta=delta,
+        image_h2=h2)
+    return pl.pallas_call(
+        kernel,
+        grid=(ng,),
+        in_specs=[
+            pl.BlockSpec((1, width, sub, LANES), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, sub, LANES), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((sub, LANES), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, rows_pp, 8, h2 * 2 * LANES),
+                               lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((ng, rows_pp, 8, h2 * 2 * LANES),
+                                       jnp.int32),
+        interpret=interpret,
+    )(rows_g, init_g, pair_g)
+
+
+def image_h2_for(width_px: int, block_dim: int = 8) -> int:
+    """Half-row arity for the image-layout kernel; 0 if unsupported."""
+    if block_dim != 8 or width_px % 1024:
+        return 0
+    return width_px // 1024
+
+
+def tile_layout_images(code_words_be, block_offsets, width: int, h2: int,
+                       group_tiles: int = DEFAULT_GROUP_TILES):
+    """Stage tiles with the h-major feed permutation for image-layout decode.
+
+    Blocks are fed so each program's sublanes enumerate (half, image-row)
+    h-major — then the kernel's contiguous sublane slices land at final
+    image positions. Offsets are padded to whole programs; padded blocks
+    decode garbage into rows past the real image (cropped by the caller).
+    """
+    nb = block_offsets.shape[0]
+    sub = group_tiles * SUBLANES
+    per_prog = sub * LANES
+    ngp = -(-nb // per_prog)
+    rows_pp = sub // h2
+    offs = jnp.pad(block_offsets.astype(jnp.int32), (0, ngp * per_prog - nb))
+    offs = offs.reshape(ngp, rows_pp, h2, LANES).transpose(0, 2, 1, 3).reshape(-1)
+    word_start = offs.reshape(ngp * group_tiles, SUBLANES, LANES) >> 5
+    idx = word_start[:, None] + jnp.arange(width, dtype=jnp.int32).reshape(
+        1, width, 1, 1)
+    rows = jnp.take(code_words_be.astype(jnp.int32), idx, mode="clip")
+    init = offs.reshape(ngp * group_tiles, SUBLANES, LANES) & 31
+    return rows, init, nb
+
+
+def images_from_strips(strips, num_frames: int, height: int, width: int):
+    """(ng, rows_pp, 8, W//4) strips -> (T, H, W//4) int32 image words.
+
+    Pure reshape + crop (no data movement beyond the slice); bitcast to
+    bytes on the host via ``np.asarray(x).view(np.uint8)`` for free.
+    """
+    return strips.reshape(-1, width // 4)[: num_frames * height].reshape(
+        num_frames, height, width // 4)
+
+
 def unpack_to_blocks(out_packed, n_blocks: int, num_steps: int = 64):
     """(nt, num_steps//4, 8, 128) packed int32 -> (n_blocks, num_steps) uint8."""
     b = jax.lax.bitcast_convert_type(out_packed, jnp.uint8)  # (...,4) LE bytes
     b = jnp.moveaxis(b, 1, -2)  # (nt, 8, 128, groups, 4)
     return b.reshape(-1, num_steps)[:n_blocks]
+
+
+def unpack_to_images(out_packed, num_frames: int, height: int, width: int,
+                     block_dim: int = 8):
+    """Packed kernel output -> (T, H, W) uint8 images, transposing in int32.
+
+    Byte-granular transposes are slow on TPU; this path reorders the packed
+    4-byte words (aligned int32 moves) and only bitcasts to bytes at the very
+    end, which is ~4x faster than unpack_to_blocks + per-frame reassembly.
+    Requires block_dim % 4 == 0 and an exact tile fit
+    (T * bh * bw == total blocks including padding) — callers fall back to
+    :func:`unpack_to_blocks` otherwise.
+    """
+    if block_dim % 4:
+        raise ValueError("int32 unpack requires block_dim % 4 == 0")
+    gpr = block_dim // 4  # int32 groups per block row
+    bh, bw = height // block_dim, width // block_dim
+    n_groups = out_packed.shape[1]
+    # (ng, G, sub, 128) -> blocks-major packed (T*bh*bw, G)
+    blk32 = jnp.moveaxis(out_packed, 1, -1).reshape(-1, n_groups)
+    blk32 = blk32[: num_frames * bh * bw]
+    # (T, bh, bw, block_dim, gpr) -> (T, bh, block_dim, bw, gpr)
+    strip = blk32.reshape(num_frames, bh, bw, block_dim, gpr).transpose(
+        0, 1, 3, 2, 4)
+    img32 = strip.reshape(num_frames, height, width // 4)
+    return jax.lax.bitcast_convert_type(img32, jnp.uint8).reshape(
+        num_frames, height, width)
 
 
 def tile_layout_jax(code_words_be, block_offsets, width: int,

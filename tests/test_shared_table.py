@@ -44,6 +44,30 @@ def test_shared_prepare_step_split():
     np.testing.assert_array_equal(out2, frames)
 
 
+def test_shared_image_layout_path_interpret():
+    # width 1024 -> h2=1 exercises the image-layout kernel (interpret mode)
+    cfg = CodecConfig(backend="pallas", interpret=True)
+    frames = _frames(2, 16, 1024, seed=9)
+    stream = frame_stream.encode_frames_shared(frames, cfg)
+    prep = frame_stream.prepare_shared(stream, 2, 16, 1024, cfg)
+    assert prep.h2 == 1
+    out = np.asarray(frame_stream.decode_shared_step(prep, cfg))
+    np.testing.assert_array_equal(out, frames)
+    raw = frame_stream.decode_shared_step(prep, cfg, raw=True)
+    view = np.asarray(raw).view(np.uint8).reshape(2, 16, 1024)
+    np.testing.assert_array_equal(view, frames)
+
+
+def test_shared_image_layout_h2_2_interpret():
+    cfg = CodecConfig(backend="pallas", interpret=True)
+    frames = _frames(1, 8, 2048, seed=10)
+    stream = frame_stream.encode_frames_shared(frames, cfg)
+    prep = frame_stream.prepare_shared(stream, 1, 8, 2048, cfg)
+    assert prep.h2 == 2
+    out = np.asarray(frame_stream.decode_shared_step(prep, cfg))
+    np.testing.assert_array_equal(out, frames)
+
+
 def test_shared_rejects_bad_shapes():
     cfg = CodecConfig()
     with pytest.raises(ValueError):
