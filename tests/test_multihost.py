@@ -1,0 +1,49 @@
+"""Multi-host decode: 2-process jax.distributed CPU cluster (subprocesses)."""
+
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _free_port():
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+@pytest.mark.slow
+def test_two_process_decode():
+    port = _free_port()
+    env = dict(os.environ)
+    # children must NOT inherit the test session's CPU pinning flags
+    env.pop("XLA_FLAGS", None)
+    procs = [
+        subprocess.Popen(
+            [
+                sys.executable, os.path.join(REPO, "examples", "multihost_decode.py"),
+                "--coordinator", f"localhost:{port}",
+                "--num-processes", "2", "--process-id", str(i),
+                "--devices-per-host", "2",
+            ],
+            cwd=REPO, env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=240)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"process {i} failed:\n{out}"
+        assert "bit-exact across 2 hosts" in out
