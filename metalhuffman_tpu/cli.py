@@ -99,6 +99,15 @@ def cmd_info(args) -> int:
     from .models import frame_stream
 
     data = Path(args.input).read_bytes()
+    if data[:4] == frame_stream.SHARED_MAGIC:
+        stream, t, h, w, bd, delta = frame_stream.read_shared(data)
+        print(
+            f"MHTV: {t} frames {h}x{w} shared-table, block_dim={bd}, "
+            f"delta={delta}, {stream.compressed_size} compressed bytes "
+            f"({stream.compressed_size/(t*h*w):.1%}), "
+            f"{stream.block_offsets.size} blocks"
+        )
+        return 0
     if data[:4] == frame_stream.STREAM_MAGIC:
         streams, h, w, bd, delta = frame_stream.read_stream(data)
         total = sum(s.compressed_size for s in streams)
@@ -117,6 +126,81 @@ def cmd_info(args) -> int:
         f"{stream.block_offsets.size} blocks, {active} active symbols, "
         f"code widths {int(widths[widths>0].min())}..{int(widths.max())}"
     )
+    return 0
+
+
+def _load_frames(path: str) -> np.ndarray:
+    """(T, H, W) uint8 from a .npy stack or a directory of image files."""
+    from .utils import imageio
+
+    p = Path(path)
+    if p.is_dir():
+        files = sorted(
+            f for f in p.iterdir()
+            if f.suffix.lower() in (".png", ".jpg", ".jpeg", ".gray", ".tga")
+        )
+        if not files:
+            raise SystemExit(f"no image files in {path}")
+        return np.stack([imageio.load_grayscale(f) for f in files])
+    frames = np.load(p)
+    if frames.ndim != 3 or frames.dtype != np.uint8:
+        raise SystemExit(".npy input must be a (T, H, W) uint8 array")
+    return frames
+
+
+def cmd_encode_video(args) -> int:
+    from .models import frame_stream
+
+    frames = _load_frames(args.input)
+    t, h, w = frames.shape
+    cfg = _config(args)
+    t0 = time.perf_counter()
+    if args.per_frame_tables:
+        streams = frame_stream.encode_frames(frames, cfg)
+        blob = frame_stream.write_stream(streams, h, w, cfg)
+    else:
+        stream = frame_stream.encode_frames_shared(frames, cfg)
+        blob = frame_stream.write_shared(stream, t, h, w, cfg)
+    dt = time.perf_counter() - t0
+    Path(args.output).write_bytes(blob)
+    kind = "MHTS" if args.per_frame_tables else "MHTV"
+    print(
+        f"{args.input}: {t} frames {h}x{w} -> {kind} {len(blob)} bytes "
+        f"({len(blob)/frames.size:.1%}) in {dt:.2f} s"
+    )
+    return 0
+
+
+def cmd_decode_video(args) -> int:
+    from .models import frame_stream
+    from .utils import imageio
+
+    data = Path(args.input).read_bytes()
+    cfg = _config(args)
+    t0 = time.perf_counter()
+    if data[:4] == frame_stream.SHARED_MAGIC:
+        stream, t, h, w, bd, delta = frame_stream.read_shared(data)
+        if (bd, delta) != (cfg.block_dim, cfg.delta):
+            raise SystemExit("container geometry does not match codec config")
+        frames = np.asarray(frame_stream.decode_frames_shared(stream, t, h, w, cfg))
+    elif data[:4] == frame_stream.STREAM_MAGIC:
+        streams, h, w, bd, delta = frame_stream.read_stream(data)
+        if (bd, delta) != (cfg.block_dim, cfg.delta):
+            raise SystemExit("container geometry does not match codec config")
+        prep = frame_stream.prepare_batch(streams, h, w, cfg)
+        frames = np.asarray(frame_stream.decode_batch(prep, cfg))
+        t = len(streams)
+    else:
+        raise SystemExit("not an MHTV/MHTS container")
+    dt = time.perf_counter() - t0
+    out = Path(args.output)
+    if out.suffix == ".npy":
+        np.save(out, frames)
+    else:
+        out.mkdir(parents=True, exist_ok=True)
+        for i, f in enumerate(frames):
+            imageio.save_grayscale(f, out / f"frame_{i:05d}.png")
+    print(f"{args.input}: decoded {t} frames {h}x{w} in {dt:.2f} s -> {args.output}")
     return 0
 
 
@@ -168,6 +252,21 @@ def main(argv=None) -> int:
     p.add_argument("input")
     _add_codec_flags(p)
     p.set_defaults(fn=cmd_roundtrip)
+
+    p = sub.add_parser("encode-video", help="frame stack/dir -> MHTV container")
+    p.add_argument("input", help=".npy (T,H,W) uint8 stack or image directory")
+    p.add_argument("output")
+    p.add_argument("--per-frame-tables", action="store_true",
+                   help="MHTS with a canonical table per frame (default: one "
+                        "shared table, single fused batch decode)")
+    _add_codec_flags(p)
+    p.set_defaults(fn=cmd_encode_video)
+
+    p = sub.add_parser("decode-video", help="MHTV/MHTS -> .npy or image dir")
+    p.add_argument("input")
+    p.add_argument("output", help=".npy path or output directory for PNGs")
+    _add_codec_flags(p)
+    p.set_defaults(fn=cmd_decode_video)
 
     p = sub.add_parser("info", help="describe an MHT1/MHTS container")
     p.add_argument("input")

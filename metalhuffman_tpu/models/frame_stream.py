@@ -60,6 +60,37 @@ def encode_frames_shared(
     return native.encode_symbols(payload, block_size=cfg.block_size)
 
 
+SHARED_MAGIC = b"MHTV"
+
+
+def write_shared(stream: container.EncodedStream, num_frames: int, height: int,
+                 width: int, config: CodecConfig | None = None) -> bytes:
+    """Serialize a shared-table frame sequence to the MHTV container."""
+    cfg = config or CodecConfig()
+    head = SHARED_MAGIC + struct.pack(
+        "<IIIIBB", num_frames, height, width, stream.block_offsets.size,
+        cfg.block_dim, int(cfg.delta),
+    )
+    core = stream.core_blob()
+    return (head + struct.pack("<I", len(core)) + core
+            + stream.block_offsets.astype("<u4").tobytes())
+
+
+def read_shared(data: bytes):
+    """Parse MHTV -> (stream, num_frames, height, width, block_dim, delta)."""
+    if data[:4] != SHARED_MAGIC:
+        raise ValueError("not an MHTV container")
+    t, h, w, n_blocks, bd, delta = struct.unpack_from("<IIIIBB", data, 4)
+    (core_len,) = struct.unpack_from("<I", data, 22)
+    core = data[26 : 26 + core_len]
+    num_symbols, widths, code_bytes = container.parse_core_blob(core)
+    offsets = np.frombuffer(
+        data, dtype="<u4", count=n_blocks, offset=26 + core_len
+    ).astype(np.uint32)
+    stream = container.EncodedStream(num_symbols, widths, code_bytes, offsets)
+    return stream, t, h, w, bd, bool(delta)
+
+
 @dataclass(frozen=True)
 class PreparedShared:
     """Device-staged shared-table batch (stage once, decode every frame tick)."""

@@ -97,13 +97,24 @@ class ImageCodec:
         static_meta = ()
         if cfg.backend == "pallas":
             meta = decode_pallas.canonical_meta(stream.widths)
-            rows, init, _ = decode_pallas.tile_layout_jax(
-                jnp.asarray(words),
-                jnp.asarray(stream.block_offsets.astype(np.int32)),
-                wpr,
-            )
+            h2 = decode_pallas.image_h2_for(width, cfg.block_dim)
+            if height % cfg.block_dim:
+                h2 = 0
+            if h2:
+                # image-layout kernel: output needs no relayout pass
+                rows, init, _ = decode_pallas.tile_layout_images(
+                    jnp.asarray(words),
+                    jnp.asarray(stream.block_offsets.astype(np.int32)),
+                    wpr, h2,
+                )
+            else:
+                rows, init, _ = decode_pallas.tile_layout_jax(
+                    jnp.asarray(words),
+                    jnp.asarray(stream.block_offsets.astype(np.int32)),
+                    wpr,
+                )
             args = (rows, init, jnp.asarray(meta.pair_table))
-            static_meta = (meta.bounds, meta.adj_inc)
+            static_meta = (meta.bounds, meta.adj_inc, h2)
         elif cfg.backend == "xla":
             t1, t2 = decode_xla.prepare_tables(
                 stream.widths, cfg.table1_bits, cfg.table2_bits
@@ -178,7 +189,16 @@ def _decode_step_jit(
     block_size = block_dim * block_dim
     if backend == "pallas":
         rows, init, pair_table = device_args
-        bounds, adj_inc = static_meta
+        bounds, adj_inc, h2 = static_meta
+        if h2:
+            strips = decode_pallas.decode_tiles_images(
+                rows, init, pair_table,
+                width=words_per_row, bounds=bounds, adj_inc=adj_inc, h2=h2,
+                delta=delta, interpret=interpret,
+            )
+            img32 = decode_pallas.images_from_strips(strips, 1, height, width)
+            return jax.lax.bitcast_convert_type(img32, jnp.uint8).reshape(
+                height, width)
         out = decode_pallas.decode_tiles(
             rows, init, pair_table,
             width=words_per_row, bounds=bounds, adj_inc=adj_inc,

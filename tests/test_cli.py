@@ -37,3 +37,36 @@ def test_roundtrip_pallas_interpret(gray_file):
     assert cli.main(
         ["roundtrip", str(src), "--backend", "pallas", "--interpret"]
     ) == 0
+
+
+def test_video_roundtrip_shared(tmp_path, capsys):
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 256, (3, 24, 32), np.uint8)
+    src = tmp_path / "frames.npy"
+    np.save(src, frames)
+    mhtv = tmp_path / "out.mhtv"
+    outdir = tmp_path / "decoded.npy"
+    assert cli.main(["encode-video", str(src), str(mhtv),
+                     "--backend", "pallas", "--interpret"]) == 0
+    assert cli.main(["info", str(mhtv)]) == 0
+    assert "MHTV" in capsys.readouterr().out
+    assert cli.main(["decode-video", str(mhtv), str(outdir),
+                     "--backend", "pallas", "--interpret"]) == 0
+    np.testing.assert_array_equal(np.load(outdir), frames)
+
+
+def test_video_roundtrip_per_frame(tmp_path):
+    rng = np.random.default_rng(1)
+    frames = rng.integers(0, 256, (2, 16, 16), np.uint8)
+    src = tmp_path / "frames.npy"
+    np.save(src, frames)
+    mhts = tmp_path / "out.mhts"
+    outdir = tmp_path / "imgs"
+    assert cli.main(["encode-video", str(src), str(mhts),
+                     "--per-frame-tables", "--backend", "xla"]) == 0
+    assert cli.main(["decode-video", str(mhts), str(outdir),
+                     "--backend", "xla"]) == 0
+    from metalhuffman_tpu.utils import imageio
+
+    f0 = imageio.load_grayscale(outdir / "frame_00000.png")
+    np.testing.assert_array_equal(f0, frames[0])
