@@ -63,8 +63,7 @@ def run_video(height: int, width: int, frames: int, iters: int, verbose: bool):
     if prep.h2:
         # production path: kernel emits image layout; bytes are a free host view
         decode = lambda: frame_stream.decode_shared_step(prep, cfg, raw=True)
-        to_img = lambda r: np.asarray(r).view(np.uint8).reshape(
-            frames, height, width)
+        to_img = lambda r: frame_stream.frames_from_raw(r, frames, height, width)
     else:
         decode = lambda: frame_stream.decode_shared_step(prep, cfg)
         to_img = np.asarray

@@ -159,14 +159,21 @@ def decode_shared_step(prep: PreparedShared, config: CodecConfig | None = None,
     """
     cfg = config or CodecConfig()
     if prep.h2:
+        if raw:
+            # production path: the kernel output IS the image; return the
+            # strips untouched and view bytes on the host for free
+            # (frames_from_raw). No post-kernel device op at all.
+            return _decode_shared_strips_jit(
+                prep.rows, prep.init, prep.pair,
+                bounds=prep.bounds, adj_inc=prep.adj_inc, wpr=prep.wpr,
+                h2=prep.h2, delta=cfg.delta, interpret=cfg.interpret,
+            )
         img32 = _decode_shared_image_jit(
             prep.rows, prep.init, prep.pair,
             bounds=prep.bounds, adj_inc=prep.adj_inc, wpr=prep.wpr,
             num_frames=prep.num_frames, height=prep.height, width=prep.width,
             h2=prep.h2, delta=cfg.delta, interpret=cfg.interpret,
         )
-        if raw:
-            return img32
         return jax.lax.bitcast_convert_type(img32, jnp.uint8).reshape(
             prep.num_frames, prep.height, prep.width)
     out = _decode_shared_jit(
@@ -177,6 +184,24 @@ def decode_shared_step(prep: PreparedShared, config: CodecConfig | None = None,
         nb_total=prep.nb_total,
     )
     return out
+
+
+def frames_from_raw(raw, num_frames: int, height: int, width: int) -> np.ndarray:
+    """Host-side zero-copy view: raw strips -> (T, H, W) uint8 frames."""
+    flat = np.asarray(raw).reshape(-1, width // 4)[: num_frames * height]
+    return flat.view(np.uint8).reshape(num_frames, height, width)
+
+
+@partial(jax.jit, static_argnames=(
+    "bounds", "adj_inc", "wpr", "h2", "delta", "interpret"))
+def _decode_shared_strips_jit(rows, init, pair, *, bounds, adj_inc, wpr, h2,
+                              delta, interpret):
+    from ..ops import decode_pallas
+
+    return decode_pallas.decode_tiles_images(
+        rows, init, pair, width=wpr, bounds=bounds, adj_inc=adj_inc, h2=h2,
+        delta=delta, interpret=interpret,
+    )
 
 
 @partial(jax.jit, static_argnames=(

@@ -54,7 +54,7 @@ def test_shared_image_layout_path_interpret():
     out = np.asarray(frame_stream.decode_shared_step(prep, cfg))
     np.testing.assert_array_equal(out, frames)
     raw = frame_stream.decode_shared_step(prep, cfg, raw=True)
-    view = np.asarray(raw).view(np.uint8).reshape(2, 16, 1024)
+    view = frame_stream.frames_from_raw(raw, 2, 16, 1024)
     np.testing.assert_array_equal(view, frames)
 
 
