@@ -146,6 +146,57 @@ def decode_frames_sharded(
     return fn(words_b, offsets_b, t1_b, t2_b)
 
 
+@partial(
+    jax.jit,
+    static_argnames=("mesh", "width", "bounds", "adj_inc", "num_steps",
+                     "delta", "group_tiles", "axis_name", "interpret"),
+)
+def decode_tiles_sharded(
+    rows_tiled,
+    init_tiled,
+    pair_table,
+    *,
+    mesh: Mesh,
+    width: int,
+    bounds,
+    adj_inc,
+    num_steps: int = 64,
+    delta: bool = True,
+    group_tiles: int = 8,
+    axis_name: str = SEQ_AXIS,
+    interpret: bool = False,
+):
+    """Multi-chip Pallas decode: tile ranges sharded over ``axis_name``.
+
+    The production multi-chip path — each chip runs the Pallas kernel on its
+    contiguous tile range (canonical-table constants are compile-time, the
+    pair table is replicated over ICI). Inputs come from
+    ``ops.decode_pallas.tile_layout_jax``; the tile count must divide by
+    ``mesh.shape[axis_name] * group_tiles`` (tile_layout pads to
+    group_tiles; shard counts that divide the tile count evenly are the
+    caller's choice of mesh).
+
+    Returns packed output sharded on axis 0 (see decode_pallas.decode_tiles).
+    """
+    from ..ops import decode_pallas
+
+    def local_decode(rows_l, init_l, pair_l):
+        return decode_pallas.decode_tiles(
+            rows_l, init_l, pair_l, width=width, bounds=bounds,
+            adj_inc=adj_inc, num_steps=num_steps, delta=delta,
+            group_tiles=group_tiles, interpret=interpret,
+        )
+
+    fn = shard_map(
+        local_decode,
+        mesh=mesh,
+        in_specs=(P(axis_name), P(axis_name), P()),
+        out_specs=P(axis_name),
+        check_vma=False,
+    )
+    return fn(rows_tiled, init_tiled, pair_table)
+
+
 def shard_stream_inputs(mesh: Mesh, words, offsets, t1, t2, axis_name: str = SEQ_AXIS):
     """Device_put inputs with the shardings decode_blocks_sharded expects.
 

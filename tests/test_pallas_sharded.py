@@ -1,0 +1,32 @@
+"""Pallas kernel under shard_map on the 8-device CPU mesh (interpret mode)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from metalhuffman_tpu.core import blocks, delta, encode_symbols
+from metalhuffman_tpu.ops import decode_pallas
+from metalhuffman_tpu.parallel import mesh as mesh_mod, shard_decode
+
+
+def test_pallas_sharded_matches_input():
+    rng = np.random.default_rng(0)
+    # 2 tiles per shard x 8 shards = 16 tiles = 16384 blocks
+    img = (np.add.outer(np.arange(1024), np.arange(1024)) % 239).astype(np.uint8)
+    img = (img + rng.integers(0, 5, img.shape)).astype(np.uint8)
+    blk = blocks.image_to_blocks(img)
+    enc = encode_symbols(delta.delta_encode_blocks(blk).ravel(), block_size=64)
+
+    meta, words, offsets, width = decode_pallas.prepare_stream(enc)
+    rows, init, nb = decode_pallas.tile_layout_jax(
+        jnp.asarray(words), jnp.asarray(offsets), width, group_tiles=2
+    )
+    assert rows.shape[0] % (8 * 2) == 0
+
+    m = mesh_mod.make_mesh(8)
+    out = shard_decode.decode_tiles_sharded(
+        rows, init, jnp.asarray(meta.pair_table),
+        mesh=m, width=width, bounds=meta.bounds, adj_inc=meta.adj_inc,
+        group_tiles=2, interpret=True,
+    )
+    decoded = np.asarray(decode_pallas.unpack_to_blocks(out, nb))
+    np.testing.assert_array_equal(decoded, blk)
