@@ -117,14 +117,15 @@ def cmd_info(args) -> int:
             f"({total/(len(streams)*h*w):.1%})"
         )
         return 0
-    stream, h, w, bd, delta = container.read_frame(data)
+    stream, h, w, bd, delta, crc = container.read_frame(data)
     widths = stream.widths
     active = int((widths > 0).sum())
     print(
         f"MHT1: {h}x{w}, block_dim={bd}, delta={delta}, "
         f"{stream.compressed_size} bytes ({stream.compressed_size/(h*w):.1%}), "
         f"{stream.block_offsets.size} blocks, {active} active symbols, "
-        f"code widths {int(widths[widths>0].min())}..{int(widths.max())}"
+        f"code widths {int(widths[widths>0].min())}..{int(widths.max())}, "
+        f"crc32={'recorded' if crc else 'absent'}"
     )
     return 0
 
@@ -208,7 +209,7 @@ def cmd_bench(args) -> int:
     sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
     import bench
 
-    gbps = bench.run(args.height, args.width, args.backend, args.iters, True)
+    gbps = bench.run_video(args.height, args.width, args.frames, args.iters, True)
     print(f"{gbps:.3f} GB/s")
     return 0
 
@@ -275,8 +276,8 @@ def main(argv=None) -> int:
     p = sub.add_parser("bench", help="single-chip decode benchmark")
     p.add_argument("--height", type=int, default=1536)
     p.add_argument("--width", type=int, default=2048)
-    p.add_argument("--backend", default="pallas", choices=["pallas", "xla"])
-    p.add_argument("--iters", type=int, default=20)
+    p.add_argument("--frames", type=int, default=30)
+    p.add_argument("--iters", type=int, default=10)
     p.set_defaults(fn=cmd_bench)
 
     args = ap.parse_args(argv)

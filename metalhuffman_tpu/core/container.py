@@ -59,11 +59,24 @@ def parse_core_blob(blob: bytes) -> tuple[int, np.ndarray, np.ndarray]:
 
 
 def write_frame(
-    stream: EncodedStream, height: int, width: int, block_dim: int, delta: bool
+    stream: EncodedStream,
+    height: int,
+    width: int,
+    block_dim: int,
+    delta: bool,
+    source_crc32: int = 0,
 ) -> bytes:
-    """Serialize to the on-disk MHT1 container (geometry + core + offsets)."""
+    """Serialize to the on-disk MHT1 container (geometry + crc + core + offsets).
+
+    ``source_crc32`` is the CRC-32 of the *original* (pre-encode) image
+    bytes; 0 means "not recorded". Decoders can verify it to detect stream
+    corruption end-to-end (a capability the reference only has as an in-app
+    assert against the live original, ``AAPLRenderer.m:1849-1876``).
+    """
     head = DISK_MAGIC + struct.pack(
-        "<IIIBB", height, width, stream.block_offsets.size, block_dim, int(delta)
+        "<IIIBBI",
+        height, width, stream.block_offsets.size, block_dim, int(delta),
+        source_crc32 & 0xFFFFFFFF,
     )
     core = stream.core_blob()
     return (
@@ -75,15 +88,19 @@ def write_frame(
 
 
 def read_frame(data: bytes):
-    """Parse an MHT1 container -> (stream, height, width, block_dim, delta)."""
+    """Parse MHT1 -> (stream, height, width, block_dim, delta, source_crc32)."""
     if data[:4] != DISK_MAGIC:
         raise ValueError("not an MHT1 container")
-    height, width, n_blocks, block_dim, delta = struct.unpack_from("<IIIBB", data, 4)
-    (core_len,) = struct.unpack_from("<I", data, 18)
-    core = data[22 : 22 + core_len]
+    height, width, n_blocks, block_dim, delta, crc = struct.unpack_from(
+        "<IIIBBI", data, 4
+    )
+    (core_len,) = struct.unpack_from("<I", data, 22)
+    core = data[26 : 26 + core_len]
     num_symbols, widths, code_bytes = parse_core_blob(core)
     offsets = np.frombuffer(
-        data, dtype="<u4", count=n_blocks, offset=22 + core_len
+        data, dtype="<u4", count=n_blocks, offset=26 + core_len
     ).astype(np.uint32)
+    if offsets.size != n_blocks:
+        raise ValueError("truncated MHT1 container (offset index incomplete)")
     stream = EncodedStream(num_symbols, widths, code_bytes, offsets)
-    return stream, height, width, block_dim, bool(delta)
+    return stream, height, width, block_dim, bool(delta), crc

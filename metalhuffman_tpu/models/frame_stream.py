@@ -158,6 +158,9 @@ def decode_shared_step(prep: PreparedShared, config: CodecConfig | None = None,
     consumers that ship bytes to disk/network).
     """
     cfg = config or CodecConfig()
+    # the Pallas kernel only compiles on TPU; interpret it elsewhere
+    if not cfg.interpret and jax.default_backend() in ("cpu", "gpu"):
+        cfg = CodecConfig(**{**cfg.__dict__, "interpret": True})
     if prep.h2:
         if raw:
             # production path: the kernel output IS the image; return the
@@ -291,7 +294,7 @@ def read_stream(data: bytes):
     for _ in range(count):
         (rec_len,) = struct.unpack_from("<I", data, pos)
         pos += 4
-        stream, h, w, bd, delta = container.read_frame(data[pos : pos + rec_len])
+        stream, h, w, bd, delta, _crc = container.read_frame(data[pos : pos + rec_len])
         pos += rec_len
         if geom is None:
             geom = (h, w, bd, delta)

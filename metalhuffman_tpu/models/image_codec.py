@@ -74,10 +74,13 @@ class ImageCodec:
         return native.encode_symbols(payload, block_size=cfg.block_size)
 
     def encode_to_bytes(self, img: np.ndarray) -> bytes:
-        """Image -> on-disk MHT1 container."""
+        """Image -> on-disk MHT1 container (records a source CRC-32)."""
+        import zlib
+
         h, w = img.shape
         return container.write_frame(
-            self.encode(img), h, w, self.config.block_dim, self.config.delta
+            self.encode(img), h, w, self.config.block_dim, self.config.delta,
+            source_crc32=zlib.crc32(np.ascontiguousarray(img).tobytes()),
         )
 
     # -- decode (device) ----------------------------------------------------
@@ -137,6 +140,10 @@ class ImageCodec:
         ``drawInMTKView:`` 7-pass chain, collapsed into one fused program).
         """
         cfg = self.config
+        if (cfg.backend == "pallas" and not cfg.interpret
+                and jax.default_backend() in ("cpu", "gpu")):
+            # the Pallas kernel only compiles on TPU; interpret it elsewhere
+            cfg = CodecConfig(**{**cfg.__dict__, "interpret": True})
         return _decode_step_jit(
             prep.device_args,
             backend=cfg.backend,
@@ -152,8 +159,9 @@ class ImageCodec:
 
     def decode(self, data: bytes | container.EncodedStream, height=None, width=None):
         """Host convenience: container bytes (or stream) -> (H, W) uint8."""
+        crc = 0
         if isinstance(data, (bytes, bytearray, memoryview)):
-            stream, height, width, block_dim, use_delta = container.read_frame(
+            stream, height, width, block_dim, use_delta, crc = container.read_frame(
                 bytes(data)
             )
             if block_dim != self.config.block_dim or use_delta != self.config.delta:
@@ -163,7 +171,16 @@ class ImageCodec:
             if height is None or width is None:
                 raise ValueError("height/width required when passing a raw stream")
         prep = self.prepare(stream, height, width)
-        return np.asarray(self.decode_step(prep))
+        out = np.asarray(self.decode_step(prep))
+        if crc:
+            import zlib
+
+            if zlib.crc32(out.tobytes()) != crc:
+                raise ValueError(
+                    "decoded image fails the container's source CRC-32 "
+                    "(corrupt stream or decoder mismatch)"
+                )
+        return out
 
     def roundtrip_verify(self, img: np.ndarray) -> container.EncodedStream:
         """Encode+decode+byte-compare (reference: ``AAPLRenderer.m:1849-1876``)."""

@@ -244,6 +244,11 @@ def decode_tiles(rows_tiled, init_tiled, pair_table, *, width: int, bounds,
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    if num_steps % SYMS_PER_GROUP:
+        raise ValueError(
+            f"num_steps ({num_steps}) must be a multiple of {SYMS_PER_GROUP} "
+            "for the Pallas kernel (use block_dim 2/4/8/16 or the xla backend)"
+        )
     nt = rows_tiled.shape[0]
     g = group_tiles
     while nt % g:

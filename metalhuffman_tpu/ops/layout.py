@@ -18,7 +18,8 @@ from __future__ import annotations
 import numpy as np
 
 #: Row-size buckets (in u32 words). 34 covers the worst case for 64 symbols of
-#: <= 16 bits each: ceil((31 + 64*16)/32) + 1 read-ahead word.
+#: <= 16 bits each: ceil((31 + 64*16)/32) + 1 read-ahead word. Larger
+#: blocks (block_dim > 8) extend past the table in multiples of 8 words.
 WORD_BUCKETS = (6, 10, 14, 18, 26, 34)
 MAX_WORDS_PER_BLOCK = WORD_BUCKETS[-1]
 
@@ -34,7 +35,8 @@ def words_per_block(max_block_bits: int, symbols_per_block: int = 64) -> int:
     for b in WORD_BUCKETS:
         if b >= need:
             return b
-    return MAX_WORDS_PER_BLOCK
+    # beyond the bucket table (large blocks): round up to a multiple of 8
+    return min(-(-need // 8) * 8, max(hard_cap, MAX_WORDS_PER_BLOCK))
 
 
 def max_block_bits(block_offsets: np.ndarray, total_bits: int) -> int:

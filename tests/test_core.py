@@ -281,7 +281,7 @@ class TestContainer:
     def test_disk_frame_roundtrip(self, stream):
         enc = encode_symbols(stream)
         data = container.write_frame(enc, 32, 48, 8, True)
-        s2, h, w, bd, d = container.read_frame(data)
+        s2, h, w, bd, d, _crc = container.read_frame(data)
         assert (h, w, bd, d) == (32, 48, 8, True)
         assert s2.num_symbols == enc.num_symbols
         assert np.array_equal(s2.code_bytes, enc.code_bytes)
