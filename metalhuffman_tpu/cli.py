@@ -205,6 +205,25 @@ def cmd_decode_video(args) -> int:
     return 0
 
 
+def cmd_inspect(args) -> int:
+    """Debug view of an MHT1 stream (table dump / per-block symbol trace)."""
+    from .core import container
+    from .utils import debug
+
+    stream, h, w, bd, delta, _crc = container.read_frame(
+        Path(args.input).read_bytes()
+    )
+    print(debug.stream_summary(stream))
+    if args.table:
+        print(debug.dump_table(stream.widths))
+    if args.block is not None:
+        print(f"\nblock {args.block} trace (bit_offset width pattern sym value):")
+        for t in debug.trace_block(stream, args.block, bd * bd, delta):
+            print(f"  [{t.index:3d}] {t.bit_offset:10d} {t.width:2d} "
+                  f"{t.pattern:>16s} {t.symbol:3d} {t.value:3d}")
+    return 0
+
+
 def cmd_bench(args) -> int:
     sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
     import bench
@@ -272,6 +291,13 @@ def main(argv=None) -> int:
     p = sub.add_parser("info", help="describe an MHT1/MHTS container")
     p.add_argument("input")
     p.set_defaults(fn=cmd_info)
+
+    p = sub.add_parser("inspect", help="debug dump of an MHT1 stream")
+    p.add_argument("input")
+    p.add_argument("--table", action="store_true", help="dump canonical table")
+    p.add_argument("--block", type=int, default=None,
+                   help="trace this block symbol-by-symbol")
+    p.set_defaults(fn=cmd_inspect)
 
     p = sub.add_parser("bench", help="single-chip decode benchmark")
     p.add_argument("--height", type=int, default=1536)

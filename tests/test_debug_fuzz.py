@@ -1,0 +1,52 @@
+"""Debug tooling + seeded fuzz sweep over random symbol distributions."""
+
+import numpy as np
+import pytest
+
+from metalhuffman_tpu.core import blocks, delta, encode_symbols
+from metalhuffman_tpu.ops import decode_xla
+from metalhuffman_tpu.utils import debug
+
+
+def test_trace_block_matches_decode():
+    rng = np.random.default_rng(0)
+    data = rng.integers(0, 64, 64 * 8, np.uint8)
+    enc = encode_symbols(data, block_size=64)
+    tr = debug.trace_block(enc, 3, delta=False)
+    assert len(tr) == 64
+    assert [t.symbol for t in tr] == list(data[3 * 64 : 4 * 64])
+    # offsets are strictly increasing by the reported widths
+    for a, b in zip(tr, tr[1:]):
+        assert b.bit_offset == a.bit_offset + a.width
+    assert tr[0].bit_offset == int(enc.block_offsets[3])
+    # patterns parse back to the right bit count
+    assert all(len(t.pattern) == t.width for t in tr)
+
+
+def test_dump_table_and_summary():
+    rng = np.random.default_rng(1)
+    enc = encode_symbols(rng.integers(0, 16, 64 * 4, np.uint8))
+    s = debug.dump_table(enc.widths)
+    assert "sym" in s and "width" in s
+    summary = debug.stream_summary(enc)
+    assert "blocks=4" in summary
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_fuzz_random_distributions_roundtrip(seed):
+    """Random alphabet sizes/skews through encode -> XLA decode, bit-exact."""
+    rng = np.random.default_rng(seed)
+    alphabet = int(rng.integers(1, 257))
+    skew = float(rng.uniform(0.3, 1.0))
+    p = skew ** np.arange(alphabet)
+    p /= p.sum()
+    n_blocks = int(rng.integers(1, 40))
+    data = rng.choice(np.arange(alphabet), size=64 * n_blocks, p=p).astype(np.uint8)
+    use_delta = bool(rng.integers(0, 2))
+    payload = (
+        delta.delta_encode_blocks(data.reshape(-1, 64)).ravel()
+        if use_delta else data
+    )
+    enc = encode_symbols(payload, block_size=64)
+    out = np.asarray(decode_xla.decode_stream(enc, delta=use_delta))
+    np.testing.assert_array_equal(out.ravel(), data)
