@@ -136,7 +136,7 @@ def main():
     ap.add_argument("--height", type=int, default=1536)
     ap.add_argument("--width", type=int, default=2048)
     ap.add_argument("--frames", type=int, default=30)
-    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--iters", type=int, default=25)
     ap.add_argument("--mode", default="video", choices=["video", "single"])
     ap.add_argument("--backend", default="pallas", choices=["pallas", "xla"])
     ap.add_argument("-v", "--verbose", action="store_true")
