@@ -18,8 +18,14 @@ decode kernel, so a device encode can feed a device decode without touching
 the host.
 
 Both the width-gather and the code-gather index a 256-entry table with
-byte values — fine for XLA (HBM gathers), no Pallas needed: the op mix is
-bandwidth-bound, not latency-bound.
+byte values — fine for XLA (HBM gathers), no Pallas needed.
+
+Performance note (measured, TPU v5e): XLA lowers the segment-sum scatter
+poorly on TPU (~3.4 s for a 94 MB payload vs 0.6 s for the native C++
+encoder), so the native path remains the production encoder; this module is
+the correctness-equivalent on-device capability (useful when the payload
+already lives in HBM and a host round-trip is worse, or on CPU/GPU backends
+where the scatter lowers well).
 """
 
 from __future__ import annotations

@@ -197,6 +197,53 @@ def decode_tiles_sharded(
     return fn(rows_tiled, init_tiled, pair_table)
 
 
+@partial(
+    jax.jit,
+    static_argnames=("mesh", "width", "bounds", "adj_inc", "h2", "delta",
+                     "group_tiles", "axis_name", "interpret"),
+)
+def decode_tiles_images_sharded(
+    rows_tiled,
+    init_tiled,
+    pair_table,
+    *,
+    mesh: Mesh,
+    width: int,
+    bounds,
+    adj_inc,
+    h2: int,
+    delta: bool = True,
+    group_tiles: int = 8,
+    axis_name: str = SEQ_AXIS,
+    interpret: bool = False,
+):
+    """Multi-chip image-layout decode: each chip emits final image rows.
+
+    Because programs own contiguous image-row ranges in the strips layout
+    (ops.decode_pallas.tile_layout_images), sharding tiles over ``axis_name``
+    shards the OUTPUT image by contiguous row ranges — each chip holds its
+    horizontal slice of the decoded frames, ready for row-parallel consumers
+    (display, disk, further processing) with no reassembly collective.
+    """
+    from ..ops import decode_pallas
+
+    def local_decode(rows_l, init_l, pair_l):
+        return decode_pallas.decode_tiles_images(
+            rows_l, init_l, pair_l, width=width, bounds=bounds,
+            adj_inc=adj_inc, h2=h2, delta=delta, group_tiles=group_tiles,
+            interpret=interpret,
+        )
+
+    fn = shard_map(
+        local_decode,
+        mesh=mesh,
+        in_specs=(P(axis_name), P(axis_name), P()),
+        out_specs=P(axis_name),
+        check_vma=False,
+    )
+    return fn(rows_tiled, init_tiled, pair_table)
+
+
 def shard_stream_inputs(mesh: Mesh, words, offsets, t1, t2, axis_name: str = SEQ_AXIS):
     """Device_put inputs with the shardings decode_blocks_sharded expects.
 
