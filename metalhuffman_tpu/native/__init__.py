@@ -70,9 +70,18 @@ def _build() -> ctypes.CDLL | None:
     lib.mht_decode_serial.argtypes = [u8p, i64, u8p, i64, i64, u8p]
     lib.mht_delta_encode.argtypes = [u8p, i64, i64, u8p]
     lib.mht_delta_decode.argtypes = [u8p, i64, i64, u8p]
+    lib.mht_encode_mt.argtypes = [
+        u8p, i64, i64, u8p, u8p, i64, ctypes.POINTER(i64),
+        ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(i64), ctypes.c_int,
+    ]
+    lib.mht_decode_blocks.argtypes = [
+        u8p, i64, u8p, ctypes.POINTER(ctypes.c_uint32), i64, i64,
+        ctypes.c_int, u8p, ctypes.c_int,
+    ]
     for fn in (
         lib.mht_code_lengths, lib.mht_canonical_codes, lib.mht_encode,
         lib.mht_decode_serial, lib.mht_delta_encode, lib.mht_delta_decode,
+        lib.mht_encode_mt, lib.mht_decode_blocks,
     ):
         fn.restype = ctypes.c_int
     return lib
@@ -130,8 +139,13 @@ def canonical_codes(widths: np.ndarray) -> np.ndarray:
     return codes
 
 
-def encode_symbols(data: np.ndarray, block_size: int = 64):
-    """Native full encode -> EncodedStream; NumPy fallback otherwise."""
+def encode_symbols(data: np.ndarray, block_size: int = 64,
+                   n_threads: int = 0):
+    """Native full encode -> EncodedStream; NumPy fallback otherwise.
+
+    ``n_threads``: 0 = auto (hardware concurrency); 1 = the serial encoder.
+    Output is identical for any thread count (two-pass deterministic pack).
+    """
     from ..core.container import EncodedStream
 
     data = np.ascontiguousarray(data, dtype=np.uint8).ravel()
@@ -150,12 +164,18 @@ def encode_symbols(data: np.ndarray, block_size: int = 64):
     offsets = np.zeros(max(n_blocks, 1), dtype=np.uint32)
     code_len = ctypes.c_int64()
     total_bits = ctypes.c_int64()
-    rc = lib.mht_encode(
-        _u8p(data), data.size, block_size, _u8p(widths), _u8p(code_bytes),
-        capacity, ctypes.byref(code_len),
-        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
-        ctypes.byref(total_bits),
-    )
+    offs_p = offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32))
+    if n_threads == 1:
+        rc = lib.mht_encode(
+            _u8p(data), data.size, block_size, _u8p(widths), _u8p(code_bytes),
+            capacity, ctypes.byref(code_len), offs_p, ctypes.byref(total_bits),
+        )
+    else:
+        rc = lib.mht_encode_mt(
+            _u8p(data), data.size, block_size, _u8p(widths), _u8p(code_bytes),
+            capacity, ctypes.byref(code_len), offs_p, ctypes.byref(total_bits),
+            n_threads,
+        )
     if rc:
         raise RuntimeError(f"mht_encode failed: {rc}")
     return EncodedStream(
@@ -164,6 +184,41 @@ def encode_symbols(data: np.ndarray, block_size: int = 64):
         code_bytes=code_bytes[: code_len.value].copy(),
         block_offsets=offsets[:n_blocks],
     )
+
+
+def decode_blocks(stream, *, delta: bool = True, block_size: int = 64,
+                  n_threads: int = 0) -> np.ndarray:
+    """Parallel host decode of an EncodedStream -> (n_blocks, block_size).
+
+    The CPU counterpart of the device kernels (threads over block ranges via
+    the bit-offset index). NumPy-oracle fallback when the library is absent.
+    """
+    lib = _lib()
+    nb = int(stream.block_offsets.size)
+    if lib is None:
+        from ..core import decode_ref, delta as delta_mod, tables
+
+        sym, w = tables.build_single_table(stream.widths)
+        out = np.stack([
+            decode_ref.decode_single_table(
+                stream.code_bytes, sym, w, block_size,
+                start_bit=int(stream.block_offsets[b]))
+            for b in range(nb)
+        ])
+        return delta_mod.delta_decode_blocks(out) if delta else out
+
+    code_bytes = np.ascontiguousarray(stream.code_bytes, dtype=np.uint8)
+    widths = np.ascontiguousarray(stream.widths, dtype=np.uint8)
+    offsets = np.ascontiguousarray(stream.block_offsets, dtype=np.uint32)
+    out = np.zeros((nb, block_size), dtype=np.uint8)
+    rc = lib.mht_decode_blocks(
+        _u8p(code_bytes), code_bytes.size, _u8p(widths),
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        nb, block_size, int(delta), _u8p(out), n_threads,
+    )
+    if rc:
+        raise RuntimeError(f"mht_decode_blocks failed: {rc}")
+    return out
 
 
 def decode_serial(

@@ -19,6 +19,7 @@
 #include <cstdint>
 #include <cstring>
 #include <queue>
+#include <thread>
 #include <vector>
 
 namespace {
@@ -276,6 +277,192 @@ int mht_delta_decode(const uint8_t* deltas, int64_t n, int64_t block_size,
   return 0;
 }
 
-int mht_abi_version() { return 1; }
+// Multithreaded encode. Two passes: (1) parallel per-chunk bit counts ->
+// serial prefix -> absolute chunk start bits; (2) each thread packs its
+// chunk into its own byte range of the shared zero-initialized buffer.
+// A chunk whose start is not byte-aligned diverts its first (shared) byte
+// into a side slot which is OR-merged serially after the join, so no two
+// threads ever write the same byte concurrently.
+int mht_encode_mt(const uint8_t* data, int64_t n, int64_t block_size,
+                  uint8_t* widths_out, uint8_t* code_bytes_out,
+                  int64_t code_capacity, int64_t* code_len_out,
+                  uint32_t* block_offsets_out, int64_t* total_bits_out,
+                  int n_threads) {
+  if (n <= 0) return -1;
+  if (n_threads <= 0)
+    n_threads = std::max(1u, std::thread::hardware_concurrency());
+  // chunks aligned to block boundaries so each owns whole block offsets
+  const int64_t n_blocks = n / block_size;
+  int64_t blocks_per_chunk = (n_blocks + n_threads - 1) / n_threads;
+  if (blocks_per_chunk == 0) blocks_per_chunk = 1;
+  const int nc = n_blocks == 0
+                     ? 1
+                     : static_cast<int>((n_blocks + blocks_per_chunk - 1) /
+                                        blocks_per_chunk);
+
+  // pass 0: parallel frequency count
+  std::vector<std::vector<int64_t>> freq_t(nc, std::vector<int64_t>(kNumSymbols, 0));
+  {
+    std::vector<std::thread> ths;
+    for (int t = 0; t < nc; ++t) {
+      ths.emplace_back([&, t]() {
+        const int64_t lo = t * blocks_per_chunk * block_size;
+        const int64_t hi =
+            (t == nc - 1) ? n : std::min<int64_t>(n, (t + 1) * blocks_per_chunk * block_size);
+        auto& f = freq_t[t];
+        for (int64_t i = lo; i < hi; ++i) ++f[data[i]];
+      });
+    }
+    for (auto& th : ths) th.join();
+  }
+  int64_t freqs[kNumSymbols] = {0};
+  for (int t = 0; t < nc; ++t)
+    for (int s = 0; s < kNumSymbols; ++s) freqs[s] += freq_t[t][s];
+
+  int rc = mht_code_lengths(freqs, widths_out);
+  if (rc) return rc;
+  uint16_t codes[kNumSymbols];
+  canonical_codes_impl(widths_out, codes);
+  // every symbol present in the data has freq >= 1, hence width >= 1
+
+  // pass 1: per-chunk bit sums -> absolute chunk start bits
+  std::vector<int64_t> chunk_bits(nc, 0);
+  {
+    std::vector<std::thread> ths;
+    for (int t = 0; t < nc; ++t) {
+      ths.emplace_back([&, t]() {
+        const int64_t lo = t * blocks_per_chunk * block_size;
+        const int64_t hi =
+            (t == nc - 1) ? n : std::min<int64_t>(n, (t + 1) * blocks_per_chunk * block_size);
+        int64_t b = 0;
+        for (int64_t i = lo; i < hi; ++i) b += widths_out[data[i]];
+        chunk_bits[t] = b;
+      });
+    }
+    for (auto& th : ths) th.join();
+  }
+  std::vector<int64_t> chunk_start(nc + 1, 0);
+  for (int t = 0; t < nc; ++t) chunk_start[t + 1] = chunk_start[t] + chunk_bits[t];
+  const int64_t total_bits = chunk_start[nc];
+  const int64_t total_bytes = (total_bits + 7) / 8 + 2;
+  if (total_bytes > code_capacity) return -3;
+  std::memset(code_bytes_out, 0, total_bytes);
+
+  // pass 2: parallel pack; first partial byte of each chunk diverted
+  std::vector<uint8_t> head_byte(nc, 0);
+  {
+    std::vector<std::thread> ths;
+    for (int t = 0; t < nc; ++t) {
+      ths.emplace_back([&, t]() {
+        const int64_t lo = t * blocks_per_chunk * block_size;
+        const int64_t hi =
+            (t == nc - 1) ? n : std::min<int64_t>(n, (t + 1) * blocks_per_chunk * block_size);
+        int64_t bit_pos = chunk_start[t];
+        uint64_t acc = 0;
+        int nbits = static_cast<int>(bit_pos & 7);  // lead-in zero bits
+        int64_t byte_pos = bit_pos >> 3;
+        bool first_partial = nbits != 0;
+        const int64_t first_block = lo / block_size;
+        int64_t block_i = first_block;
+        for (int64_t i = lo; i < hi; ++i) {
+          if (block_i < n_blocks && (i % block_size) == 0)
+            block_offsets_out[block_i++] = static_cast<uint32_t>(bit_pos);
+          const uint8_t s = data[i];
+          const int w = widths_out[s];
+          acc = (acc << w) | (static_cast<uint64_t>(codes[s]) >> (16 - w));
+          nbits += w;
+          bit_pos += w;
+          while (nbits >= 8) {
+            nbits -= 8;
+            const uint8_t byte = static_cast<uint8_t>((acc >> nbits) & 0xFF);
+            if (first_partial) {
+              head_byte[t] = byte;
+              first_partial = false;
+            } else {
+              code_bytes_out[byte_pos] = byte;
+            }
+            ++byte_pos;
+          }
+        }
+        if (nbits > 0) {
+          const uint8_t byte = static_cast<uint8_t>((acc << (8 - nbits)) & 0xFF);
+          if (first_partial) {
+            head_byte[t] = byte;
+          } else {
+            code_bytes_out[byte_pos] = byte;
+          }
+        }
+      });
+    }
+    for (auto& th : ths) th.join();
+  }
+  for (int t = 0; t < nc; ++t) {
+    if (chunk_start[t] & 7) code_bytes_out[chunk_start[t] >> 3] |= head_byte[t];
+  }
+  *code_len_out = total_bytes;
+  *total_bits_out = total_bits;
+  return 0;
+}
+
+// Parallel block decode on the host: one 64K LUT, threads over block ranges.
+// The CPU analog of the device kernels (and the proof that the reference's
+// "CPU is too slow" premise is about SERIAL decode — the block-offset index
+// parallelizes hosts too).
+int mht_decode_blocks(const uint8_t* code_bytes, int64_t n_code_bytes,
+                      const uint8_t* widths, const uint32_t* block_offsets,
+                      int64_t n_blocks, int64_t block_size, int delta,
+                      uint8_t* out, int n_threads) {
+  uint16_t codes[kNumSymbols];
+  canonical_codes_impl(widths, codes);
+  std::vector<uint8_t> sym_plane(1 << 16, 0), w_plane(1 << 16, 0);
+  for (int s = 0; s < kNumSymbols; ++s) {
+    const int w = widths[s];
+    if (w == 0) continue;
+    const uint32_t start = codes[s];
+    const uint32_t span = 1u << (16 - w);
+    std::fill(sym_plane.begin() + start, sym_plane.begin() + start + span,
+              static_cast<uint8_t>(s));
+    std::fill(w_plane.begin() + start, w_plane.begin() + start + span,
+              static_cast<uint8_t>(w));
+  }
+  if (n_threads <= 0)
+    n_threads = std::max(1u, std::thread::hardware_concurrency());
+  const int64_t per = (n_blocks + n_threads - 1) / std::max(1, n_threads);
+  std::vector<int> rcs(n_threads, 0);
+  std::vector<std::thread> ths;
+  for (int t = 0; t < n_threads; ++t) {
+    ths.emplace_back([&, t]() {
+      const int64_t blo = t * per;
+      const int64_t bhi = std::min<int64_t>(n_blocks, blo + per);
+      for (int64_t b = blo; b < bhi; ++b) {
+        int64_t bits = block_offsets[b];
+        uint8_t prev = 0;
+        uint8_t* o = out + b * block_size;
+        for (int64_t i = 0; i < block_size; ++i) {
+          const int64_t byte_i = bits >> 3;
+          if (byte_i + 2 >= n_code_bytes) { rcs[t] = -5; return; }
+          const uint32_t w24 =
+              (static_cast<uint32_t>(code_bytes[byte_i]) << 16) |
+              (static_cast<uint32_t>(code_bytes[byte_i + 1]) << 8) |
+              static_cast<uint32_t>(code_bytes[byte_i + 2]);
+          const uint16_t window =
+              static_cast<uint16_t>((w24 >> (8 - (bits & 7))) & 0xFFFF);
+          const int w = w_plane[window];
+          if (w == 0) { rcs[t] = -6; return; }
+          const uint8_t sym = sym_plane[window];
+          prev = delta ? static_cast<uint8_t>(prev + sym) : sym;
+          o[i] = prev;
+          bits += w;
+        }
+      }
+    });
+  }
+  for (auto& th : ths) th.join();
+  for (int rc : rcs)
+    if (rc) return rc;
+  return 0;
+}
+
+int mht_abi_version() { return 2; }
 
 }  // extern "C"

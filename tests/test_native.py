@@ -90,6 +90,36 @@ def test_delta_match():
     np.testing.assert_array_equal(native.delta_decode(enc_cc, 64), data)
 
 
+@pytest.mark.parametrize("n_threads", [2, 3, 4, 8])
+def test_mt_encode_identical_to_serial(n_threads):
+    rng = np.random.default_rng(100 + n_threads)
+    data = rng.integers(0, 200, 64 * 513 + 17, np.uint8)  # odd tail
+    enc1 = native.encode_symbols(data, 64, n_threads=1)
+    encm = native.encode_symbols(data, 64, n_threads=n_threads)
+    np.testing.assert_array_equal(encm.widths, enc1.widths)
+    np.testing.assert_array_equal(encm.code_bytes, enc1.code_bytes)
+    np.testing.assert_array_equal(encm.block_offsets, enc1.block_offsets)
+
+
+def test_mt_encode_small_inputs():
+    rng = np.random.default_rng(7)
+    for n in (1, 63, 64, 65, 130):
+        data = rng.integers(0, 8, n, np.uint8)
+        enc1 = native.encode_symbols(data, 64, n_threads=1)
+        encm = native.encode_symbols(data, 64, n_threads=8)
+        np.testing.assert_array_equal(encm.code_bytes, enc1.code_bytes)
+
+
+@pytest.mark.parametrize("use_delta", [True, False])
+def test_parallel_host_decode(use_delta):
+    rng = np.random.default_rng(9)
+    raw = rng.integers(0, 256, 64 * 300, np.uint8)
+    payload = native.delta_encode(raw, 64) if use_delta else raw
+    enc = native.encode_symbols(payload, 64)
+    out = native.decode_blocks(enc, delta=use_delta, n_threads=4)
+    np.testing.assert_array_equal(out.ravel(), raw)
+
+
 def test_encode_speed_sanity():
     # Native encode of ~3 MB must be far faster than the NumPy path.
     import time
