@@ -140,7 +140,14 @@ def main():
     ap.add_argument("--mode", default="video", choices=["video", "single"])
     ap.add_argument("--backend", default="pallas", choices=["pallas", "xla"])
     ap.add_argument("-v", "--verbose", action="store_true")
+    ap.add_argument("--trace", default=None, metavar="DIR",
+                    help="capture a jax.profiler trace of the timed loop")
     args = ap.parse_args()
+
+    if args.trace:
+        import jax
+
+        jax.profiler.start_trace(args.trace)
 
     if args.mode == "video":
         gbps = run_video(args.height, args.width, args.frames, args.iters,
@@ -148,6 +155,11 @@ def main():
     else:
         gbps = run_single(args.height, args.width, args.backend, args.iters,
                           args.verbose)
+    if args.trace:
+        import jax
+
+        jax.profiler.stop_trace()
+        print(f"trace written to {args.trace}", file=sys.stderr)
     print(
         json.dumps(
             {

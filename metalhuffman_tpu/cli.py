@@ -26,8 +26,9 @@ def _add_codec_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--block-dim", type=int, default=8)
     p.add_argument("--no-delta", action="store_true")
     p.add_argument(
-        "--backend", default="pallas", choices=["pallas", "xla"],
-        help="device decode path (pallas = TPU kernel, xla = portable)",
+        "--backend", default="pallas", choices=["pallas", "xla", "native"],
+        help="decode path (pallas = TPU kernel, xla = portable device, "
+             "native = multithreaded host C++)",
     )
     p.add_argument("--interpret", action="store_true",
                    help="run the Pallas kernel in interpret mode (CPU debug)")

@@ -37,7 +37,7 @@ class CodecConfig:
     delta: bool = True  # IMPL_DELTAS_BEFORE_HUFF_ENCODING (:109)
     table1_bits: int = 8  # HUFF_TABLE1_NUM_BITS (:120)
     table2_bits: int = 8  # HUFF_TABLE2_NUM_BITS (:121)
-    backend: str = "pallas"  # 'pallas' | 'xla'
+    backend: str = "pallas"  # 'pallas' (TPU kernel) | 'xla' | 'native' (host C++)
     interpret: bool = False  # Pallas interpret mode (CPU oracle of the kernel)
 
     @property
@@ -128,6 +128,9 @@ class ImageCodec:
                 wpr,
             )
             args = (rows, bit_init, jnp.asarray(t1), jnp.asarray(t2))
+        elif cfg.backend == "native":
+            # host C++ decoder needs no device staging
+            return PreparedFrame(height, width, nb, wpr, (), stream, ())
         else:
             raise ValueError(f"unknown backend {self.config.backend!r}")
         args = tuple(jax.device_put(a) for a in args)
@@ -140,6 +143,13 @@ class ImageCodec:
         ``drawInMTKView:`` 7-pass chain, collapsed into one fused program).
         """
         cfg = self.config
+        if cfg.backend == "native":
+            blk = native.decode_blocks(
+                prep.stream, delta=cfg.delta, block_size=cfg.block_size
+            )
+            return blocks.blocks_to_image(
+                blk, prep.height, prep.width, cfg.block_dim
+            )
         if (cfg.backend == "pallas" and not cfg.interpret
                 and jax.default_backend() in ("cpu", "gpu")):
             # the Pallas kernel only compiles on TPU; interpret it elsewhere

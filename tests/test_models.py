@@ -13,7 +13,7 @@ def _frame(h, w, seed=0):
     return np.clip(img, 0, 255).astype(np.uint8)
 
 
-@pytest.mark.parametrize("backend", ["xla", "pallas"])
+@pytest.mark.parametrize("backend", ["xla", "pallas", "native"])
 def test_roundtrip_verify(backend):
     codec = ImageCodec(CodecConfig(backend=backend, interpret=backend == "pallas"))
     codec.roundtrip_verify(_frame(64, 96))
