@@ -128,13 +128,10 @@ def _make_kernel(width: int, bounds, adj_inc, *, sub: int, num_steps: int,
             terms.append((b, int(adj_inc[L - 1])))
     n_groups = num_steps // SYMS_PER_GROUP
 
+    min_w = base_w  # smallest active code width (bounds folded into base)
+
     def kernel(rows_ref, init_ref, pair_ref, out_ref):
-        rows = rows_ref[0]
         pair_tab = pair_ref[:]
-        iota_w = jax.lax.broadcasted_iota(jnp.int32, (width - 2, sub, LANES), 0)
-        rows_a = rows[: width - 2]
-        rows_b = rows[1 : width - 1]
-        rows_c = rows[2:width]
         if image_h2:
             lane = jax.lax.broadcasted_iota(jnp.int32, (sub, LANES), 1)
             half_idx = lane >> 1
@@ -144,11 +141,30 @@ def _make_kernel(width: int, bounds, adj_inc, *, sub: int, num_steps: int,
             bits, prev = carry
             wi = jax.lax.shift_right_logical(bits, 5)
             s = bits & 31
-            # one shared one-hot selects the 3-word refill for this group
-            oh = iota_w == wi[None]
-            w0 = jnp.sum(jnp.where(oh, rows_a, 0), axis=0)
-            w1 = jnp.sum(jnp.where(oh, rows_b, 0), axis=0)
-            w2 = jnp.sum(jnp.where(oh, rows_c, 0), axis=0)
+            # one shared one-hot selects the 3-word refill for this group.
+            # At unrolled group j the word index provably lies in
+            # [4j*min_w/32, (31 + 64j)/32] (init < 32, each symbol consumes
+            # min_w..16 bits), so the select only scans that static range
+            # (ref loads per group: Mosaic lowers these natively, unlike
+            # variable-length value slices).
+            lo = (SYMS_PER_GROUP * j * min_w) >> 5
+            hi = min(width - 3, (31 + 16 * SYMS_PER_GROUP * j) >> 5)
+            lo = min(lo, hi)
+            if lo == hi:
+                # word index is fully determined (early groups) — no select
+                w0 = rows_ref[0, lo]
+                w1 = rows_ref[0, lo + 1]
+                w2 = rows_ref[0, lo + 2]
+            else:
+                n = hi - lo + 1
+                iota_g = lo + jax.lax.broadcasted_iota(
+                    jnp.int32, (n, sub, LANES), 0)
+                oh = iota_g == wi[None]
+                w0 = jnp.sum(jnp.where(oh, rows_ref[0, lo : hi + 1], 0), axis=0)
+                w1 = jnp.sum(
+                    jnp.where(oh, rows_ref[0, lo + 1 : hi + 2], 0), axis=0)
+                w2 = jnp.sum(
+                    jnp.where(oh, rows_ref[0, lo + 2 : hi + 3], 0), axis=0)
             rs = 31 - s
             # 64-bit window left-justified at `bits` (W0 high, W1 low);
             # >>1 >>(31-s) instead of >>(32-s) avoids the undefined >>32.
