@@ -185,13 +185,15 @@ def _make_kernel(width: int, bounds, adj_inc, *, sub: int, num_steps: int,
                 win32 = jax.lax.shift_left(hi, u) | jax.lax.shift_right_logical(
                     jax.lax.shift_right_logical(W1, 1), 31 - u)
                 window = jax.lax.shift_right_logical(win32, 16)
-                w = jnp.full_like(window, base_w)
-                adj = jnp.full_like(window, base_adj)
+                # fused accumulator: acc = w + 256*(adj + 2^16); adj may be
+                # negative but |adj| < 2^16, so the low byte is always w
+                acc = jnp.full_like(
+                    window, base_w + ((base_adj + (1 << 16)) << 8))
                 for b, ai in terms:
                     m = (window >= b).astype(jnp.int32)
-                    w = w + m
-                    if ai != 0:
-                        adj = adj + m * ai
+                    acc = acc + m * (1 + (ai << 8))
+                w = acc & 0xFF
+                adj = jax.lax.shift_right_logical(acc, 8) - (1 << 16)
                 idx = adj + jax.lax.shift_right_logical(window, 16 - w)
                 pairv = jnp.take_along_axis(
                     pair_tab, jax.lax.shift_right_logical(idx, 1) & 127, axis=1)
