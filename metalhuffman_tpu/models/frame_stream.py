@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core import bitstream, blocks, container
+from ..core import blocks, container
 from ..ops import decode_xla, layout as layout_mod
 from ..parallel import mesh as mesh_mod, shard_decode
 from .image_codec import CodecConfig, ImageCodec

@@ -18,7 +18,6 @@ host able to decode any block range, so
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh
 
