@@ -179,11 +179,16 @@ def _make_kernel(width: int, bounds, adj_inc, *, sub: int, num_steps: int,
                 # local extraction: 4 symbols consume <= 64 bits, and a
                 # symbol starting at t <= 48 never reads past bit 64, so
                 # (W0, W1) always suffice (W1 garbage low bits can only
-                # reach the window when t > 48 — impossible).
-                hi = jnp.where(t < 32, W0, W1)
-                u = t & 31
-                win32 = jax.lax.shift_left(hi, u) | jax.lax.shift_right_logical(
-                    jax.lax.shift_right_logical(W1, 1), 31 - u)
+                # reach the window when t > 48 — impossible). Static facts:
+                # k=0 -> t == 0 (no funnel); k=1 -> t <= 16 (hi is W0).
+                if k == 0:
+                    win32 = W0
+                else:
+                    hi = W0 if k == 1 else jnp.where(t < 32, W0, W1)
+                    u = t & 31
+                    win32 = jax.lax.shift_left(hi, u) | \
+                        jax.lax.shift_right_logical(
+                            jax.lax.shift_right_logical(W1, 1), 31 - u)
                 window = jax.lax.shift_right_logical(win32, 16)
                 # fused accumulator: acc = w + 256*(adj + 2^16); adj may be
                 # negative but |adj| < 2^16, so the low byte is always w
