@@ -73,6 +73,26 @@ class ImageCodec:
         payload = native.delta_encode(blk, cfg.block_size) if cfg.delta else blk
         return native.encode_symbols(payload, block_size=cfg.block_size)
 
+    def encode_best(self, img: np.ndarray):
+        """Encode with and without delta precoding, keep the smaller stream.
+
+        The reference fixes delta at compile time
+        (``IMPL_DELTAS_BEFORE_HUFF_ENCODING``); delta helps smooth content
+        and hurts noise-like content, so measuring both (encode is cheap)
+        always wins. Returns (stream, delta_used) — pair with a codec whose
+        config matches ``delta_used`` for decoding, or rely on the container
+        flag.
+        """
+        blk = blocks.image_to_blocks(img, self.config.block_dim).ravel()
+        plain = native.encode_symbols(blk, block_size=self.config.block_size)
+        deltas = native.encode_symbols(
+            native.delta_encode(blk, self.config.block_size),
+            block_size=self.config.block_size,
+        )
+        if deltas.compressed_size < plain.compressed_size:
+            return deltas, True
+        return plain, False
+
     def encode_to_bytes(self, img: np.ndarray) -> bytes:
         """Image -> on-disk MHT1 container (records a source CRC-32)."""
         import zlib

@@ -28,6 +28,21 @@ def test_container_roundtrip(shape):
     np.testing.assert_array_equal(out, img)
 
 
+def test_encode_best_picks_smaller():
+    codec = ImageCodec(CodecConfig(backend="xla"))
+    smooth = _frame(64, 64)  # delta should win
+    stream_s, used_s = codec.encode_best(smooth)
+    assert used_s is True
+    rng = np.random.default_rng(0)
+    noise = rng.integers(0, 256, (64, 64), np.uint8)  # delta should lose
+    stream_n, used_n = codec.encode_best(noise)
+    assert used_n is False
+    # decodes bit-exact with the matching config
+    out = ImageCodec(CodecConfig(backend="xla", delta=used_n)).decode(
+        stream_n, 64, 64)
+    np.testing.assert_array_equal(out, noise)
+
+
 def test_no_delta_config():
     codec = ImageCodec(CodecConfig(backend="xla", delta=False))
     codec.roundtrip_verify(_frame(48, 48))
