@@ -14,7 +14,13 @@ from .container import EncodedStream
 
 
 def encode_symbols(symbols: np.ndarray, block_size: int = 64) -> EncodedStream:
-    """Canonical-Huffman encode a symbol stream with a per-block offset index."""
+    """Canonical-Huffman encode a symbol stream with a per-block offset index.
+
+    The offset index covers only complete blocks (``n // block_size``); a
+    partial tail is encoded into the bitstream (serial decoders can reach it)
+    but the block-parallel device decoders decode whole blocks only — image
+    pipelines always feed zero-padded full blocks (``core.blocks``).
+    """
     symbols = np.asarray(symbols, dtype=np.uint8).ravel()
     if symbols.size == 0:
         raise ValueError("empty input")

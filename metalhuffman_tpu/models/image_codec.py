@@ -212,6 +212,57 @@ class ImageCodec:
                 )
         return out
 
+    def decode_region(
+        self,
+        stream: container.EncodedStream,
+        height: int,
+        width: int,
+        y0: int,
+        x0: int,
+        rh: int,
+        rw: int,
+    ) -> np.ndarray:
+        """Decode only the blocks covering a region of interest.
+
+        Random access is exactly what the per-block offset index buys
+        (the reference's crop shaders re-crop a fully decoded texture,
+        ``AAPLShaders.metal:108-123``; here we never decode the rest).
+        Returns the (rh, rw) uint8 crop.
+        """
+        cfg = self.config
+        bd = cfg.block_dim
+        bh, bw = blocks.block_grid(height, width, bd)
+        by0, bx0 = y0 // bd, x0 // bd
+        by1, bx1 = (y0 + rh - 1) // bd + 1, (x0 + rw - 1) // bd + 1
+        if not (0 <= y0 and y0 + rh <= height and 0 <= x0 and x0 + rw <= width):
+            raise ValueError("region out of bounds")
+        sel = (
+            np.arange(by0, by1)[:, None] * bw + np.arange(bx0, bx1)[None, :]
+        ).ravel()
+        sub_offsets = stream.block_offsets[sel]
+
+        total_bits = 8 * (stream.code_bytes.size - bitstream.READ_AHEAD_PAD_BYTES)
+        wpr = layout_mod.words_per_block(
+            layout_mod.max_block_bits(stream.block_offsets, total_bits),
+            symbols_per_block=cfg.block_size,
+        )
+        words = bitstream.bytes_to_be_words(stream.code_bytes, pad_words=wpr)
+        t1, t2 = decode_xla.prepare_tables(
+            stream.widths, cfg.table1_bits, cfg.table2_bits
+        )
+        rows, bit_init = layout_mod.build_layout_jax(
+            jnp.asarray(words), jnp.asarray(sub_offsets.astype(np.int32)), wpr
+        )
+        blk = np.asarray(decode_xla.decode_blocks(
+            rows, bit_init, jnp.asarray(t1), jnp.asarray(t2),
+            num_steps=cfg.block_size, delta=cfg.delta,
+        ))
+        region = blocks.blocks_to_image(
+            blk, (by1 - by0) * bd, (bx1 - bx0) * bd, bd
+        )
+        oy, ox = y0 - by0 * bd, x0 - bx0 * bd
+        return region[oy : oy + rh, ox : ox + rw]
+
     def roundtrip_verify(self, img: np.ndarray) -> container.EncodedStream:
         """Encode+decode+byte-compare (reference: ``AAPLRenderer.m:1849-1876``)."""
         stream = self.encode(img)

@@ -28,6 +28,24 @@ def test_container_roundtrip(shape):
     np.testing.assert_array_equal(out, img)
 
 
+@pytest.mark.parametrize("region", [(0, 0, 8, 8), (13, 29, 30, 50), (56, 88, 8, 8)])
+def test_decode_region(region):
+    img = _frame(64, 96, seed=5)
+    codec = ImageCodec(CodecConfig(backend="xla"))
+    stream = codec.encode(img)
+    y0, x0, rh, rw = region
+    crop = codec.decode_region(stream, 64, 96, y0, x0, rh, rw)
+    np.testing.assert_array_equal(crop, img[y0 : y0 + rh, x0 : x0 + rw])
+
+
+def test_decode_region_out_of_bounds():
+    img = _frame(32, 32)
+    codec = ImageCodec(CodecConfig(backend="xla"))
+    stream = codec.encode(img)
+    with pytest.raises(ValueError):
+        codec.decode_region(stream, 32, 32, 30, 0, 8, 8)
+
+
 def test_encode_best_picks_smaller():
     codec = ImageCodec(CodecConfig(backend="xla"))
     smooth = _frame(64, 64)  # delta should win
