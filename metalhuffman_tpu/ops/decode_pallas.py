@@ -184,9 +184,9 @@ def _make_kernel(width: int, bounds, adj_inc, *, sub: int, num_steps: int,
                 if k == 0:
                     win32 = W0
                 else:
-                    hi = W0 if k == 1 else jnp.where(t < 32, W0, W1)
+                    w_hi = W0 if k == 1 else jnp.where(t < 32, W0, W1)
                     u = t & 31
-                    win32 = jax.lax.shift_left(hi, u) | \
+                    win32 = jax.lax.shift_left(w_hi, u) | \
                         jax.lax.shift_right_logical(
                             jax.lax.shift_right_logical(W1, 1), 31 - u)
                 window = jax.lax.shift_right_logical(win32, 16)
