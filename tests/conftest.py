@@ -32,6 +32,10 @@ def pytest_collection_modifyitems(config, items):
 
         if len(jax.devices()) < 8:
             skip = pytest.mark.skip(reason="needs 8 devices (CPU mesh mode)")
+            multi_device_files = (
+                "test_parallel.py", "test_pallas_sharded.py",
+                "test_multihost.py", "test_frame_stream.py",
+            )
             for item in items:
-                if "parallel" in item.nodeid or "multichip" in item.nodeid:
+                if any(f in item.nodeid for f in multi_device_files):
                     item.add_marker(skip)
