@@ -32,6 +32,23 @@ def test_dump_table_and_summary():
     assert "blocks=4" in summary
 
 
+@pytest.mark.parametrize("seed", range(4))
+def test_fuzz_pallas_interpret_roundtrip(seed):
+    """Random distributions through the Pallas kernel (interpret mode)."""
+    from metalhuffman_tpu.ops import decode_pallas
+
+    rng = np.random.default_rng(1000 + seed)
+    alphabet = int(rng.integers(2, 257))
+    p = rng.uniform(0.3, 1.0) ** np.arange(alphabet)
+    p /= p.sum()
+    data = rng.choice(np.arange(alphabet), size=64 * int(rng.integers(2, 20)),
+                      p=p).astype(np.uint8)
+    enc = encode_symbols(data, block_size=64)
+    out = np.asarray(
+        decode_pallas.decode_stream_pallas(enc, delta=False, interpret=True))
+    np.testing.assert_array_equal(out.ravel(), data)
+
+
 @pytest.mark.parametrize("seed", range(12))
 def test_fuzz_random_distributions_roundtrip(seed):
     """Random alphabet sizes/skews through encode -> XLA decode, bit-exact."""
