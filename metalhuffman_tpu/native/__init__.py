@@ -175,6 +175,11 @@ def encode_symbols(data: np.ndarray, block_size: int = 64,
             capacity, ctypes.byref(code_len), offs_p, ctypes.byref(total_bits),
             n_threads,
         )
+    if rc == -7:
+        raise ValueError(
+            "stream exceeds 2^32 bits — u32 block offsets overflow; "
+            "split the input (e.g. per-frame or segmented MHTV)"
+        )
     if rc:
         raise RuntimeError(f"mht_encode failed: {rc}")
     return EncodedStream(

@@ -188,6 +188,7 @@ int mht_encode(const uint8_t* data, int64_t n, int64_t block_size,
     total_bits += freqs[s] * static_cast<int64_t>(widths_out[s]);
   const int64_t total_bytes = (total_bits + 7) / 8 + 2;  // +2 read-ahead pad
   if (total_bytes > code_capacity) return -3;
+  if (n / block_size > 0 && total_bits >= (1LL << 32)) return -7;  // u32 offsets
 
   std::memset(code_bytes_out, 0, total_bytes);
   uint64_t acc = 0;    // bit accumulator, MSB-aligned in the low `nbits` bits
@@ -344,6 +345,7 @@ int mht_encode_mt(const uint8_t* data, int64_t n, int64_t block_size,
   std::vector<int64_t> chunk_start(nc + 1, 0);
   for (int t = 0; t < nc; ++t) chunk_start[t + 1] = chunk_start[t] + chunk_bits[t];
   const int64_t total_bits = chunk_start[nc];
+  if (n_blocks > 0 && total_bits >= (1LL << 32)) return -7;  // u32 offsets
   const int64_t total_bytes = (total_bits + 7) / 8 + 2;
   if (total_bytes > code_capacity) return -3;
   std::memset(code_bytes_out, 0, total_bytes);
