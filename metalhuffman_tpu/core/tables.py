@@ -95,6 +95,11 @@ def build_split_tables(widths: np.ndarray, k1: int = 8, k2: int = 8) -> SplitTab
     prefix_to_table = {p: i + 1 for i, p in enumerate(prefixes)}  # slot 0 reserved
 
     num_tables = len(prefixes) + 1
+    if num_tables > 256:
+        # cannot happen for a complete prefix code (at least one code has
+        # width <= k1 by Kraft), but guard malformed width tables: the T1
+        # escape entry stores the table index in a uint8 symbol slot
+        raise ValueError("too many escape prefixes for uint8 table indices")
     t2_sym = np.zeros(num_tables * n2, dtype=np.uint8)
     t2_w = np.zeros(num_tables * n2, dtype=np.uint8)
 
