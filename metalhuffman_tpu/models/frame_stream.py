@@ -189,6 +189,40 @@ def decode_shared_step(prep: PreparedShared, config: CodecConfig | None = None,
     return out
 
 
+class StreamingDecoder:
+    """Pipelined batch decoding: staging of batch t+1 overlaps decode of t.
+
+    JAX dispatch is asynchronous, so ``submit`` returns immediately after
+    enqueueing the host->device staging and the decode; ``result`` blocks
+    only on that batch. With two or more batches in flight the device never
+    waits for the host (the reference decodes strictly serially per display
+    tick). Typical loop::
+
+        dec = StreamingDecoder(cfg)
+        handles = [dec.submit(s, T, H, W) for s in first_two_batches]
+        for next_stream in rest:
+            frames = dec.result(handles.pop(0))
+            handles.append(dec.submit(next_stream, T, H, W))
+    """
+
+    def __init__(self, config: CodecConfig | None = None):
+        self.config = config or CodecConfig()
+
+    def submit(self, stream: container.EncodedStream, num_frames: int,
+               height: int, width: int):
+        """Enqueue staging + decode; returns an opaque handle (non-blocking)."""
+        prep = prepare_shared(stream, num_frames, height, width, self.config)
+        raw = decode_shared_step(prep, self.config, raw=bool(prep.h2))
+        return (prep, raw)
+
+    def result(self, handle) -> np.ndarray:
+        """Block on one submitted batch; returns (T, H, W) uint8 frames."""
+        prep, raw = handle
+        if prep.h2:
+            return frames_from_raw(raw, prep.num_frames, prep.height, prep.width)
+        return np.asarray(raw)
+
+
 def frames_from_raw(raw, num_frames: int, height: int, width: int) -> np.ndarray:
     """Host-side zero-copy view: raw strips -> (T, H, W) uint8 frames."""
     flat = np.asarray(raw).reshape(-1, width // 4)[: num_frames * height]
