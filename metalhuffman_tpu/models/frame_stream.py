@@ -189,6 +189,68 @@ def decode_shared_step(prep: PreparedShared, config: CodecConfig | None = None,
     return out
 
 
+def decode_shared_sharded(
+    stream: container.EncodedStream,
+    num_frames: int,
+    height: int,
+    width: int,
+    mesh=None,
+    config: CodecConfig | None = None,
+):
+    """Multi-chip shared-table batch decode (Pallas kernel per chip).
+
+    Stages tiles so every shard's local tile count stays a multiple of the
+    kernel's group_tiles (the h-major feed permutation is built per program
+    and must match the per-shard regrouping). On the image-layout path each
+    chip's output is its contiguous range of image rows — reassemble with
+    ``images_from_strips`` after gathering, or consume row ranges in place.
+    Returns (strips_or_packed, n_blocks, h2).
+    """
+    from ..ops import decode_pallas
+    from ..parallel import mesh as mesh_mod, shard_decode
+
+    cfg = config or CodecConfig()
+    if mesh is None:
+        mesh = mesh_mod.make_mesh()
+    n_shards = mesh.devices.size
+    g = decode_pallas.DEFAULT_GROUP_TILES
+    interpret = cfg.interpret or jax.default_backend() in ("cpu", "gpu")
+
+    meta, words, offsets, wpr = decode_pallas.prepare_stream(
+        stream, cfg.block_size)
+    h2 = decode_pallas.image_h2_for(width, cfg.block_dim)
+    if height % cfg.block_dim:
+        h2 = 0
+    # pad tiles to a multiple of shards * group_tiles so per-shard counts
+    # keep the same program grouping the feed permutation was built for
+    tile_mult = n_shards * g
+    if h2:
+        rows, init, nb = decode_pallas.tile_layout_images(
+            jnp.asarray(words), jnp.asarray(offsets), wpr, h2, group_tiles=g)
+    else:
+        rows, init, nb = decode_pallas.tile_layout_jax(
+            jnp.asarray(words), jnp.asarray(offsets), wpr, group_tiles=g)
+    pad = (-rows.shape[0]) % tile_mult
+    if pad:
+        rows = jnp.pad(rows, ((0, pad), (0, 0), (0, 0), (0, 0)))
+        init = jnp.pad(init, ((0, pad), (0, 0), (0, 0)))
+    pair = jnp.asarray(meta.pair_table)
+    if h2:
+        out = shard_decode.decode_tiles_images_sharded(
+            rows, init, pair, mesh=mesh, width=wpr,
+            bounds=meta.bounds, adj_inc=meta.adj_inc, h2=h2,
+            delta=cfg.delta, group_tiles=g, interpret=interpret,
+        )
+    else:
+        out = shard_decode.decode_tiles_sharded(
+            rows, init, pair, mesh=mesh, width=wpr,
+            bounds=meta.bounds, adj_inc=meta.adj_inc,
+            num_steps=cfg.block_size, delta=cfg.delta, group_tiles=g,
+            interpret=interpret,
+        )
+    return out, nb, h2
+
+
 class StreamingDecoder:
     """Pipelined batch decoding: staging of batch t+1 overlaps decode of t.
 

@@ -68,6 +68,42 @@ def test_shared_image_layout_h2_2_interpret():
     np.testing.assert_array_equal(out, frames)
 
 
+def test_shared_sharded_image_path():
+    from metalhuffman_tpu.ops import decode_pallas
+    from metalhuffman_tpu.parallel import mesh as mesh_mod
+
+    cfg = CodecConfig(backend="pallas", interpret=True)
+    frames = _frames(2, 64, 1024, seed=11)  # h2=1; 16 blk-rows -> 2 progs... pads
+    stream = frame_stream.encode_frames_shared(frames, cfg)
+    m = mesh_mod.make_mesh(2)
+    out, nb, h2 = frame_stream.decode_shared_sharded(
+        stream, 2, 64, 1024, mesh=m, config=cfg)
+    assert h2 == 1
+    img32 = np.asarray(decode_pallas.images_from_strips(out, 2, 64, 1024))
+    view = img32.reshape(-1, 256).view(np.uint8).reshape(2, 64, 1024)
+    np.testing.assert_array_equal(view, frames)
+
+
+def test_shared_sharded_generic_path():
+    from metalhuffman_tpu.ops import decode_pallas
+    from metalhuffman_tpu.parallel import mesh as mesh_mod
+
+    cfg = CodecConfig(backend="pallas", interpret=True)
+    frames = _frames(2, 40, 48, seed=12)  # width not 1024-multiple
+    stream = frame_stream.encode_frames_shared(frames, cfg)
+    m = mesh_mod.make_mesh(2)
+    out, nb, h2 = frame_stream.decode_shared_sharded(
+        stream, 2, 40, 48, mesh=m, config=cfg)
+    assert h2 == 0
+    blk = np.asarray(decode_pallas.unpack_to_blocks(out, nb))
+    from metalhuffman_tpu.core import blocks as blocks_mod
+
+    nbf = nb // 2
+    for i in range(2):
+        img = blocks_mod.blocks_to_image(blk[i * nbf : (i + 1) * nbf], 40, 48)
+        np.testing.assert_array_equal(img, frames[i])
+
+
 def test_shared_rejects_bad_shapes():
     cfg = CodecConfig()
     with pytest.raises(ValueError):
