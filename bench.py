@@ -135,6 +135,37 @@ def run_single(height: int, width: int, backend: str, iters: int, verbose: bool)
     return gbps
 
 
+def _supervised_main() -> int:
+    """Run the benchmark in a child process with a watchdog and one retry.
+
+    The TPU relay in this environment occasionally wedges on a fresh
+    compile (minutes-long hangs a in-process caller cannot interrupt);
+    supervision makes the round's benchmark record survive one wedge.
+    """
+    import os
+    import subprocess
+
+    env = dict(os.environ, MHT_BENCH_CHILD="1")
+    for attempt in range(2):
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)] + sys.argv[1:],
+                env=env, stdout=subprocess.PIPE, timeout=540,
+            )
+        except subprocess.TimeoutExpired:
+            print(f"bench attempt {attempt + 1} timed out (wedged device?); "
+                  f"{'retrying' if attempt == 0 else 'giving up'}",
+                  file=sys.stderr)
+            continue
+        out = proc.stdout.decode()
+        if proc.returncode == 0 and out.strip():
+            sys.stdout.write(out.splitlines()[-1] + "\n")
+            return 0
+        print(f"bench attempt {attempt + 1} failed (rc={proc.returncode})",
+              file=sys.stderr)
+    return 1
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--height", type=int, default=1536)
@@ -177,4 +208,9 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import os
+
+    if os.environ.get("MHT_BENCH_CHILD"):
+        main()
+    else:
+        sys.exit(_supervised_main())
