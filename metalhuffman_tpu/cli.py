@@ -189,8 +189,20 @@ def cmd_decode_video(args) -> int:
         streams, h, w, bd, delta = frame_stream.read_stream(data)
         if (bd, delta) != (cfg.block_dim, cfg.delta):
             raise SystemExit("container geometry does not match codec config")
-        prep = frame_stream.prepare_batch(streams, h, w, cfg)
-        frames = np.asarray(frame_stream.decode_batch(prep, cfg))
+        if cfg.backend == "xla":
+            prep = frame_stream.prepare_batch(streams, h, w, cfg)
+            frames = np.asarray(frame_stream.decode_batch(prep, cfg))
+        else:
+            # per-frame tables -> per-frame kernel dispatches (the batched
+            # XLA path is the portable fallback; per-symbol HBM gathers
+            # make it ~1000x slower than the Pallas kernel on TPU)
+            from .models import ImageCodec
+
+            codec = ImageCodec(cfg)
+            frames = np.stack([
+                np.asarray(codec.decode_step(codec.prepare(s, h, w)))
+                for s in streams
+            ])
         t = len(streams)
     else:
         raise SystemExit("not an MHTV/MHTS container")

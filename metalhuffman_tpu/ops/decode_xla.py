@@ -1,8 +1,12 @@
 """Vectorized Huffman block decode in pure jnp (XLA), one lane per block.
 
-This is the portable device decode path: it runs on CPU/GPU/TPU, is the fast
+This is the PORTABLE decode path: it runs on CPU/GPU/TPU, is the fast
 full-frame oracle for the Pallas kernel, and the function `shard_map` shards
-across chips. The algorithm replaces the reference's per-fragment serial decode
+across chips. On TPU its per-symbol HBM table gathers make it ~1000x slower
+than the Pallas kernel (PERF.md path comparison) — use it for correctness,
+CPU meshes, and non-TPU backends; use ops.decode_pallas for TPU throughput.
+
+The algorithm replaces the reference's per-fragment serial decode
 (``AAPLShaders.metal:127-178, 291-445``) with a 64-step loop where *every* step
 decodes one symbol in *every* block simultaneously:
 

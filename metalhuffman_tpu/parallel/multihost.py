@@ -10,7 +10,9 @@ host able to decode any block range, so
 - the block-offset index is sharded in contiguous ranges over the GLOBAL
   device order (stable range -> chip mapping keeps output deterministic);
 - decode runs under the same ``shard_decode.decode_blocks_sharded`` as
-  single-host — XLA addresses ICI within a host and DCN across hosts;
+  single-host — XLA addresses ICI within a host and DCN across hosts
+  (swap in ``shard_decode.decode_tiles_sharded`` for the Pallas kernel on
+  real TPU pods; the XLA path shown here is the portable default);
 - the decoded global array is sharded in stream order; fetch spans you need,
   or use :func:`gather_blocks` for a host-local full copy.
 """
