@@ -32,6 +32,50 @@ def test_dump_table_and_summary():
     assert "blocks=4" in summary
 
 
+@pytest.mark.slow
+def test_deep_fuzz_lengths_and_streams():
+    """50 random frequency tables: native == NumPy lengths, streams, roundtrips."""
+    from metalhuffman_tpu import native
+    from metalhuffman_tpu.core import canonical, encode as encode_mod, tables
+
+    rng = np.random.default_rng(777)
+    for trial in range(50):
+        kind = trial % 4
+        freqs = np.zeros(256, np.int64)
+        if kind == 0:
+            sel = rng.choice(256, int(rng.integers(1, 257)), replace=False)
+            freqs[sel] = rng.integers(1, 1_000_000, sel.size)
+        elif kind == 1:
+            n = int(rng.integers(2, 200))
+            freqs[:n] = np.maximum(1, (2.0 ** np.arange(n) % 1e9).astype(np.int64))
+        elif kind == 2:  # fibonacci: deep optimal trees -> package-merge
+            a, b = 1, 1
+            for s in range(int(rng.integers(2, 40))):
+                freqs[s] = a
+                a, b = b, a + b
+        else:
+            freqs = rng.integers(0, 100, 256).astype(np.int64)
+            if freqs.sum() == 0:
+                freqs[0] = 1
+        w_np = canonical.huffman_code_lengths(freqs)
+        np.testing.assert_array_equal(w_np, native.code_lengths(freqs))
+        canonical.validate_widths(w_np)
+        data = rng.choice(
+            np.arange(256), size=640, p=freqs / freqs.sum()).astype(np.uint8)
+        e1 = encode_mod.encode_symbols(data, 64)
+        e2 = native.encode_symbols(data, 64)
+        np.testing.assert_array_equal(e1.code_bytes, e2.code_bytes)
+        sym, wp = tables.build_single_table(e1.widths)
+        out = decode_ref_decode(e1.code_bytes, sym, wp, 640)
+        np.testing.assert_array_equal(out, data)
+
+
+def decode_ref_decode(code_bytes, sym, wp, n):
+    from metalhuffman_tpu.core import decode_ref
+
+    return decode_ref.decode_single_table(code_bytes, sym, wp, n)
+
+
 @pytest.mark.parametrize("seed", range(4))
 def test_fuzz_pallas_interpret_roundtrip(seed):
     """Random distributions through the Pallas kernel (interpret mode)."""
