@@ -199,6 +199,8 @@ def decode_blocks(stream, *, delta: bool = True, block_size: int = 64,
     """
     lib = _lib()
     nb = int(stream.block_offsets.size)
+    if nb == 0:  # stream shorter than one block: no decodable block units
+        return np.zeros((0, block_size), dtype=np.uint8)
     if lib is None:
         from ..core import decode_ref, delta as delta_mod, tables
 
