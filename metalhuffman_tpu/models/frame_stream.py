@@ -87,6 +87,8 @@ def read_shared(data: bytes):
     offsets = np.frombuffer(
         data, dtype="<u4", count=n_blocks, offset=26 + core_len
     ).astype(np.uint32)
+    if offsets.size != n_blocks:
+        raise ValueError("truncated MHTV container (offset index incomplete)")
     stream = container.EncodedStream(num_symbols, widths, code_bytes, offsets)
     return stream, t, h, w, bd, bool(delta)
 

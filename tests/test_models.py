@@ -38,6 +38,16 @@ def test_decode_region(region):
     np.testing.assert_array_equal(crop, img[y0 : y0 + rh, x0 : x0 + rw])
 
 
+def test_decode_region_partial_edge_blocks():
+    # 13x17 image: right/bottom blocks are zero-padded; region touches them
+    rng = np.random.default_rng(8)
+    img = rng.integers(0, 256, (13, 17), np.uint8)
+    codec = ImageCodec(CodecConfig(backend="xla"))
+    stream = codec.encode(img)
+    crop = codec.decode_region(stream, 13, 17, 9, 12, 4, 5)
+    np.testing.assert_array_equal(crop, img[9:13, 12:17])
+
+
 def test_decode_region_out_of_bounds():
     img = _frame(32, 32)
     codec = ImageCodec(CodecConfig(backend="xla"))
