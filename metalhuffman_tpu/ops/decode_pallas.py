@@ -30,11 +30,23 @@ TPU-specific design (measured on v5e; see SURVEY.md section 7 "hard parts"):
   absent from the table are pruned at trace time.
 - **ILP via tile interleaving.** The decode chain is serial per block; each
   program carries ``group_tiles`` independent chains (sublane-stacked) to
-  hide VPU op latency. Measured: g=1 -> 20 GB/s, g=16 -> 31 GB/s on v5e.
-- **Packed output.** 4 decoded bytes per int32 store (little-endian), cutting
-  output HBM traffic 4x; ``unpack_to_blocks`` is the XLA-side bitcast.
+  hide VPU op latency (g=8 is the VMEM-fitting optimum on v5e).
+- **Range-limited fetch.** At unrolled group j the word index provably lies
+  in [4j*min_width/32, (31+64j)/32], so the word-select scans only that
+  static range; early groups collapse to direct loads.
+- **Fused width+adj accumulator.** ``acc = w + 256*(adj + 2^16)`` — one
+  accumulate per compare term; the low byte is always the code width.
+- **Packed output.** 4 decoded bytes per int32 store (little-endian), 4x
+  less HBM write traffic; ``unpack_to_blocks`` is the XLA-side bitcast. In
+  ``image_h2`` mode the kernel lane-interleaves each block row and stores
+  FINAL image positions (h-major feed permutation makes the sublane slices
+  contiguous) — the output is the image as int32 words, byte-viewable on the
+  host for free, with zero device relayout passes.
 - Zero words decode safely (width/index clamp into region 0), so padded lanes
   and padded blocks never index out of bounds.
+
+End-to-end on v5e: ~34 GB/s decoded (30-frame 2048x1536 batch, one
+dispatch); evolution and methodology in PERF.md.
 """
 
 from __future__ import annotations
