@@ -67,6 +67,16 @@ def test_tga_reader(tmp_path):
     np.testing.assert_array_equal(imageio.load_tga(p), img)
 
 
+def test_profiler_trace_context(tmp_path):
+    import jax.numpy as jnp
+
+    from metalhuffman_tpu.utils import profiling
+
+    with profiling.trace(str(tmp_path / "trace")) as d:
+        float(jnp.sum(jnp.ones((8, 8))))
+    assert (tmp_path / "trace").exists()
+
+
 def test_timer_and_time_fn():
     from metalhuffman_tpu.utils import profiling
 
