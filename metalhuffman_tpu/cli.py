@@ -219,13 +219,16 @@ def cmd_decode_video(args) -> int:
 
 
 def cmd_inspect(args) -> int:
-    """Debug view of an MHT1 stream (table dump / per-block symbol trace)."""
+    """Debug view of an MHT1/MHTV stream (table dump / per-block symbol trace)."""
     from .core import container
+    from .models import frame_stream
     from .utils import debug
 
-    stream, h, w, bd, delta, _crc = container.read_frame(
-        Path(args.input).read_bytes()
-    )
+    data = Path(args.input).read_bytes()
+    if data[:4] == frame_stream.SHARED_MAGIC:
+        stream, _t, h, w, bd, delta = frame_stream.read_shared(data)
+    else:
+        stream, h, w, bd, delta, _crc = container.read_frame(data)
     print(debug.stream_summary(stream))
     if args.table:
         print(debug.dump_table(stream.widths))
@@ -266,7 +269,11 @@ def _enable_compile_cache() -> None:
 
 def main(argv=None) -> int:
     _enable_compile_cache()
+    from . import __version__
+
     ap = argparse.ArgumentParser(prog="metalhuffman_tpu", description=__doc__)
+    ap.add_argument("--version", action="version",
+                    version=f"metalhuffman-tpu {__version__}")
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     p = sub.add_parser("encode", help="image file -> MHT1 container")
