@@ -17,26 +17,36 @@ from __future__ import annotations
 
 import numpy as np
 
-#: Row-size buckets (in u32 words). 34 covers the worst case for 64 symbols of
-#: <= 16 bits each: ceil((31 + 64*16)/32) + 1 read-ahead word. Larger
-#: blocks (block_dim > 8) extend past the table in multiples of 8 words.
+#: Row-size buckets (in u32 words). 34 covers the worst case for 64 symbols
+#: of <= 16 bits each: the last refill group starts at bit <= 31 + 60*16 so
+#: needs words up to ((31 + 960) >> 5) + 2 = 32 -> 33 words. Larger blocks
+#: (block_dim > 8) extend past the table in multiples of 8 words.
 WORD_BUCKETS = (6, 10, 14, 18, 26, 34)
 MAX_WORDS_PER_BLOCK = WORD_BUCKETS[-1]
 
 
 def words_per_block(max_block_bits: int, symbols_per_block: int = 64) -> int:
-    """Smallest row bucket covering ``max_block_bits`` plus worst-case skew.
+    """Smallest row bucket safely covering ``max_block_bits``.
 
-    The last window read within a block starts at most at bit
-    ``31 + max_block_bits - 1`` of the row and touches that word plus the next.
+    Sizing is driven by the kernel's 3-word refill fetch
+    (``decode_pallas._make_kernel``): the final 4-symbol group starts at bit
+    ``init + consumed`` where ``init <= 31`` and ``consumed`` (bits decoded
+    before that group) is bounded both by the block's own size minus at
+    least 1 bit per remaining symbol AND by ``S-4`` codes of <= 16 bits.
+    The fetch reads words ``wi, wi+1, wi+2`` so the row must extend to
+    ``wi + 2`` inclusive — i.e. ``((31 + consumed) >> 5) + 3`` words. (The
+    previous ``+2`` sizing let ``wi`` reach ``width - 2`` on bucket-edge
+    streams, silently zeroing the refill for the last groups.)
     """
-    hard_cap = (31 + symbols_per_block * 16 - 1) // 32 + 2
-    need = min((31 + int(max_block_bits) - 1) // 32 + 2, hard_cap)
+    mbb = int(max_block_bits)
+    group = 4  # decode_pallas.SYMS_PER_GROUP
+    consumed = max(0, min(mbb - group, (int(symbols_per_block) - group) * 16))
+    need = ((31 + consumed) >> 5) + 3
     for b in WORD_BUCKETS:
         if b >= need:
             return b
     # beyond the bucket table (large blocks): round up to a multiple of 8
-    return min(-(-need // 8) * 8, max(hard_cap, MAX_WORDS_PER_BLOCK))
+    return -(-need // 8) * 8
 
 
 def max_block_bits(block_offsets: np.ndarray, total_bits: int) -> int:

@@ -60,6 +60,36 @@ def test_partial_tile_padding():
     np.testing.assert_array_equal(out.ravel(), data)
 
 
+def test_bucket_edge_low_entropy():
+    # Regression: widths {1,2,2} with ~124-bit blocks used to land exactly on
+    # the 6-word row bucket while the last refill group's word index reached
+    # width-2, outside the kernel's word-select range — decoding positions
+    # 60..63 of unluckily-aligned blocks wrong (ADVICE.md round-1 high).
+    rng = np.random.default_rng(42)
+    nb = 50
+    blks = []
+    for _ in range(nb):
+        # 60 two-bit codes then 4 one-bit codes: 124-bit block whose final
+        # group starts 120 bits deep.
+        blks.append(np.concatenate([
+            rng.integers(0, 2, 60).astype(np.uint8),  # symbols 0/1 (2-bit)
+            np.full(4, 2, np.uint8),                  # symbol 2 (1-bit)
+        ]))
+    # enough all-2 blocks to make symbol 2 the most frequent -> width 1
+    for _ in range(nb):
+        blks.append(np.full(64, 2, np.uint8))
+    data = np.concatenate(blks)
+    enc = encode_symbols(data, block_size=64)
+    assert sorted(enc.widths[enc.widths > 0].tolist()) == [1, 2, 2]
+    from metalhuffman_tpu.ops import layout
+    total_bits = 8 * enc.code_bytes.size - 16
+    assert layout.max_block_bits(enc.block_offsets, total_bits) == 124
+    out = np.asarray(
+        decode_pallas.decode_stream_pallas(enc, delta=False, interpret=True)
+    )
+    np.testing.assert_array_equal(out.ravel(), data)
+
+
 def test_canonical_meta_intervals():
     # Interval arithmetic must agree with the LUT for every 16-bit window.
     from metalhuffman_tpu.core import canonical, tables
