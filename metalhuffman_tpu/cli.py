@@ -180,15 +180,16 @@ def cmd_decode_video(args) -> int:
     data = Path(args.input).read_bytes()
     cfg = _config(args)
     t0 = time.perf_counter()
+    import dataclasses
+
     if data[:4] == frame_stream.SHARED_MAGIC:
         stream, t, h, w, bd, delta = frame_stream.read_shared(data)
-        if (bd, delta) != (cfg.block_dim, cfg.delta):
-            raise SystemExit("container geometry does not match codec config")
+        # the container header is authoritative for block_dim/delta
+        cfg = dataclasses.replace(cfg, block_dim=bd, delta=delta)
         frames = np.asarray(frame_stream.decode_frames_shared(stream, t, h, w, cfg))
     elif data[:4] == frame_stream.STREAM_MAGIC:
         streams, h, w, bd, delta = frame_stream.read_stream(data)
-        if (bd, delta) != (cfg.block_dim, cfg.delta):
-            raise SystemExit("container geometry does not match codec config")
+        cfg = dataclasses.replace(cfg, block_dim=bd, delta=delta)
         if cfg.backend == "xla":
             prep = frame_stream.prepare_batch(streams, h, w, cfg)
             frames = np.asarray(frame_stream.decode_batch(prep, cfg))

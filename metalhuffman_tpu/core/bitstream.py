@@ -73,6 +73,11 @@ def block_bit_offsets(offsets: np.ndarray, block_size: int) -> np.ndarray:
     """
     offsets = np.asarray(offsets)
     n_symbols = offsets.size - 1
+    if int(offsets[-1]) >= 1 << 32:
+        raise ValueError(
+            "stream exceeds 2^32 bits — u32 block offsets overflow; "
+            "split the input (e.g. per-frame or segmented MHTV)"
+        )
     n_blocks = n_symbols // block_size
     return offsets[: n_blocks * block_size : block_size].astype(np.uint32)
 

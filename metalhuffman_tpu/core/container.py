@@ -88,17 +88,40 @@ def write_frame(
 
 
 def read_frame(data: bytes):
-    """Parse MHT1 -> (stream, height, width, block_dim, delta, source_crc32)."""
+    """Parse MHT1 -> (stream, height, width, block_dim, delta, source_crc32).
+
+    Two MHT1 header layouts exist: the current one carries a source CRC-32
+    after the delta flag; an early revision did not. Both start with the
+    same ``MHT1`` magic, so the layout is disambiguated by where the core
+    blob's own magic (0xFFEEEEDD) lands — unambiguous, since the field that
+    would alias it in the other layout is a byte count that can never reach
+    0xFFEEEEDD.
+    """
     if data[:4] != DISK_MAGIC:
         raise ValueError("not an MHT1 container")
-    height, width, n_blocks, block_dim, delta, crc = struct.unpack_from(
-        "<IIIBBI", data, 4
-    )
-    (core_len,) = struct.unpack_from("<I", data, 22)
-    core = data[26 : 26 + core_len]
+    if len(data) >= 30 and struct.unpack_from("<I", data, 26)[0] == MAGIC:
+        height, width, n_blocks, block_dim, delta, crc = struct.unpack_from(
+            "<IIIBBI", data, 4
+        )
+        (core_len,) = struct.unpack_from("<I", data, 22)
+        core_off = 26
+    elif len(data) >= 26 and struct.unpack_from("<I", data, 22)[0] == MAGIC:
+        # legacy pre-CRC layout: <IIIBB> geometry header, core_len at 18
+        height, width, n_blocks, block_dim, delta = struct.unpack_from(
+            "<IIIBB", data, 4
+        )
+        crc = 0
+        (core_len,) = struct.unpack_from("<I", data, 18)
+        core_off = 22
+    else:
+        raise ValueError(
+            "unrecognized MHT1 header layout (corrupt, or written by an "
+            "incompatible version)"
+        )
+    core = data[core_off : core_off + core_len]
     num_symbols, widths, code_bytes = parse_core_blob(core)
     offsets = np.frombuffer(
-        data, dtype="<u4", count=n_blocks, offset=26 + core_len
+        data, dtype="<u4", count=n_blocks, offset=core_off + core_len
     ).astype(np.uint32)
     if offsets.size != n_blocks:
         raise ValueError("truncated MHT1 container (offset index incomplete)")

@@ -55,8 +55,8 @@ def encode_frames_shared(
             native.delta_encode(blk, cfg.block_size) if cfg.delta else blk
         )
     payload = np.concatenate(payloads)
-    if payload.size * 16 >= 1 << 32:  # worst case bits must fit u32 offsets
-        raise ValueError("shared stream too large for u32 block offsets")
+    # no worst-case pre-check: the encoder verifies the *actual* total bits
+    # against the u32 offset cap and raises cleanly on true overflow
     return native.encode_symbols(payload, block_size=cfg.block_size)
 
 

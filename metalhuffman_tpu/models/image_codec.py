@@ -16,7 +16,7 @@ step that can run every "frame".
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, replace
 from functools import partial
 
 import jax
@@ -188,20 +188,27 @@ class ImageCodec:
         )
 
     def decode(self, data: bytes | container.EncodedStream, height=None, width=None):
-        """Host convenience: container bytes (or stream) -> (H, W) uint8."""
+        """Host convenience: container bytes (or stream) -> (H, W) uint8.
+
+        For container input the header's recorded block_dim/delta are
+        authoritative (they travel with the stream); the codec config only
+        chooses the decode backend. Raw-stream input uses the config as-is.
+        """
         crc = 0
+        codec = self
         if isinstance(data, (bytes, bytearray, memoryview)):
             stream, height, width, block_dim, use_delta, crc = container.read_frame(
                 bytes(data)
             )
             if block_dim != self.config.block_dim or use_delta != self.config.delta:
-                raise ValueError("container geometry does not match codec config")
+                codec = ImageCodec(replace(
+                    self.config, block_dim=block_dim, delta=use_delta))
         else:
             stream = data
             if height is None or width is None:
                 raise ValueError("height/width required when passing a raw stream")
-        prep = self.prepare(stream, height, width)
-        out = np.asarray(self.decode_step(prep))
+        prep = codec.prepare(stream, height, width)
+        out = np.asarray(codec.decode_step(prep))
         if crc:
             import zlib
 

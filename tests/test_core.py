@@ -287,6 +287,30 @@ class TestContainer:
         assert np.array_equal(s2.code_bytes, enc.code_bytes)
         assert np.array_equal(s2.block_offsets, enc.block_offsets)
 
+    def test_legacy_precrc_header_reads(self, stream):
+        # Early round-1 containers used the same MHT1 magic but no CRC field
+        # (core_len at offset 18). read_frame must detect and parse them.
+        import struct
+
+        enc = encode_symbols(stream)
+        core = enc.core_blob()
+        legacy = (
+            container.DISK_MAGIC
+            + struct.pack("<IIIBB", 32, 48, enc.block_offsets.size, 8, 1)
+            + struct.pack("<I", len(core))
+            + core
+            + enc.block_offsets.astype("<u4").tobytes()
+        )
+        s2, h, w, bd, d, crc = container.read_frame(legacy)
+        assert (h, w, bd, d, crc) == (32, 48, 8, True, 0)
+        assert np.array_equal(s2.code_bytes, enc.code_bytes)
+        assert np.array_equal(s2.block_offsets, enc.block_offsets)
+
+    def test_unrecognized_header_layout_raises(self):
+        bad = container.DISK_MAGIC + b"\x00" * 40
+        with pytest.raises(ValueError, match="header layout"):
+            container.read_frame(bad)
+
     def test_trailing_pad_bytes_present(self, stream):
         enc = encode_symbols(stream)
         assert enc.code_bytes[-1] == 0 and enc.code_bytes[-2] == 0

@@ -76,11 +76,16 @@ def test_no_delta_config():
     codec.roundtrip_verify(_frame(48, 48))
 
 
-def test_config_mismatch_raises():
+def test_container_header_is_authoritative():
+    # The container records block_dim/delta; decode() adopts them even when
+    # the codec config defaults differ (ADVICE.md round-1 low) — e.g. any
+    # --no-delta file must decode with a plain default-config codec.
     img = _frame(32, 32)
-    blob = ImageCodec(CodecConfig(backend="xla")).encode_to_bytes(img)
-    with pytest.raises(ValueError):
-        ImageCodec(CodecConfig(backend="xla", delta=False)).decode(blob)
+    blob = ImageCodec(
+        CodecConfig(backend="xla", delta=False, block_dim=4)
+    ).encode_to_bytes(img)
+    out = ImageCodec(CodecConfig(backend="xla")).decode(blob)
+    np.testing.assert_array_equal(out, img)
 
 
 def test_compression_beats_raw_on_natural_frame():
