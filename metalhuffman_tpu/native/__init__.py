@@ -77,10 +77,21 @@ def _build() -> ctypes.CDLL | None:
         u8p, i64, u8p, ctypes.POINTER(ctypes.c_uint32), i64, i64,
         ctypes.c_int, u8p, ctypes.c_int,
     ]
+    lib.mht_build_split_tables.argtypes = [
+        u8p, ctypes.c_int, u8p, u8p, u8p, u8p, i64,
+        ctypes.POINTER(ctypes.c_int32),
+    ]
+    lib.mht_decode_serial_split.argtypes = [
+        u8p, i64, u8p, i64, i64, ctypes.c_int, u8p,
+    ]
+    lib.mht_symbol_bit_offsets.argtypes = [
+        u8p, i64, u8p, ctypes.POINTER(ctypes.c_uint64),
+    ]
     for fn in (
         lib.mht_code_lengths, lib.mht_canonical_codes, lib.mht_encode,
         lib.mht_decode_serial, lib.mht_delta_encode, lib.mht_delta_decode,
-        lib.mht_encode_mt, lib.mht_decode_blocks,
+        lib.mht_encode_mt, lib.mht_decode_blocks, lib.mht_build_split_tables,
+        lib.mht_decode_serial_split, lib.mht_symbol_bit_offsets,
     ):
         fn.restype = ctypes.c_int
     return lib
@@ -248,6 +259,89 @@ def decode_serial(
     )
     if rc:
         raise RuntimeError(f"mht_decode_serial failed: {rc}")
+    return out
+
+
+def build_split_tables(widths: np.ndarray, k1: int = 8, k2: int = 8):
+    """Native two-level split tables -> core.tables.SplitTables.
+
+    Mirrors the reference's preferred decode-table structure
+    (``HuffmanUtil.cpp:338-667``); NumPy fallback otherwise. Bit-identical to
+    ``core.tables.build_split_tables`` (differential tests).
+    """
+    from ..core import tables
+
+    if k1 + k2 != 16:
+        raise ValueError("k1 + k2 must equal 16 (16-bit decode window)")
+    lib = _lib()
+    widths = np.ascontiguousarray(widths, dtype=np.uint8)
+    if lib is None:
+        return tables.build_split_tables(widths, k1, k2)
+    n1, n2 = 1 << k1, 1 << k2
+    t1_sym = np.zeros(n1, dtype=np.uint8)
+    t1_w = np.zeros(n1, dtype=np.uint8)
+    t2_sym = np.zeros(256 * n2, dtype=np.uint8)
+    t2_w = np.zeros(256 * n2, dtype=np.uint8)
+    num_tables = ctypes.c_int32()
+    rc = lib.mht_build_split_tables(
+        _u8p(widths), k1, _u8p(t1_sym), _u8p(t1_w), _u8p(t2_sym), _u8p(t2_w),
+        t2_sym.size, ctypes.byref(num_tables),
+    )
+    if rc:
+        raise RuntimeError(f"mht_build_split_tables failed: {rc}")
+    n = num_tables.value * n2
+    return tables.SplitTables(
+        t1_sym, t1_w, t2_sym[:n].copy(), t2_w[:n].copy(), k1, k2
+    )
+
+
+def decode_serial_split(
+    code_bytes: np.ndarray, widths: np.ndarray, num_symbols: int,
+    start_bit: int = 0, k1: int = 8,
+) -> np.ndarray:
+    """Native serial split-table decode (``HuffmanUtil.cpp:830-1046`` mirror);
+    NumPy fallback otherwise."""
+    lib = _lib()
+    code_bytes = np.ascontiguousarray(code_bytes, dtype=np.uint8)
+    widths = np.ascontiguousarray(widths, dtype=np.uint8)
+    if lib is None:
+        from ..core import decode_ref, tables
+
+        t = tables.build_split_tables(widths, k1, 16 - k1)
+        return decode_ref.decode_split_tables(
+            code_bytes, t, num_symbols, start_bit
+        )
+    out = np.zeros(num_symbols, dtype=np.uint8)
+    rc = lib.mht_decode_serial_split(
+        _u8p(code_bytes), code_bytes.size, _u8p(widths), num_symbols,
+        start_bit, k1, _u8p(out),
+    )
+    if rc:
+        raise RuntimeError(f"mht_decode_serial_split failed: {rc}")
+    return out
+
+
+def symbol_bit_offsets(data: np.ndarray, widths: np.ndarray) -> np.ndarray:
+    """Bit offset of every symbol, (n+1,) uint64 (last = total code bits).
+
+    Native mirror of ``HuffmanEncoder::lookupBufferBitOffsets``
+    (``HuffmanEncoder.cpp:383-395``) — the offset of ANY symbol, not just
+    block roots; NumPy fallback otherwise.
+    """
+    lib = _lib()
+    data = np.ascontiguousarray(data, dtype=np.uint8).ravel()
+    widths = np.ascontiguousarray(widths, dtype=np.uint8)
+    if lib is None:
+        from ..core import bitstream
+
+        return bitstream.symbol_bit_offsets(data, widths)
+    out = np.zeros(data.size + 1, dtype=np.uint64)
+    rc = lib.mht_symbol_bit_offsets(
+        _u8p(data), data.size, _u8p(widths),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+    )
+    if rc:
+        raise RuntimeError(f"mht_symbol_bit_offsets failed: {rc}")
     return out
 
 

@@ -465,6 +465,142 @@ int mht_decode_blocks(const uint8_t* code_bytes, int64_t n_code_bytes,
   return 0;
 }
 
-int mht_abi_version() { return 2; }
+// Two-level (k1, k2=16-k1) split lookup tables, slab layout identical to the
+// reference's preferred decode structure (HuffmanUtil.cpp:338-667) and to the
+// NumPy mirror (core/tables.py::build_split_tables):
+//   - T1 entries for codes of width <= k1 (prefix completions);
+//   - longer codes grouped by k1-bit high prefix into fixed 2^k2-entry
+//     secondary tables, slab with slot 0 reserved (all-zero table) so a
+//     decoder may read T2 unconditionally;
+//   - a T1 escape entry has width == 0 and symbol = secondary-table index;
+//   - secondary tables ordered by ascending high prefix; T2 widths are the
+//     symbol's FULL code width.
+// t2 buffers must hold t2_capacity entries; worst case 256 * 2^k2.
+// Returns 0; *num_tables_out = number of T2 tables incl. the reserved slot.
+int mht_build_split_tables(const uint8_t* widths, int k1, uint8_t* t1_sym,
+                           uint8_t* t1_w, uint8_t* t2_sym, uint8_t* t2_w,
+                           int64_t t2_capacity, int32_t* num_tables_out) {
+  if (k1 <= 0 || k1 >= 16) return -2;
+  const int k2 = 16 - k1;
+  const int64_t n1 = 1LL << k1;
+  const int64_t n2 = 1LL << k2;
+  uint16_t codes[kNumSymbols];
+  canonical_codes_impl(widths, codes);
+
+  std::memset(t1_sym, 0, n1);
+  std::memset(t1_w, 0, n1);
+
+  for (int s = 0; s < kNumSymbols; ++s) {
+    const int w = widths[s];
+    if (w == 0 || w > k1) continue;
+    const int64_t start = codes[s] >> k2;
+    const int64_t span = 1LL << (k1 - w);
+    std::memset(t1_sym + start, s, span);
+    std::memset(t1_w + start, w, span);
+  }
+
+  // distinct long-code prefixes, ascending (codes are sorted by (w, sym) so
+  // a sorted unique pass over active long symbols yields ascending prefixes)
+  std::vector<int> prefixes;
+  for (int s = 0; s < kNumSymbols; ++s)
+    if (widths[s] > k1) prefixes.push_back(codes[s] >> k2);
+  std::sort(prefixes.begin(), prefixes.end());
+  prefixes.erase(std::unique(prefixes.begin(), prefixes.end()), prefixes.end());
+  const int num_tables = static_cast<int>(prefixes.size()) + 1;  // slot 0 reserved
+  if (num_tables > 256) return -8;  // uint8 table index (impossible for valid tables)
+  if (num_tables * n2 > t2_capacity) return -3;
+  std::memset(t2_sym, 0, num_tables * n2);
+  std::memset(t2_w, 0, num_tables * n2);
+
+  int prefix_to_table[1 << 8] = {0};  // k1 <= 8 in practice; generic below
+  std::vector<int> p2t;
+  if (k1 > 8) {
+    p2t.assign(n1, 0);
+  }
+  auto set_p2t = [&](int p, int t) { if (k1 > 8) p2t[p] = t; else prefix_to_table[p] = t; };
+  auto get_p2t = [&](int p) { return k1 > 8 ? p2t[p] : prefix_to_table[p]; };
+  for (size_t i = 0; i < prefixes.size(); ++i) set_p2t(prefixes[i], (int)i + 1);
+
+  for (int s = 0; s < kNumSymbols; ++s) {
+    const int w = widths[s];
+    if (w <= k1) continue;
+    const int code = codes[s];
+    const int64_t base = static_cast<int64_t>(get_p2t(code >> k2)) * n2;
+    const int64_t low = code & (n2 - 1);
+    const int64_t span = 1LL << (16 - w);
+    std::memset(t2_sym + base + low, s, span);
+    std::memset(t2_w + base + low, w, span);
+  }
+
+  for (int p : prefixes) {
+    if (t1_w[p] != 0) return -9;  // escape prefix collides with a short code
+    t1_sym[p] = static_cast<uint8_t>(get_p2t(p));
+  }
+  *num_tables_out = num_tables;
+  return 0;
+}
+
+// Serial decode via the two-level split tables — the native mirror of the
+// reference's signature decoder `decodeHuffmanBitsFromTables`
+// (HuffmanUtil.cpp:830-1046): 3-byte window fetch, T1 lookup on the top k1
+// bits, escape to the T2 slab on width == 0. Differentially tested against
+// the NumPy oracle (core/decode_ref.py::decode_split_tables).
+int mht_decode_serial_split(const uint8_t* code_bytes, int64_t n_code_bytes,
+                            const uint8_t* widths, int64_t num_symbols,
+                            int64_t start_bit, int k1, uint8_t* out) {
+  if (k1 <= 0 || k1 >= 16) return -2;
+  const int k2 = 16 - k1;
+  const int64_t n1 = 1LL << k1;
+  const int64_t n2 = 1LL << k2;
+  std::vector<uint8_t> t1_sym(n1), t1_w(n1);
+  std::vector<uint8_t> t2_sym(256 * n2), t2_w(256 * n2);
+  int32_t num_tables = 0;
+  int rc = mht_build_split_tables(widths, k1, t1_sym.data(), t1_w.data(),
+                                  t2_sym.data(), t2_w.data(), 256 * n2,
+                                  &num_tables);
+  if (rc) return rc;
+
+  const int64_t low_mask = n2 - 1;
+  int64_t bits = start_bit;
+  for (int64_t i = 0; i < num_symbols; ++i) {
+    const int64_t byte_i = bits >> 3;
+    if (byte_i + 2 >= n_code_bytes) return -5;
+    const uint32_t w24 = (static_cast<uint32_t>(code_bytes[byte_i]) << 16) |
+                         (static_cast<uint32_t>(code_bytes[byte_i + 1]) << 8) |
+                         static_cast<uint32_t>(code_bytes[byte_i + 2]);
+    const uint32_t window = (w24 >> (8 - (bits & 7))) & 0xFFFF;
+    const uint32_t hi = window >> k2;
+    int sym = t1_sym[hi];
+    int w = t1_w[hi];
+    if (w == 0) {  // escape: sym is the secondary-table index
+      const int64_t t2_idx = (static_cast<int64_t>(sym) << k2) | (window & low_mask);
+      sym = t2_sym[t2_idx];
+      w = t2_w[t2_idx];
+      if (w == 0) return -6;  // invalid code / corrupt stream
+    }
+    out[i] = static_cast<uint8_t>(sym);
+    bits += w;
+  }
+  return 0;
+}
+
+// Bit offset of every symbol in the packed stream (n+1 entries; the last is
+// the total code bits) — the native mirror of
+// HuffmanEncoder::lookupBufferBitOffsets (HuffmanEncoder.cpp:383-395), which
+// returns the offset of ANY symbol, not just block roots.
+int mht_symbol_bit_offsets(const uint8_t* data, int64_t n,
+                           const uint8_t* widths, uint64_t* offsets_out) {
+  uint64_t bits = 0;
+  for (int64_t i = 0; i < n; ++i) {
+    offsets_out[i] = bits;
+    const int w = widths[data[i]];
+    if (w == 0) return -4;
+    bits += w;
+  }
+  offsets_out[n] = bits;
+  return 0;
+}
+
+int mht_abi_version() { return 3; }
 
 }  // extern "C"

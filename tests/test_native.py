@@ -120,6 +120,64 @@ def test_parallel_host_decode(use_delta):
     np.testing.assert_array_equal(out.ravel(), raw)
 
 
+@pytest.mark.parametrize("name,data", list(_datasets()), ids=lambda v: v if isinstance(v, str) else "")
+def test_split_tables_match_numpy(name, data):
+    # native mirror of the reference's preferred table structure
+    # (HuffmanUtil.cpp:338-667) vs core/tables.py, all planes bit-identical
+    w = canonical.huffman_code_lengths(canonical.symbol_frequencies(data))
+    t_np = tables.build_split_tables(w, 8, 8)
+    t_cc = native.build_split_tables(w, 8, 8)
+    np.testing.assert_array_equal(t_cc.t1_symbol, t_np.t1_symbol)
+    np.testing.assert_array_equal(t_cc.t1_width, t_np.t1_width)
+    np.testing.assert_array_equal(t_cc.t2_symbol, t_np.t2_symbol)
+    np.testing.assert_array_equal(t_cc.t2_width, t_np.t2_width)
+    assert t_cc.num_t2_tables == t_np.num_t2_tables
+
+
+@pytest.mark.parametrize("name,data", list(_datasets()), ids=lambda v: v if isinstance(v, str) else "")
+def test_native_split_decode_matches_oracle(name, data):
+    # native mirror of decodeHuffmanBitsFromTables (HuffmanUtil.cpp:830-1046)
+    # vs the NumPy split-table oracle, plus mid-stream block-offset entry
+    enc = native.encode_symbols(data, block_size=64)
+    t = tables.build_split_tables(enc.widths, 8, 8)
+    oracle = decode_ref.decode_split_tables(enc.code_bytes, t, data.size)
+    out = native.decode_serial_split(enc.code_bytes, enc.widths, data.size)
+    np.testing.assert_array_equal(out, oracle)
+    np.testing.assert_array_equal(out, data)
+    if enc.block_offsets.size > 3:
+        b = enc.block_offsets.size // 2
+        out_b = native.decode_serial_split(
+            enc.code_bytes, enc.widths, 64,
+            start_bit=int(enc.block_offsets[b]))
+        np.testing.assert_array_equal(out_b, data[b * 64 : (b + 1) * 64])
+
+
+def test_native_split_decode_long_codes_escape():
+    # skewed data guarantees widths > 8 -> the T2 escape path is exercised
+    rng = np.random.default_rng(11)
+    p = 0.6 ** np.arange(200)
+    data = rng.choice(np.arange(200), size=64 * 64, p=p / p.sum()).astype(np.uint8)
+    enc = native.encode_symbols(data, block_size=64)
+    assert enc.widths.max() > 8
+    out = native.decode_serial_split(enc.code_bytes, enc.widths, data.size)
+    np.testing.assert_array_equal(out, data)
+
+
+@pytest.mark.parametrize("name,data", list(_datasets()), ids=lambda v: v if isinstance(v, str) else "")
+def test_symbol_bit_offsets_match(name, data):
+    # native mirror of HuffmanEncoder::lookupBufferBitOffsets
+    # (HuffmanEncoder.cpp:383-395): per-symbol offsets, not just block roots
+    enc = native.encode_symbols(data, block_size=64)
+    offs_cc = native.symbol_bit_offsets(data, enc.widths)
+    offs_np = bitstream.symbol_bit_offsets(data, enc.widths)
+    np.testing.assert_array_equal(offs_cc, offs_np)
+    # block roots are every 64th per-symbol offset
+    np.testing.assert_array_equal(
+        offs_cc[: enc.block_offsets.size * 64 : 64].astype(np.uint32),
+        enc.block_offsets,
+    )
+
+
 def test_encode_speed_sanity():
     # Native encode of ~3 MB must be far faster than the NumPy path.
     import time
