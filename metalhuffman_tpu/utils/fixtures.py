@@ -11,13 +11,41 @@ frame (same dimensions and statistical character; pixel values are our own).
 dimensions (``Image.png`` 512x512, ``ImageHuge.png`` 2048x2048,
 ``ImageIpadSize.png``/``BigBridge.png`` 2048x1536); pass ``path=`` to
 :func:`render_frame` to use a real image file instead.
+
+The ``bridge``/``bridge_512`` configs load REAL photographic assets from
+``tests/assets/`` (an 8-bit grayscale re-encode of the reference's default
+2048x1536 input, ``HuffRenderFrame.m:593-613``, and a 512x512 crop) — content
+statistics measurably change decode throughput (PERF.md), so the real-photo
+workload is gated in tests and benchmarked directly (``bench.py --content
+photo``).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
+from pathlib import Path
 
 import numpy as np
+
+#: committed real-photo assets (absent only in stripped installs)
+ASSET_DIR = Path(__file__).resolve().parents[2] / "tests" / "assets"
+
+
+def asset_path(name: str) -> Path:
+    """Path of a committed test asset; raises if the asset tree is missing."""
+    p = ASSET_DIR / name
+    if not p.exists():
+        raise FileNotFoundError(
+            f"asset {name!r} not found under {ASSET_DIR} (source checkout "
+            "required for real-photo fixtures)"
+        )
+    return p
+
+
+def _real_photo(name: str) -> np.ndarray:
+    from . import imageio
+
+    return imageio.load_grayscale(str(asset_path(name)))
 
 Maker = Callable[[], np.ndarray]
 
@@ -81,6 +109,9 @@ CONFIGS: dict[str, Maker] = {
     "image2": lambda: _photo_like(2048, 2048, seed=12),
     "image3": lambda: _photo_like(1536, 2048, seed=13),
     "image4": lambda: _photo_like(1536, 2048, seed=14),  # BigBridge analog
+    # real photographic content (committed assets; see module docstring)
+    "bridge": lambda: _real_photo("bridge_2048x1536.png"),
+    "bridge_512": lambda: _real_photo("bridge_512x512.png"),
 }
 
 #: configs small enough for exhaustive unit testing
@@ -93,7 +124,7 @@ SMALL_CONFIGS = (
 #: large configs (scale/perf tests)
 LARGE_CONFIGS = (
     "8x8_ident_2048", "8x8_ident_4096", "large_random",
-    "image1", "image2", "image3", "image4",
+    "image1", "image2", "image3", "image4", "bridge", "bridge_512",
 )
 
 

@@ -23,6 +23,29 @@ def test_large_fixture_roundtrip(config):
         assert stream.compressed_size < img.size
 
 
+@pytest.mark.parametrize("backend", ["xla", "pallas", "native"])
+def test_real_photo_512_roundtrip(backend):
+    # REAL photographic bits (content statistics matter: PERF.md shows
+    # photo vs synthetic changes throughput) — not a synthetic generator.
+    img = fixtures.render_frame("bridge_512")
+    assert img.shape == (512, 512)
+    ImageCodec(CodecConfig(
+        backend=backend, interpret=backend == "pallas")).roundtrip_verify(img)
+
+
+@pytest.mark.slow
+def test_real_photo_roundtrip_and_size_parity():
+    # The reference's default config decodes this exact 2048x1536 photo
+    # (HuffRenderFrame.m:593-613); its verify path byte-compares every pixel
+    # (AAPLRenderer.m:1849-1876). Compressed size in the reference wire
+    # format (8B header + 256B table + code bytes + 2B pad) is fixed
+    # accounting for this image — an encoder-parity regression gate.
+    img = fixtures.render_frame("bridge")
+    assert img.shape == (1536, 2048)
+    stream = ImageCodec(CodecConfig(backend="native")).roundtrip_verify(img)
+    assert stream.compressed_size == 1923654  # 61.2% of 3.1 MB
+
+
 def test_unknown_config_raises():
     with pytest.raises(ValueError):
         fixtures.render_frame("nope")
