@@ -87,11 +87,17 @@ def _build() -> ctypes.CDLL | None:
     lib.mht_symbol_bit_offsets.argtypes = [
         u8p, i64, u8p, ctypes.POINTER(ctypes.c_uint64),
     ]
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    lib.mht_merge_rows.argtypes = [
+        u32p, u32p, i64, i64, u8p, i64, ctypes.POINTER(i64), u32p,
+        ctypes.POINTER(i64), ctypes.c_int,
+    ]
     for fn in (
         lib.mht_code_lengths, lib.mht_canonical_codes, lib.mht_encode,
         lib.mht_decode_serial, lib.mht_delta_encode, lib.mht_delta_decode,
         lib.mht_encode_mt, lib.mht_decode_blocks, lib.mht_build_split_tables,
         lib.mht_decode_serial_split, lib.mht_symbol_bit_offsets,
+        lib.mht_merge_rows,
     ):
         fn.restype = ctypes.c_int
     return lib
@@ -343,6 +349,60 @@ def symbol_bit_offsets(data: np.ndarray, widths: np.ndarray) -> np.ndarray:
     if rc:
         raise RuntimeError(f"mht_symbol_bit_offsets failed: {rc}")
     return out
+
+
+def merge_rows(rows: np.ndarray, block_bits: np.ndarray, n_threads: int = 0):
+    """Stage-2 of the hybrid device encoder: padded per-block word rows ->
+    (code_bytes incl. +2 pad, block_offsets u32, total_bits).
+
+    ``rows`` is (n_blocks, row_words) uint32 — each block's MSB-first packed
+    bits as big-endian-semantic words, zero-padded (the Pallas stage-1
+    kernel's output, block-major). Multithreaded bit-shift memcpy on the
+    host; output is byte-identical to :func:`encode_symbols` packing the
+    same symbols (differential tests in tests/test_encode_pallas.py).
+    NumPy fallback: an unpackbits/packbits merge (correctness path only).
+    """
+    rows = np.ascontiguousarray(rows, dtype=np.uint32)
+    block_bits = np.ascontiguousarray(block_bits, dtype=np.uint32)
+    n_blocks, row_words = rows.shape
+    if block_bits.shape != (n_blocks,):
+        raise ValueError("block_bits must be (n_blocks,)")
+    lib = _lib()
+    if lib is None:
+        total_bits = int(block_bits.astype(np.int64).sum())
+        if total_bits >= 1 << 32:
+            raise ValueError("stream exceeds 2^32 bits — u32 offsets overflow")
+        offsets = np.zeros(n_blocks, dtype=np.uint32)
+        np.cumsum(block_bits[:-1], out=offsets[1:])
+        bits = np.unpackbits(
+            rows.byteswap().view(np.uint8).reshape(n_blocks, -1), axis=1)
+        mask = np.arange(row_words * 32) < block_bits[:, None]
+        stream_bits = bits[mask]
+        pad = (-stream_bits.size) % 8
+        packed = np.packbits(np.pad(stream_bits, (0, pad)))
+        code = np.zeros((total_bits + 7) // 8 + 2, dtype=np.uint8)
+        code[: packed.size] = packed
+        return code, offsets, total_bits
+    u32p = ctypes.POINTER(ctypes.c_uint32)
+    capacity = (int(block_bits.astype(np.int64).sum()) + 7) // 8 + 16
+    code_bytes = np.zeros(capacity, dtype=np.uint8)
+    offsets = np.zeros(n_blocks, dtype=np.uint32)
+    code_len = ctypes.c_int64()
+    total_bits = ctypes.c_int64()
+    rc = lib.mht_merge_rows(
+        rows.ctypes.data_as(u32p), block_bits.ctypes.data_as(u32p),
+        n_blocks, row_words, _u8p(code_bytes), capacity,
+        ctypes.byref(code_len), offsets.ctypes.data_as(u32p),
+        ctypes.byref(total_bits), n_threads,
+    )
+    if rc == -7:
+        raise ValueError(
+            "stream exceeds 2^32 bits — u32 block offsets overflow; "
+            "split the input (e.g. per-frame or segmented MHTV)"
+        )
+    if rc:
+        raise RuntimeError(f"mht_merge_rows failed: {rc}")
+    return code_bytes[: code_len.value], offsets, total_bits.value
 
 
 def delta_encode(data: np.ndarray, block_size: int = 64) -> np.ndarray:
