@@ -96,13 +96,15 @@ def run_video(height: int, width: int, frames: int, iters: int, verbose: bool,
 
     preps = [frame_stream.prepare_shared(s, frames, height, width, cfg)
              for s in streams]
-    h2 = preps[0].h2
+    p0 = preps[0]
+    h2 = p0.h2
     if h2:
         # production path: kernel emits image layout; bytes are a free host view
         decodes = [
             (lambda p=p: frame_stream.decode_shared_step(p, cfg, raw=True))
             for p in preps]
-        to_img = lambda r: frame_stream.frames_from_raw(r, frames, height, width)
+        to_img = lambda r: frame_stream.frames_from_raw(
+            r, frames, height, width, w_pad=p0.w_pad, bh=p0.bh)
     else:
         decodes = [(lambda p=p: frame_stream.decode_shared_step(p, cfg))
                    for p in preps]
@@ -232,6 +234,9 @@ def _supervised_main() -> int:
 
 
 def main():
+    from metalhuffman_tpu.cli import _enable_compile_cache
+
+    _enable_compile_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--height", type=int, default=1536)
     ap.add_argument("--width", type=int, default=2048)

@@ -108,6 +108,9 @@ class PreparedShared:
     bounds: tuple
     adj_inc: tuple
     h2: int = 0  # >0: image-layout kernel (h-major feed, zero-relayout out)
+    w_pad: int = 0  # padded row width in px (ImagePlan); == width if exact
+    bh: int = 0  # block rows per frame (image path)
+    group_tiles: int = 8  # kernel ILP grouping matching the staged feed
 
 
 def prepare_shared(
@@ -119,9 +122,11 @@ def prepare_shared(
 ) -> PreparedShared:
     """Stage a shared-table stream's decode inputs on device.
 
-    When the geometry supports it (8x8 blocks, width a multiple of 1024,
-    height a multiple of 8) the image-layout kernel path is used: the kernel
-    writes final image positions and decode needs no relayout pass at all.
+    8x8-block geometries use the image-layout kernel: the kernel writes
+    final image positions and decode needs no relayout pass. Widths that
+    are not a multiple of 1024 are column-padded per block row
+    (decode_pallas.ImagePlan) and cropped by the consumer — 1920x1080 pays
+    ~6.7% pad work instead of the generic packed-blocks path.
     """
     from ..ops import decode_pallas
 
@@ -129,23 +134,28 @@ def prepare_shared(
     meta, words, offsets, wpr = decode_pallas.prepare_stream(
         stream, cfg.block_size
     )
-    h2 = decode_pallas.image_h2_for(width, cfg.block_dim)
-    if height % cfg.block_dim:
-        h2 = 0
-    if h2:
-        rows, init, nb_total = decode_pallas.tile_layout_images(
-            jnp.asarray(words), jnp.asarray(offsets), wpr, h2
+    plan = decode_pallas.image_plan_for(height, width, cfg.block_dim)
+    if plan is not None:
+        offs_pad = decode_pallas.pad_offsets_grid(
+            jnp.asarray(offsets), num_frames * plan.bh, plan.bw, plan.bw_pad
         )
+        rows, init, _ = decode_pallas.tile_layout_images(
+            jnp.asarray(words), offs_pad, wpr, plan.h2,
+            group_tiles=plan.group_tiles,
+        )
+        nb_total = int(offsets.size)
+        h2, w_pad, bh, g = plan.h2, plan.w_pad, plan.bh, plan.group_tiles
     else:
         rows, init, nb_total = decode_pallas.tile_layout_jax(
             jnp.asarray(words), jnp.asarray(offsets), wpr
         )
+        h2, w_pad, bh, g = 0, width, 0, decode_pallas.DEFAULT_GROUP_TILES
     rows = jax.device_put(rows)
     init = jax.device_put(init)
     pair = jax.device_put(jnp.asarray(meta.pair_table))
     return PreparedShared(
         num_frames, height, width, nb_total, wpr, rows, init, pair,
-        meta.bounds, meta.adj_inc, h2,
+        meta.bounds, meta.adj_inc, h2, w_pad, bh, g,
     )
 
 
@@ -172,15 +182,15 @@ def decode_shared_step(prep: PreparedShared, config: CodecConfig | None = None,
                 prep.rows, prep.init, prep.pair,
                 bounds=prep.bounds, adj_inc=prep.adj_inc, wpr=prep.wpr,
                 h2=prep.h2, delta=cfg.delta, interpret=cfg.interpret,
+                group_tiles=prep.group_tiles,
             )
-        img32 = _decode_shared_image_jit(
+        return _decode_shared_image_jit(
             prep.rows, prep.init, prep.pair,
             bounds=prep.bounds, adj_inc=prep.adj_inc, wpr=prep.wpr,
             num_frames=prep.num_frames, height=prep.height, width=prep.width,
             h2=prep.h2, delta=cfg.delta, interpret=cfg.interpret,
+            w_pad=prep.w_pad, bh=prep.bh, group_tiles=prep.group_tiles,
         )
-        return jax.lax.bitcast_convert_type(img32, jnp.uint8).reshape(
-            prep.num_frames, prep.height, prep.width)
     out = _decode_shared_jit(
         prep.rows, prep.init, prep.pair,
         bounds=prep.bounds, adj_inc=prep.adj_inc, wpr=prep.wpr,
@@ -215,20 +225,21 @@ def decode_shared_sharded(
     if mesh is None:
         mesh = mesh_mod.make_mesh()
     n_shards = mesh.devices.size
-    g = decode_pallas.DEFAULT_GROUP_TILES
     interpret = cfg.interpret or jax.default_backend() in ("cpu", "gpu")
 
     meta, words, offsets, wpr = decode_pallas.prepare_stream(
         stream, cfg.block_size)
-    h2 = decode_pallas.image_h2_for(width, cfg.block_dim)
-    if height % cfg.block_dim:
-        h2 = 0
+    plan = decode_pallas.image_plan_for(height, width, cfg.block_dim)
+    g = plan.group_tiles if plan else decode_pallas.DEFAULT_GROUP_TILES
     # pad tiles to a multiple of shards * group_tiles so per-shard counts
     # keep the same program grouping the feed permutation was built for
     tile_mult = n_shards * g
-    if h2:
-        rows, init, nb = decode_pallas.tile_layout_images(
-            jnp.asarray(words), jnp.asarray(offsets), wpr, h2, group_tiles=g)
+    if plan:
+        offs_pad = decode_pallas.pad_offsets_grid(
+            jnp.asarray(offsets), num_frames * plan.bh, plan.bw, plan.bw_pad)
+        rows, init, _ = decode_pallas.tile_layout_images(
+            jnp.asarray(words), offs_pad, wpr, plan.h2, group_tiles=g)
+        nb = int(offsets.size)
     else:
         rows, init, nb = decode_pallas.tile_layout_jax(
             jnp.asarray(words), jnp.asarray(offsets), wpr, group_tiles=g)
@@ -237,10 +248,10 @@ def decode_shared_sharded(
         rows = jnp.pad(rows, ((0, pad), (0, 0), (0, 0), (0, 0)))
         init = jnp.pad(init, ((0, pad), (0, 0), (0, 0)))
     pair = jnp.asarray(meta.pair_table)
-    if h2:
+    if plan:
         out = shard_decode.decode_tiles_images_sharded(
             rows, init, pair, mesh=mesh, width=wpr,
-            bounds=meta.bounds, adj_inc=meta.adj_inc, h2=h2,
+            bounds=meta.bounds, adj_inc=meta.adj_inc, h2=plan.h2,
             delta=cfg.delta, group_tiles=g, interpret=interpret,
         )
     else:
@@ -250,7 +261,158 @@ def decode_shared_sharded(
             num_steps=cfg.block_size, delta=cfg.delta, group_tiles=g,
             interpret=interpret,
         )
-    return out, nb, h2
+    return out, nb, plan
+
+
+# -- segmented shared-table video (MHV2) --------------------------------------
+#
+# u32 per-block bit offsets cap one shared stream at 2^32 bits (~512 MB
+# compressed). Longer sequences are split into SEGMENTS of whole frames,
+# each an independent shared-table stream with its own canonical table and
+# offset index; decode pipelines segments through StreamingDecoder (staging
+# of segment k+1 overlaps decode of segment k). This is the long-stream
+# scaling mechanism the reference's blocked-bitstream design implies but
+# never needed (its streams are one frame; SURVEY.md section 5).
+
+SEGMENTED_MAGIC = b"MHV2"
+
+#: per-symbol bit bound used to pick segment frame counts: Huffman expected
+#: length <= H + 1 <= 9 for 8-bit symbols; 10 adds headroom for the 16-bit
+#: length-limit penalty. The encoder's exact u32 check still guards.
+_SEG_BITS_PER_SYMBOL = 10
+
+
+def segment_frame_counts(num_frames: int, frame_symbols: int,
+                         max_segment_bits: int = (1 << 32) - 1024) -> list[int]:
+    """Frames per segment so each segment's bits provably fit u32 offsets."""
+    per = max(1, int(max_segment_bits // (frame_symbols * _SEG_BITS_PER_SYMBOL)))
+    counts = []
+    left = num_frames
+    while left > 0:
+        take = min(per, left)
+        counts.append(take)
+        left -= take
+    return counts
+
+
+def encode_frames_segmented(
+    frames: np.ndarray, config: CodecConfig | None = None,
+    max_segment_bits: int = (1 << 32) - 1024,
+) -> list[tuple[container.EncodedStream, int]]:
+    """(T, H, W) frames -> [(EncodedStream, frames_in_segment), ...].
+
+    Splits at whole-frame boundaries so every segment decodes independently
+    (and in a pipeline). If a segment still overflows the exact u32 check
+    (pathological content), it is halved and re-encoded.
+    """
+    cfg = config or CodecConfig()
+    frames = np.asarray(frames)
+    if frames.ndim != 3:
+        raise ValueError("frames must be (T, H, W)")
+    t, h, w = frames.shape
+    bh, bw = blocks.block_grid(h, w, cfg.block_dim)
+    frame_symbols = bh * bw * cfg.block_size
+    counts = segment_frame_counts(t, frame_symbols, max_segment_bits)
+    segments: list[tuple[container.EncodedStream, int]] = []
+    start = 0
+    pending = list(counts)
+    while pending:
+        take = pending.pop(0)
+        try:
+            stream = encode_frames_shared(frames[start : start + take], cfg)
+        except ValueError:
+            if take == 1:
+                raise  # single frame over 2^32 bits: nothing to split
+            half = take // 2
+            pending[0:0] = [half, take - half]
+            continue
+        segments.append((stream, take))
+        start += take
+    return segments
+
+
+def write_segmented(
+    segments: list[tuple[container.EncodedStream, int]], height: int,
+    width: int, config: CodecConfig | None = None,
+) -> bytes:
+    """Serialize segments to the MHV2 container."""
+    cfg = config or CodecConfig()
+    total_frames = sum(t for _, t in segments)
+    out = [SEGMENTED_MAGIC, struct.pack(
+        "<IIIBBI", total_frames, height, width, cfg.block_dim,
+        int(cfg.delta), len(segments))]
+    for stream, t in segments:
+        core = stream.core_blob()
+        out.append(struct.pack(
+            "<III", t, stream.block_offsets.size, len(core)))
+        out.append(core)
+        out.append(stream.block_offsets.astype("<u4").tobytes())
+    return b"".join(out)
+
+
+def read_segmented(data: bytes):
+    """Parse MHV2 -> (segments [(stream, t)], total_frames, h, w, bd, delta)."""
+    if data[:4] != SEGMENTED_MAGIC:
+        raise ValueError("not an MHV2 container")
+    total, h, w, bd, delta, n_seg = struct.unpack_from("<IIIBBI", data, 4)
+    pos = 4 + 18
+    segments = []
+    for _ in range(n_seg):
+        t, n_blocks, core_len = struct.unpack_from("<III", data, pos)
+        pos += 12
+        num_symbols, widths, code_bytes = container.parse_core_blob(
+            data[pos : pos + core_len])
+        pos += core_len
+        offsets = np.frombuffer(
+            data, dtype="<u4", count=n_blocks, offset=pos).astype(np.uint32)
+        pos += 4 * n_blocks
+        segments.append((
+            container.EncodedStream(num_symbols, widths, code_bytes, offsets),
+            t,
+        ))
+    if sum(t for _, t in segments) != total:
+        raise ValueError("MHV2 segment frame counts do not sum to the header")
+    return segments, total, h, w, bd, bool(delta)
+
+
+def decode_frames_segmented(
+    segments: list[tuple[container.EncodedStream, int]], height: int,
+    width: int, config: CodecConfig | None = None,
+) -> np.ndarray:
+    """Decode a segment list -> (T, H, W) uint8 (pipelined across segments).
+
+    Device backends pipeline through StreamingDecoder (segment k+1 stages
+    while k decodes); the native backend decodes per segment on the host.
+    """
+    cfg = config or CodecConfig()
+    if cfg.backend == "native":
+        from .. import native
+
+        outs = []
+        for stream, t in segments:
+            blk = native.decode_blocks(
+                stream, delta=cfg.delta, block_size=cfg.block_size)
+            bh, bw = blocks.block_grid(height, width, cfg.block_dim)
+            per = bh * bw
+            outs.append(np.stack([
+                blocks.blocks_to_image(
+                    blk[i * per : (i + 1) * per], height, width,
+                    cfg.block_dim)
+                for i in range(t)
+            ]))
+        return np.concatenate(outs) if outs else np.zeros(
+            (0, height, width), np.uint8)
+    dec = StreamingDecoder(cfg)
+    outs = []
+    handles = []
+    for stream, t in segments:
+        handles.append(dec.submit(stream, t, height, width))
+        if len(handles) > 2:  # keep two segments in flight
+            outs.append(dec.result(handles.pop(0)))
+    while handles:
+        outs.append(dec.result(handles.pop(0)))
+    return np.concatenate(outs) if outs else np.zeros(
+        (0, height, width), np.uint8)
 
 
 class StreamingDecoder:
@@ -283,40 +445,59 @@ class StreamingDecoder:
         """Block on one submitted batch; returns (T, H, W) uint8 frames."""
         prep, raw = handle
         if prep.h2:
-            return frames_from_raw(raw, prep.num_frames, prep.height, prep.width)
+            return frames_from_raw(
+                raw, prep.num_frames, prep.height, prep.width,
+                w_pad=prep.w_pad, bh=prep.bh)
         return np.asarray(raw)
 
 
-def frames_from_raw(raw, num_frames: int, height: int, width: int) -> np.ndarray:
-    """Host-side zero-copy view: raw strips -> (T, H, W) uint8 frames."""
-    flat = np.asarray(raw).reshape(-1, width // 4)[: num_frames * height]
-    return flat.view(np.uint8).reshape(num_frames, height, width)
+def frames_from_raw(raw, num_frames: int, height: int, width: int,
+                    w_pad: int = 0, bh: int = 0) -> np.ndarray:
+    """Host-side zero-copy view: raw strips -> (T, H, W) uint8 frames.
+
+    For padded geometries (ImagePlan: ``w_pad > width`` and/or block-row
+    padding past H) the crop is a strided view — still no copy; callers
+    needing contiguous bytes pay one memcpy via ``np.ascontiguousarray``.
+    """
+    wp = w_pad or width
+    rows_pf = (bh * 8) if bh else height
+    flat = np.asarray(raw).reshape(-1, wp // 4)[: num_frames * rows_pf]
+    frames = flat.view(np.uint8).reshape(num_frames, rows_pf, wp)
+    if rows_pf == height and wp == width:
+        return frames
+    return frames[:, :height, :width]
 
 
 @partial(jax.jit, static_argnames=(
-    "bounds", "adj_inc", "wpr", "h2", "delta", "interpret"))
+    "bounds", "adj_inc", "wpr", "h2", "delta", "interpret", "group_tiles"))
 def _decode_shared_strips_jit(rows, init, pair, *, bounds, adj_inc, wpr, h2,
-                              delta, interpret):
+                              delta, interpret, group_tiles=8):
     from ..ops import decode_pallas
 
     return decode_pallas.decode_tiles_images(
         rows, init, pair, width=wpr, bounds=bounds, adj_inc=adj_inc, h2=h2,
-        delta=delta, interpret=interpret,
+        delta=delta, interpret=interpret, group_tiles=group_tiles,
     )
 
 
 @partial(jax.jit, static_argnames=(
     "bounds", "adj_inc", "wpr", "num_frames", "height", "width", "h2",
-    "delta", "interpret"))
+    "delta", "interpret", "w_pad", "bh", "group_tiles"))
 def _decode_shared_image_jit(rows, init, pair, *, bounds, adj_inc, wpr,
-                             num_frames, height, width, h2, delta, interpret):
+                             num_frames, height, width, h2, delta, interpret,
+                             w_pad=0, bh=0, group_tiles=8):
     from ..ops import decode_pallas
 
     strips = decode_pallas.decode_tiles_images(
         rows, init, pair, width=wpr, bounds=bounds, adj_inc=adj_inc, h2=h2,
-        delta=delta, interpret=interpret,
+        delta=delta, interpret=interpret, group_tiles=group_tiles,
     )
-    return decode_pallas.images_from_strips(strips, num_frames, height, width)
+    if w_pad and (w_pad != width or bh * 8 != height):
+        return decode_pallas.images_from_strips_padded(
+            strips, num_frames, height, width, w_pad, bh)
+    img32 = decode_pallas.images_from_strips(strips, num_frames, height, width)
+    return jax.lax.bitcast_convert_type(img32, jnp.uint8).reshape(
+        num_frames, height, width)
 
 
 def decode_frames_shared(

@@ -120,15 +120,18 @@ class ImageCodec:
         static_meta = ()
         if cfg.backend == "pallas":
             meta = decode_pallas.canonical_meta(stream.widths)
-            h2 = decode_pallas.image_h2_for(width, cfg.block_dim)
-            if height % cfg.block_dim:
-                h2 = 0
-            if h2:
-                # image-layout kernel: output needs no relayout pass
-                rows, init, _ = decode_pallas.tile_layout_images(
-                    jnp.asarray(words),
+            plan = decode_pallas.image_plan_for(height, width, cfg.block_dim)
+            if plan is not None:
+                # image-layout kernel: output needs no relayout pass;
+                # non-exact widths are column-padded per block row and
+                # cropped after decode (decode_pallas.ImagePlan)
+                offs = decode_pallas.pad_offsets_grid(
                     jnp.asarray(stream.block_offsets.astype(np.int32)),
-                    wpr, h2,
+                    plan.bh, plan.bw, plan.bw_pad,
+                )
+                rows, init, _ = decode_pallas.tile_layout_images(
+                    jnp.asarray(words), offs, wpr, plan.h2,
+                    group_tiles=plan.group_tiles,
                 )
             else:
                 rows, init, _ = decode_pallas.tile_layout_jax(
@@ -137,7 +140,7 @@ class ImageCodec:
                     wpr,
                 )
             args = (rows, init, jnp.asarray(meta.pair_table))
-            static_meta = (meta.bounds, meta.adj_inc, h2)
+            static_meta = (meta.bounds, meta.adj_inc, plan)
         elif cfg.backend == "xla":
             t1, t2 = decode_xla.prepare_tables(
                 stream.widths, cfg.table1_bits, cfg.table2_bits
@@ -294,16 +297,17 @@ def _decode_step_jit(
     block_size = block_dim * block_dim
     if backend == "pallas":
         rows, init, pair_table = device_args
-        bounds, adj_inc, h2 = static_meta
-        if h2:
+        bounds, adj_inc, plan = static_meta
+        if plan is not None:
             strips = decode_pallas.decode_tiles_images(
                 rows, init, pair_table,
-                width=words_per_row, bounds=bounds, adj_inc=adj_inc, h2=h2,
-                delta=delta, interpret=interpret,
+                width=words_per_row, bounds=bounds, adj_inc=adj_inc,
+                h2=plan.h2, delta=delta, interpret=interpret,
+                group_tiles=plan.group_tiles,
             )
-            img32 = decode_pallas.images_from_strips(strips, 1, height, width)
-            return jax.lax.bitcast_convert_type(img32, jnp.uint8).reshape(
-                height, width)
+            return decode_pallas.images_from_strips_padded(
+                strips, 1, height, width, plan.w_pad, plan.bh
+            ).reshape(height, width)
         out = decode_pallas.decode_tiles(
             rows, init, pair_table,
             width=words_per_row, bounds=bounds, adj_inc=adj_inc,

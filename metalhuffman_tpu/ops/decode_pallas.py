@@ -378,10 +378,71 @@ def decode_tiles_images(rows_tiled, init_tiled, pair_table, *, width: int,
 
 
 def image_h2_for(width_px: int, block_dim: int = 8) -> int:
-    """Half-row arity for the image-layout kernel; 0 if unsupported."""
+    """Half-row arity for the *exact-fit* image-layout kernel; 0 otherwise.
+
+    Kept for callers that cannot crop; :func:`image_plan_for` generalizes to
+    arbitrary widths via column padding.
+    """
     if block_dim != 8 or width_px % 1024:
         return 0
     return width_px // 1024
+
+
+@dataclass(frozen=True)
+class ImagePlan:
+    """Geometry plan for image-layout decode of an arbitrary-size image.
+
+    Each image block-row is padded from ``bw`` to ``bw_pad = h2 * 128``
+    blocks (the lane-interleave emission needs whole 128-lane groups per
+    row segment); the dummy blocks decode garbage into columns past the
+    real image, cropped by the consumer (a host view for raw strips, a
+    device slice otherwise). This generalizes the reference's crop/zip
+    shader's arbitrary-geometry handling (``AAPLShaders.metal:449-518``)
+    to the TPU layout: 1920x1080 pays 6.7% pad work instead of falling
+    off the fast path entirely.
+    """
+
+    h2: int          # 128-lane groups per image block-row
+    group_tiles: int  # kernel ILP grouping g; h2 must divide g * 8
+    bw: int          # real blocks per image row
+    bw_pad: int      # padded blocks per image row (= h2 * 128)
+    bh: int          # block rows per frame
+    w_pad: int       # padded row width in pixels (= bw_pad * 8)
+
+
+def image_plan_for(height_px: int, width_px: int, block_dim: int = 8,
+                   max_group: int = DEFAULT_GROUP_TILES,
+                   max_pad_ratio: float = 2.0) -> ImagePlan | None:
+    """Pick the image-layout geometry for (H, W), or None for the generic path.
+
+    None when: block_dim != 8; no ILP grouping g <= max_group satisfies
+    ``h2 | 8g`` (the emission slices sublanes in ``sub // h2`` chunks); or
+    the pad waste exceeds ``max_pad_ratio`` (the generic packed-blocks path
+    is then the better trade).
+    """
+    if block_dim != 8:
+        return None
+    bw = -(-width_px // 8)
+    bh = -(-height_px // 8)
+    h2 = -(-bw // LANES)
+    g = next((gg for gg in range(max_group, 0, -1)
+              if (SUBLANES * gg) % h2 == 0), None)
+    if g is None:
+        return None
+    bw_pad = h2 * LANES
+    if bw_pad > max_pad_ratio * bw:
+        return None
+    return ImagePlan(h2=h2, group_tiles=g, bw=bw, bw_pad=bw_pad, bh=bh,
+                     w_pad=bw_pad * 8)
+
+
+def pad_offsets_grid(block_offsets, n_rows: int, bw: int, bw_pad: int):
+    """Row-major (n_rows * bw,) offsets -> (n_rows * bw_pad,) with dummy
+    zero offsets in the padded columns (they decode garbage safely)."""
+    if bw_pad == bw:
+        return block_offsets.astype(jnp.int32)
+    offs = block_offsets.astype(jnp.int32).reshape(n_rows, bw)
+    return jnp.pad(offs, ((0, 0), (0, bw_pad - bw))).reshape(-1)
 
 
 def tile_layout_images(code_words_be, block_offsets, width: int, h2: int,
@@ -416,6 +477,21 @@ def images_from_strips(strips, num_frames: int, height: int, width: int):
     """
     return strips.reshape(-1, width // 4)[: num_frames * height].reshape(
         num_frames, height, width // 4)
+
+
+def images_from_strips_padded(strips, num_frames: int, height: int,
+                              width: int, w_pad: int, bh: int):
+    """Column/row-padded strips -> (T, H, W) uint8 images (device crop).
+
+    The ImagePlan pad columns (and any block-row padding past H) are sliced
+    off after a byte bitcast; one XLA slice, no gather.
+    """
+    rows_pf = bh * 8
+    flat = strips.reshape(-1, w_pad // 4)[: num_frames * rows_pf]
+    img8 = jax.lax.bitcast_convert_type(
+        flat.reshape(num_frames, rows_pf, w_pad // 4), jnp.uint8
+    ).reshape(num_frames, rows_pf, w_pad)
+    return img8[:, :height, :width]
 
 
 def unpack_to_blocks(out_packed, n_blocks: int, num_steps: int = 64):

@@ -1,12 +1,15 @@
-"""Reproducible performance matrix: backends x content types.
+"""Reproducible performance matrix: geometries x content x paths.
 
     python scripts/perf_matrix.py [--frames 30] [--iters 20]
 
-Measures decode throughput (bit-exact gated) for:
-  - Pallas TPU kernel, shared-table video batch (the headline path)
+Measures decode throughput (bit-exact gated, distinct inputs per timed
+iteration — bench.py methodology) for:
+  - Pallas TPU kernel, shared-table video batch (the headline path), at
+    2048x1536 (the reference geometry) and 1920x1080 (the common video
+    geometry, exercising the ImagePlan column-padded image layout)
   - multithreaded C++ host decoder
-on synthetic photo-like content and, if readable, the reference BigBridge
-asset's statistics. Prints a markdown table to stdout.
+on synthetic photo-like content and the committed real-photo asset.
+Prints a markdown table to stdout.
 """
 
 from __future__ import annotations
@@ -25,75 +28,48 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=30)
     ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--variants", type=int, default=2)
     args = ap.parse_args()
 
     import jax
-    import jax.numpy as jnp
 
-    from bench import synthetic_frame
+    import bench
     from metalhuffman_tpu import native
+    from metalhuffman_tpu.cli import _enable_compile_cache
     from metalhuffman_tpu.models import CodecConfig, frame_stream
 
-    def barrier(x):
-        return float(jnp.sum(x[..., :1, :1].astype(jnp.int32)))
+    _enable_compile_cache()
 
-    contents = {
-        "synthetic photo-like": np.stack([
-            synthetic_frame(1536, 2048, seed=0, phase=i)
-            for i in range(args.frames)
-        ])
-    }
-    bb = "/root/reference/Shared/BigBridge.png"
-    if os.path.exists(bb):
-        try:
-            from PIL import Image
-
-            img = np.asarray(Image.open(bb).convert("L"))
-            contents["BigBridge statistics"] = np.repeat(
-                img[None], args.frames, axis=0)
-        except Exception:
-            pass
-
-    cfg = CodecConfig(backend="pallas")
     rows = []
-    for name, frames in contents.items():
-        T, H, W = frames.shape
-        stream = frame_stream.encode_frames_shared(frames, cfg)
-        ratio = stream.compressed_size / frames.size
+    for h, w in ((1536, 2048), (1080, 1920)):
+        for content in ("synthetic", "photo"):
+            gbps = bench.run_video(
+                h, w, args.frames, args.iters, verbose=False,
+                content=content, variants=args.variants,
+            )
+            rows.append((f"{w}x{h}", content, "Pallas TPU kernel", gbps))
 
-        # device kernel (shared batch, raw strips)
-        prep = frame_stream.prepare_shared(stream, T, H, W, cfg)
-        r = frame_stream.decode_shared_step(prep, cfg, raw=bool(prep.h2))
-        if prep.h2:
-            out = frame_stream.frames_from_raw(r, T, H, W)
-        else:
-            out = np.asarray(r)
-        assert np.array_equal(out, frames), f"{name}: device mismatch"
-        barrier(r)
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.perf_counter()
-            for _ in range(args.iters):
-                r = frame_stream.decode_shared_step(prep, cfg, raw=bool(prep.h2))
-            barrier(r)
-            best = min(best, (time.perf_counter() - t0) / args.iters)
-        rows.append((name, "Pallas TPU kernel", ratio, frames.size / best / 1e9))
-
-        # host C++ decoder
-        t0 = time.perf_counter()
-        blk = native.decode_blocks(stream, delta=cfg.delta)
-        dt = time.perf_counter() - t0
-        exp = frames.reshape(T, H // 8, 8, W // 8, 8).transpose(
-            0, 1, 3, 2, 4).reshape(-1, 64)
-        assert np.array_equal(blk, exp), f"{name}: host mismatch"
-        rows.append((name, "C++ host (4 cores)", ratio, frames.size / dt / 1e9))
+    # host C++ decoder on the reference geometry, real-photo content
+    cfg = CodecConfig(backend="native")
+    frames = bench.photo_frames(1536, 2048, args.frames)
+    T, H, W = frames.shape
+    stream = frame_stream.encode_frames_shared(frames, cfg)
+    t0 = time.perf_counter()
+    blk = native.decode_blocks(stream, delta=cfg.delta)
+    dt = time.perf_counter() - t0
+    exp = frames.reshape(T, H // 8, 8, W // 8, 8).transpose(
+        0, 1, 3, 2, 4).reshape(-1, 64)
+    assert np.array_equal(blk, exp), "host mismatch"
+    rows.append(("2048x1536", "photo", "C++ host (all cores)",
+                 frames.size / dt / 1e9))
 
     dev = jax.devices()[0].device_kind
-    print(f"\n## Decode throughput ({args.frames}x1536x2048, device={dev})\n")
-    print("| content | path | compressed | GB/s | vs 0.094 GB/s target |")
+    print(f"\n## Decode throughput ({args.frames} frames/batch, device={dev})\n")
+    print("| geometry | content | path | GB/s | vs 0.094 GB/s target |")
     print("|---|---|---|---|---|")
-    for name, path, ratio, gbps in rows:
-        print(f"| {name} | {path} | {ratio:.1%} | {gbps:.2f} | {gbps/0.094:.0f}x |")
+    for geom, content, path, gbps in rows:
+        print(f"| {geom} | {content} | {path} | {gbps:.2f} | "
+              f"{gbps/0.094:.0f}x |")
 
 
 if __name__ == "__main__":

@@ -76,9 +76,9 @@ def test_shared_sharded_image_path():
     frames = _frames(2, 64, 1024, seed=11)  # h2=1; 16 blk-rows -> 2 progs... pads
     stream = frame_stream.encode_frames_shared(frames, cfg)
     m = mesh_mod.make_mesh(2)
-    out, nb, h2 = frame_stream.decode_shared_sharded(
+    out, nb, plan = frame_stream.decode_shared_sharded(
         stream, 2, 64, 1024, mesh=m, config=cfg)
-    assert h2 == 1
+    assert plan is not None and plan.h2 == 1 and plan.w_pad == 1024
     img32 = np.asarray(decode_pallas.images_from_strips(out, 2, 64, 1024))
     view = img32.reshape(-1, 256).view(np.uint8).reshape(2, 64, 1024)
     np.testing.assert_array_equal(view, frames)
@@ -92,9 +92,9 @@ def test_shared_sharded_generic_path():
     frames = _frames(2, 40, 48, seed=12)  # width not 1024-multiple
     stream = frame_stream.encode_frames_shared(frames, cfg)
     m = mesh_mod.make_mesh(2)
-    out, nb, h2 = frame_stream.decode_shared_sharded(
+    out, nb, plan = frame_stream.decode_shared_sharded(
         stream, 2, 40, 48, mesh=m, config=cfg)
-    assert h2 == 0
+    assert plan is None
     blk = np.asarray(decode_pallas.unpack_to_blocks(out, nb))
     from metalhuffman_tpu.core import blocks as blocks_mod
 
@@ -102,6 +102,69 @@ def test_shared_sharded_generic_path():
     for i in range(2):
         img = blocks_mod.blocks_to_image(blk[i * nbf : (i + 1) * nbf], 40, 48)
         np.testing.assert_array_equal(img, frames[i])
+
+
+def test_shared_padded_image_path_1080p_interpret():
+    # 1920 px is NOT a multiple of 1024: the ImagePlan pads each block row
+    # from 240 to 256 blocks (h2=2) and the consumer crops — the geometry
+    # that round 1 left on the generic slow path. Small frame count keeps
+    # interpret mode fast; the real-chip rate is measured by perf_matrix.
+    from metalhuffman_tpu.ops import decode_pallas
+
+    cfg = CodecConfig(backend="pallas", interpret=True)
+    plan = decode_pallas.image_plan_for(1080, 1920)
+    assert plan is not None and (plan.h2, plan.bw, plan.bw_pad) == (2, 240, 256)
+    frames = _frames(1, 48, 1920, seed=13)
+    stream = frame_stream.encode_frames_shared(frames, cfg)
+    prep = frame_stream.prepare_shared(stream, 1, 48, 1920, cfg)
+    assert prep.h2 == 2 and prep.w_pad == 2048
+    out = np.asarray(frame_stream.decode_shared_step(prep, cfg))
+    np.testing.assert_array_equal(out, frames)
+    raw = frame_stream.decode_shared_step(prep, cfg, raw=True)
+    view = frame_stream.frames_from_raw(
+        raw, 1, 48, 1920, w_pad=prep.w_pad, bh=prep.bh)
+    np.testing.assert_array_equal(view, frames)
+
+
+def test_shared_padded_image_path_odd_geometry_interpret():
+    # non-multiple-of-8 height AND width: row and column crop both engage
+    cfg = CodecConfig(backend="pallas", interpret=True)
+    frames = _frames(2, 20, 1212, seed=14)  # bh=3 (24 rows), bw=152 -> pad 256
+    stream = frame_stream.encode_frames_shared(frames, cfg)
+    prep = frame_stream.prepare_shared(stream, 2, 20, 1212, cfg)
+    assert prep.h2 == 2 and prep.bh == 3
+    out = np.asarray(frame_stream.decode_shared_step(prep, cfg))
+    np.testing.assert_array_equal(out, frames)
+    raw = frame_stream.decode_shared_step(prep, cfg, raw=True)
+    view = frame_stream.frames_from_raw(
+        raw, 2, 20, 1212, w_pad=prep.w_pad, bh=prep.bh)
+    np.testing.assert_array_equal(view, frames)
+
+
+def test_shared_image_path_h2_3_g6_interpret():
+    # 2560 px: h2=3 requires the g=6 grouping (sub=48) — a kernel shape no
+    # other geometry exercises
+    cfg = CodecConfig(backend="pallas", interpret=True)
+    frames = _frames(1, 16, 2560, seed=15)
+    stream = frame_stream.encode_frames_shared(frames, cfg)
+    prep = frame_stream.prepare_shared(stream, 1, 16, 2560, cfg)
+    assert prep.h2 == 3 and prep.group_tiles == 6
+    out = np.asarray(frame_stream.decode_shared_step(prep, cfg))
+    np.testing.assert_array_equal(out, frames)
+
+
+def test_image_plan_selection():
+    from metalhuffman_tpu.ops import decode_pallas as dp
+
+    # exact fits keep g=8
+    assert dp.image_plan_for(1536, 2048).group_tiles == 8
+    # h2=3 (2560 px) needs g=6 (h2 | 8g)
+    p = dp.image_plan_for(1536, 2560)
+    assert (p.h2, p.group_tiles, p.bw_pad) == (3, 6, 384)
+    # tiny widths: pad waste > 2x -> generic path
+    assert dp.image_plan_for(64, 64) is None
+    # non-8x8 blocks -> generic
+    assert dp.image_plan_for(1536, 2048, block_dim=4) is None
 
 
 def test_shared_rejects_bad_shapes():
