@@ -29,20 +29,38 @@ def decode_image(blob: bytes, config=None):
 
 
 def encode_video(frames, config=None) -> bytes:
-    """Convenience: (T, H, W) uint8 frames -> MHTV shared-table container."""
-    from .models import frame_stream
-
-    frames_arr = __import__("numpy").asarray(frames)
-    t, h, w = frames_arr.shape
-    stream = frame_stream.encode_frames_shared(frames_arr, config)
-    return frame_stream.write_shared(stream, t, h, w, config)
-
-
-def decode_video(blob: bytes, config=None):
-    """Convenience: MHTV container bytes -> (T, H, W) uint8 frames."""
+    """Convenience: (T, H, W) uint8 frames -> MHTV container, auto-upgrading
+    to segmented MHV2 when the stream could overflow u32 block offsets."""
     import numpy as np
 
     from .models import frame_stream
 
-    stream, t, h, w, _bd, _delta = frame_stream.read_shared(blob)
-    return np.asarray(frame_stream.decode_frames_shared(stream, t, h, w, config))
+    frames_arr = np.asarray(frames)
+    t, h, w = frames_arr.shape
+    segs = frame_stream.encode_frames_segmented(frames_arr, config)
+    if len(segs) == 1:
+        return frame_stream.write_shared(segs[0][0], t, h, w, config)
+    return frame_stream.write_segmented(segs, h, w, config)
+
+
+def decode_video(blob: bytes, config=None):
+    """Convenience: MHTV/MHV2 container bytes -> (T, H, W) uint8 frames.
+
+    The container's recorded block_dim/delta are authoritative; config
+    selects the backend only.
+    """
+    import dataclasses
+
+    import numpy as np
+
+    from .models import CodecConfig, frame_stream
+
+    if blob[:4] == frame_stream.SEGMENTED_MAGIC:
+        segs, _t, h, w, bd, delta = frame_stream.read_segmented(blob)
+        cfg = dataclasses.replace(
+            config or CodecConfig(), block_dim=bd, delta=delta)
+        return frame_stream.decode_frames_segmented(segs, h, w, cfg)
+    stream, t, h, w, bd, delta = frame_stream.read_shared(blob)
+    cfg = dataclasses.replace(
+        config or CodecConfig(), block_dim=bd, delta=delta)
+    return np.asarray(frame_stream.decode_frames_shared(stream, t, h, w, cfg))

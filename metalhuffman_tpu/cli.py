@@ -100,6 +100,18 @@ def cmd_info(args) -> int:
     from .models import frame_stream
 
     data = Path(args.input).read_bytes()
+    if data[:4] == frame_stream.SEGMENTED_MAGIC:
+        segs, t, h, w, bd, delta = frame_stream.read_segmented(data)
+        total = sum(s.compressed_size for s, _ in segs)
+        per = ", ".join(f"{st}f/{s.compressed_size}B" for s, st in segs[:8])
+        if len(segs) > 8:
+            per += ", ..."
+        print(
+            f"MHV2: {t} frames {h}x{w} in {len(segs)} shared-table segments, "
+            f"block_dim={bd}, delta={delta}, {total} compressed bytes "
+            f"({total/(t*h*w):.1%}) [{per}]"
+        )
+        return 0
     if data[:4] == frame_stream.SHARED_MAGIC:
         stream, t, h, w, bd, delta = frame_stream.read_shared(data)
         print(
@@ -160,12 +172,19 @@ def cmd_encode_video(args) -> int:
     if args.per_frame_tables:
         streams = frame_stream.encode_frames(frames, cfg)
         blob = frame_stream.write_stream(streams, h, w, cfg)
+        kind = "MHTS"
     else:
-        stream = frame_stream.encode_frames_shared(frames, cfg)
-        blob = frame_stream.write_shared(stream, t, h, w, cfg)
+        # auto-upgrades to segmented MHV2 when one shared stream could
+        # overflow the u32 block-offset index (> ~512 MB compressed)
+        segs = frame_stream.encode_frames_segmented(frames, cfg)
+        if len(segs) == 1:
+            blob = frame_stream.write_shared(segs[0][0], t, h, w, cfg)
+            kind = "MHTV"
+        else:
+            blob = frame_stream.write_segmented(segs, h, w, cfg)
+            kind = f"MHV2[{len(segs)} segments]"
     dt = time.perf_counter() - t0
     Path(args.output).write_bytes(blob)
-    kind = "MHTS" if args.per_frame_tables else "MHTV"
     print(
         f"{args.input}: {t} frames {h}x{w} -> {kind} {len(blob)} bytes "
         f"({len(blob)/frames.size:.1%}) in {dt:.2f} s"
@@ -182,11 +201,21 @@ def cmd_decode_video(args) -> int:
     t0 = time.perf_counter()
     import dataclasses
 
-    if data[:4] == frame_stream.SHARED_MAGIC:
+    if data[:4] == frame_stream.SEGMENTED_MAGIC:
+        segs, t, h, w, bd, delta = frame_stream.read_segmented(data)
+        cfg = dataclasses.replace(cfg, block_dim=bd, delta=delta)
+        frames = frame_stream.decode_frames_segmented(segs, h, w, cfg)
+    elif data[:4] == frame_stream.SHARED_MAGIC:
         stream, t, h, w, bd, delta = frame_stream.read_shared(data)
         # the container header is authoritative for block_dim/delta
         cfg = dataclasses.replace(cfg, block_dim=bd, delta=delta)
-        frames = np.asarray(frame_stream.decode_frames_shared(stream, t, h, w, cfg))
+        if cfg.backend == "native":
+            # host decode (one segment) — never touches a device
+            frames = frame_stream.decode_frames_segmented(
+                [(stream, t)], h, w, cfg)
+        else:
+            frames = np.asarray(
+                frame_stream.decode_frames_shared(stream, t, h, w, cfg))
     elif data[:4] == frame_stream.STREAM_MAGIC:
         streams, h, w, bd, delta = frame_stream.read_stream(data)
         cfg = dataclasses.replace(cfg, block_dim=bd, delta=delta)
@@ -206,7 +235,7 @@ def cmd_decode_video(args) -> int:
             ])
         t = len(streams)
     else:
-        raise SystemExit("not an MHTV/MHTS container")
+        raise SystemExit("not an MHTV/MHV2/MHTS container")
     dt = time.perf_counter() - t0
     out = Path(args.output)
     if out.suffix == ".npy":

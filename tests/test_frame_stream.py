@@ -69,3 +69,71 @@ def test_empty_and_mismatched_streams_raise():
     combined = b"MHTS" + (2).to_bytes(4, "little") + blob1[8:] + blob2[8:]
     with pytest.raises(ValueError):
         frame_stream.read_stream(combined)
+
+
+def test_segmented_encode_splits_and_roundtrips():
+    # a tiny max_segment_bits forces multiple segments at whole-frame
+    # boundaries; decode pipelines them back together bit-exact
+    frames = _frames(5, 16, 32, seed=21)
+    cfg = CodecConfig(backend="pallas", interpret=True)
+    frame_bits_cap = 16 * 32 * 10  # ~1 frame per segment at 10 bits/sym
+    segs = frame_stream.encode_frames_segmented(
+        frames, cfg, max_segment_bits=frame_bits_cap)
+    assert len(segs) == 5 and all(t == 1 for _, t in segs)
+    out = frame_stream.decode_frames_segmented(segs, 16, 32, cfg)
+    np.testing.assert_array_equal(out, frames)
+
+
+def test_segmented_container_roundtrip():
+    frames = _frames(6, 16, 24, seed=22)
+    cfg = CodecConfig(backend="xla")
+    segs = frame_stream.encode_frames_segmented(
+        frames, cfg, max_segment_bits=3 * 16 * 24 * 10)
+    assert len(segs) >= 2
+    blob = frame_stream.write_segmented(segs, 16, 24, cfg)
+    segs2, t, h, w, bd, delta = frame_stream.read_segmented(blob)
+    assert (t, h, w, bd, delta) == (6, 16, 24, 8, True)
+    assert len(segs2) == len(segs)
+    for (s1, t1), (s2, t2) in zip(segs, segs2):
+        assert t1 == t2
+        np.testing.assert_array_equal(s1.code_bytes, s2.code_bytes)
+        np.testing.assert_array_equal(s1.block_offsets, s2.block_offsets)
+    out = frame_stream.decode_frames_segmented(segs2, 16, 24,
+                                               CodecConfig(backend="native"))
+    np.testing.assert_array_equal(out, frames)
+
+
+def test_segmented_single_segment_stays_mhtv():
+    import metalhuffman_tpu as mht
+
+    frames = _frames(3, 16, 16, seed=23)
+    blob = mht.encode_video(frames, CodecConfig(backend="xla"))
+    assert blob[:4] == frame_stream.SHARED_MAGIC  # small stream: plain MHTV
+    out = mht.decode_video(blob, CodecConfig(backend="xla"))
+    np.testing.assert_array_equal(out, frames)
+
+
+def test_segment_frame_counts_estimator():
+    # 10 bits/sym upper bound: segments must provably fit u32 offsets
+    counts = frame_stream.segment_frame_counts(1000, 1536 * 2048)
+    assert sum(counts) == 1000
+    per = counts[0]
+    assert per * 1536 * 2048 * 10 < 1 << 32
+    assert (per + 1) * 1536 * 2048 * 10 >= 1 << 32  # maximal packing
+
+
+@pytest.mark.slow
+def test_segmented_over_u32_roundtrip_native():
+    # VERDICT round-1 item 8 done-criterion: a > 2^32-bit (> 512 MB)
+    # compressed stream roundtrips via segmenting. Incompressible noise
+    # keeps compressed ~= raw; native host codec handles the volume.
+    rng = np.random.default_rng(31)
+    t, h, w = 180, 1536, 2048  # ~530 MB compressed (noise, ~8.2 bits/sym)
+    frames = rng.integers(0, 256, (t, h, w), np.uint8)
+    cfg = CodecConfig(backend="native", delta=False)
+    segs = frame_stream.encode_frames_segmented(frames, cfg)
+    total_bits = sum(8 * (s.code_bytes.size - 2) for s, _ in segs)
+    assert total_bits > 1 << 32, "workload must actually exceed the u32 cap"
+    assert len(segs) >= 2
+    out = frame_stream.decode_frames_segmented(segs, h, w, cfg)
+    np.testing.assert_array_equal(out, frames)
