@@ -3,10 +3,14 @@
     python examples/scaling_report.py                 # all visible devices
     python examples/scaling_report.py --cpu-devices 8 # virtual CPU mesh
 
-On a real multi-chip TPU host this reports ICI scaling efficiency of the
-XLA sharded decode (BASELINE.md scaling target: >= 80% linear). On a single
-chip or CPU it is a functional demonstration — the mechanics (contiguous
-block-range sharding, replicated tables) are identical.
+Benchmarks the PRODUCTION path — the Pallas image-layout kernel under
+shard_map (``shard_decode.decode_tiles_images_sharded``), tile ranges
+sharded over the mesh, staged once per mesh size and timed with distinct
+inputs per iteration (bench.py methodology). On a real multi-chip TPU host
+this reports ICI scaling efficiency (BASELINE.md target: >= 80% linear);
+on CPU it runs the kernel in interpret mode as a functional demonstration
+(mechanics identical: contiguous tile-range sharding, replicated pair
+table).
 """
 
 from __future__ import annotations
@@ -21,6 +25,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 _ap = argparse.ArgumentParser()
 _ap.add_argument("--cpu-devices", type=int, default=0,
                  help="force a virtual N-device CPU platform")
+_ap.add_argument("--frames", type=int, default=16)
+_ap.add_argument("--iters", type=int, default=10)
 _args = _ap.parse_args()
 
 import jax
@@ -31,52 +37,92 @@ if _args.cpu_devices:
 import jax.numpy as jnp
 import numpy as np
 
-from metalhuffman_tpu.core import blocks, delta, encode_symbols
-from metalhuffman_tpu.ops import decode_xla
+from metalhuffman_tpu.models import CodecConfig, frame_stream
+from metalhuffman_tpu.ops import decode_pallas
 from metalhuffman_tpu.parallel import mesh as mesh_mod, shard_decode
 
 
 def barrier(x) -> float:
-    return float(jnp.sum(x[..., :1].astype(jnp.int32)))
+    return float(jnp.sum(x[..., :1, :1].astype(jnp.int32)))
+
+
+def _frames(t, h, w):
+    rng = np.random.default_rng(0)
+    yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    out = []
+    for i in range(t):
+        img = 96 + 80 * np.sin((xx + 3 * i) / 97.0) * np.cos(yy / 71.0)
+        out.append(np.clip(img + rng.normal(0, 3, (h, w)), 0, 255)
+                   .astype(np.uint8))
+    return np.stack(out)
 
 
 def main():
-    rng = np.random.default_rng(0)
-    img = (np.add.outer(np.arange(2048), np.arange(2048)) % 241).astype(np.uint8)
-    img = (img + rng.integers(0, 7, img.shape)).astype(np.uint8)
-    blk = blocks.image_to_blocks(img)
-    enc = encode_symbols(delta.delta_encode_blocks(blk).ravel(), block_size=64)
-    t1, t2 = decode_xla.prepare_tables(enc.widths)
-    words, offsets, width = decode_xla.prepare_stream(enc)
-    payload = img.size
+    on_tpu = jax.default_backend() not in ("cpu", "gpu")
+    interpret = not on_tpu
+    if on_tpu:
+        T, H, W = _args.frames, 1536, 2048
+    else:
+        T, H, W = 2, 64, 1024  # interpret mode: keep it small
+    cfg = CodecConfig(backend="pallas", interpret=interpret)
+    base_frames = _frames(T, H, W)
+    # two distinct staged batches, alternated in the timed loop (elision
+    # control per PERF.md; frame rotation keeps one canonical table)
+    variants = [base_frames, np.roll(base_frames, 1, axis=0)]
+    streams = [frame_stream.encode_frames_shared(f, cfg) for f in variants]
+    plan = decode_pallas.image_plan_for(H, W, cfg.block_dim)
+    assert plan is not None, "report geometry must use the image-layout path"
+    payload = base_frames.size
 
     n_all = len(jax.devices())
     counts = [n for n in (1, 2, 4, 8, 16, 32) if n <= n_all]
-    base = None
+    base_gbps = None
     print(f"platform={jax.default_backend()} devices={n_all} "
-          f"payload={payload/1e6:.0f} MB")
+          f"payload={payload/1e6:.0f} MB frame={W}x{H} "
+          f"path=pallas-image-layout(g={plan.group_tiles})")
     for n in counts:
         mesh = mesh_mod.make_mesh(n)
-        args = shard_decode.shard_stream_inputs(
-            mesh, jnp.asarray(words), jnp.asarray(offsets.astype(np.int32)),
-            jnp.asarray(t1), jnp.asarray(t2))
-        fn = lambda: shard_decode.decode_blocks_sharded(
-            *args, mesh=mesh, width=width)
-        out = fn()
-        ok = np.array_equal(np.asarray(out)[: enc.block_offsets.size], blk)
-        barrier(out)
-        iters = 10
+        g = plan.group_tiles
+        staged = []
+        for s in streams:
+            meta, words, offsets, wpr = decode_pallas.prepare_stream(s)
+            offs_pad = decode_pallas.pad_offsets_grid(
+                jnp.asarray(offsets), T * plan.bh, plan.bw, plan.bw_pad)
+            rows, init, _ = decode_pallas.tile_layout_images(
+                jnp.asarray(words), offs_pad, wpr, plan.h2, group_tiles=g)
+            pad = (-rows.shape[0]) % (n * g)
+            if pad:
+                rows = jnp.pad(rows, ((0, pad), (0, 0), (0, 0), (0, 0)))
+                init = jnp.pad(init, ((0, pad), (0, 0), (0, 0)))
+            staged.append((rows, init, jnp.asarray(meta.pair_table),
+                           meta, wpr))
+
+        def step(v):
+            rows, init, pair, meta, wpr = staged[v]
+            return shard_decode.decode_tiles_images_sharded(
+                rows, init, pair, mesh=mesh, width=wpr,
+                bounds=meta.bounds, adj_inc=meta.adj_inc, h2=plan.h2,
+                delta=cfg.delta, group_tiles=g, interpret=interpret)
+
+        out = step(0)
+        got = frame_stream.frames_from_raw(
+            np.asarray(out), T, H, W, w_pad=plan.w_pad, bh=plan.bh)
+        ok = np.array_equal(got, base_frames)
+        barrier(step(1))
         t0 = time.perf_counter()
-        for _ in range(iters):
-            out = fn()
-        barrier(out)
-        dt = (time.perf_counter() - t0) / iters
+        r = None
+        for i in range(_args.iters):
+            r = step(i % 2)
+        barrier(r)
+        dt = (time.perf_counter() - t0) / _args.iters
         gbps = payload / dt / 1e9
-        if base is None:
-            base = gbps
-        eff = gbps / (base * n) * 100
+        if base_gbps is None:
+            base_gbps = gbps
+        eff = gbps / (base_gbps * n) * 100
         print(f"  {n:2d} device(s): {dt*1e3:8.2f} ms  {gbps:7.3f} GB/s  "
               f"scaling {eff:5.1f}%  bit-exact={ok}")
+        if not ok:
+            sys.exit(1)
 
 
 if __name__ == "__main__":
