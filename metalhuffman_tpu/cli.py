@@ -213,6 +213,18 @@ def cmd_decode_video(args) -> int:
             # host decode (one segment) — never touches a device
             frames = frame_stream.decode_frames_segmented(
                 [(stream, t)], h, w, cfg)
+        elif getattr(args, "check", False):
+            # on-device integrity check: each block must end at its indexed
+            # bit position (kernel emits the end-bit carry for free)
+            prep = frame_stream.prepare_shared(stream, t, h, w, cfg,
+                                               check=True)
+            frames, err = frame_stream.decode_shared_step_checked(prep, cfg)
+            frames = np.asarray(frames)
+            if err.any():
+                idx = np.nonzero(err)[0]
+                raise SystemExit(
+                    f"stream integrity check failed: {idx.size} corrupt "
+                    f"block(s), first at {idx[:8].tolist()}")
         else:
             frames = np.asarray(
                 frame_stream.decode_frames_shared(stream, t, h, w, cfg))
@@ -335,6 +347,9 @@ def main(argv=None) -> int:
     p = sub.add_parser("decode-video", help="MHTV/MHTS -> .npy or image dir")
     p.add_argument("input")
     p.add_argument("output", help=".npy path or output directory for PNGs")
+    p.add_argument("--check", action="store_true",
+                   help="on-device stream-integrity check (MHTV): fail if "
+                        "any block does not end at its indexed bit position")
     _add_codec_flags(p)
     p.set_defaults(fn=cmd_decode_video)
 

@@ -111,6 +111,9 @@ class PreparedShared:
     w_pad: int = 0  # padded row width in px (ImagePlan); == width if exact
     bh: int = 0  # block rows per frame (image path)
     group_tiles: int = 8  # kernel ILP grouping matching the staged feed
+    #: staged expected end-bits (kernel lane order, -1 = unchecked); present
+    #: only when prepared with check=True (decode_shared_step_checked)
+    end_targets: object = None
 
 
 def prepare_shared(
@@ -119,6 +122,7 @@ def prepare_shared(
     height: int,
     width: int,
     config: CodecConfig | None = None,
+    check: bool = False,
 ) -> PreparedShared:
     """Stage a shared-table stream's decode inputs on device.
 
@@ -153,9 +157,29 @@ def prepare_shared(
     rows = jax.device_put(rows)
     init = jax.device_put(init)
     pair = jax.device_put(jnp.asarray(meta.pair_table))
+    end_targets = None
+    if check:
+        # expected per-block end bits, staged in the kernel's lane order;
+        # last block -1 (its exact end is only known up to byte rounding —
+        # decode_shared_step_checked applies a loose window there)
+        tgt = decode_pallas.block_end_targets(offsets, None)
+        if plan is not None:
+            n_rows = num_frames * plan.bh
+            tg = np.full((n_rows, plan.bw_pad), -1, np.int32)
+            tg[:, : plan.bw] = tgt.reshape(n_rows, plan.bw)
+            end_targets = decode_pallas.feed_permute_images(
+                jnp.asarray(tg.reshape(-1)), plan.h2, plan.group_tiles,
+                fill=-1)
+        else:
+            nt = rows.shape[0]
+            tg = np.full(nt * decode_pallas.TILE_BLOCKS, -1, np.int32)
+            tg[: nb_total] = tgt
+            end_targets = jnp.asarray(
+                tg.reshape(nt, decode_pallas.SUBLANES, decode_pallas.LANES))
+        end_targets = jax.device_put(end_targets)
     return PreparedShared(
         num_frames, height, width, nb_total, wpr, rows, init, pair,
-        meta.bounds, meta.adj_inc, h2, w_pad, bh, g,
+        meta.bounds, meta.adj_inc, h2, w_pad, bh, g, end_targets,
     )
 
 
@@ -199,6 +223,64 @@ def decode_shared_step(prep: PreparedShared, config: CodecConfig | None = None,
         nb_total=prep.nb_total,
     )
     return out
+
+
+def decode_shared_step_checked(prep: PreparedShared,
+                               config: CodecConfig | None = None,
+                               raw: bool = False):
+    """Decode + on-device integrity check of a staged batch.
+
+    Requires ``prepare_shared(..., check=True)``. Returns
+    ``(result, err_mask)`` where ``err_mask`` is a stream-order (nb,) bool
+    array — True marks a block that did not end at its indexed bit position
+    (corrupt/truncated stream; see decode_pallas ``emit_end_bits``). The
+    check costs one extra int32 store per block in-kernel plus a small
+    host fetch of the end-bit plane.
+    """
+    from ..ops import decode_pallas
+
+    if prep.end_targets is None:
+        raise ValueError("prepare_shared(..., check=True) required")
+    cfg = config or CodecConfig()
+    if not cfg.interpret and jax.default_backend() in ("cpu", "gpu"):
+        cfg = CodecConfig(**{**cfg.__dict__, "interpret": True})
+    if prep.h2:
+        if raw:
+            result, end = _decode_shared_strips_jit(
+                prep.rows, prep.init, prep.pair,
+                bounds=prep.bounds, adj_inc=prep.adj_inc, wpr=prep.wpr,
+                h2=prep.h2, delta=cfg.delta, interpret=cfg.interpret,
+                group_tiles=prep.group_tiles, emit_end=True,
+            )
+        else:
+            result, end = _decode_shared_image_jit(
+                prep.rows, prep.init, prep.pair,
+                bounds=prep.bounds, adj_inc=prep.adj_inc, wpr=prep.wpr,
+                num_frames=prep.num_frames, height=prep.height,
+                width=prep.width, h2=prep.h2, delta=cfg.delta,
+                interpret=cfg.interpret, w_pad=prep.w_pad, bh=prep.bh,
+                group_tiles=prep.group_tiles, emit_end=True,
+            )
+    else:
+        result, end = _decode_shared_jit(
+            prep.rows, prep.init, prep.pair,
+            bounds=prep.bounds, adj_inc=prep.adj_inc, wpr=prep.wpr,
+            num_frames=prep.num_frames, height=prep.height, width=prep.width,
+            block_dim=cfg.block_dim, delta=cfg.delta, interpret=cfg.interpret,
+            nb_total=prep.nb_total, emit_end=True,
+        )
+    err_lane = decode_pallas.check_block_ends(end, prep.end_targets)
+    if prep.h2:
+        bw = -(-prep.width // 8)
+        bw_pad = prep.w_pad // 8
+        n_rows = prep.num_frames * prep.bh
+        flat = decode_pallas.unpermute_images_flat(
+            err_lane, prep.h2, prep.group_tiles)
+        err = flat[: n_rows * bw_pad].reshape(n_rows, bw_pad)[:, :bw]
+        err = np.ascontiguousarray(err).reshape(-1)
+    else:
+        err = err_lane[: prep.nb_total]
+    return result, err
 
 
 def decode_shared_sharded(
@@ -469,35 +551,45 @@ def frames_from_raw(raw, num_frames: int, height: int, width: int,
 
 
 @partial(jax.jit, static_argnames=(
-    "bounds", "adj_inc", "wpr", "h2", "delta", "interpret", "group_tiles"))
+    "bounds", "adj_inc", "wpr", "h2", "delta", "interpret", "group_tiles",
+    "emit_end"))
 def _decode_shared_strips_jit(rows, init, pair, *, bounds, adj_inc, wpr, h2,
-                              delta, interpret, group_tiles=8):
+                              delta, interpret, group_tiles=8,
+                              emit_end=False):
     from ..ops import decode_pallas
 
     return decode_pallas.decode_tiles_images(
         rows, init, pair, width=wpr, bounds=bounds, adj_inc=adj_inc, h2=h2,
         delta=delta, interpret=interpret, group_tiles=group_tiles,
+        emit_end_bits=emit_end,
     )
 
 
 @partial(jax.jit, static_argnames=(
     "bounds", "adj_inc", "wpr", "num_frames", "height", "width", "h2",
-    "delta", "interpret", "w_pad", "bh", "group_tiles"))
+    "delta", "interpret", "w_pad", "bh", "group_tiles", "emit_end"))
 def _decode_shared_image_jit(rows, init, pair, *, bounds, adj_inc, wpr,
                              num_frames, height, width, h2, delta, interpret,
-                             w_pad=0, bh=0, group_tiles=8):
+                             w_pad=0, bh=0, group_tiles=8, emit_end=False):
     from ..ops import decode_pallas
 
     strips = decode_pallas.decode_tiles_images(
         rows, init, pair, width=wpr, bounds=bounds, adj_inc=adj_inc, h2=h2,
         delta=delta, interpret=interpret, group_tiles=group_tiles,
+        emit_end_bits=emit_end,
     )
+    end = None
+    if emit_end:
+        strips, end = strips
     if w_pad and (w_pad != width or bh * 8 != height):
-        return decode_pallas.images_from_strips_padded(
+        img = decode_pallas.images_from_strips_padded(
             strips, num_frames, height, width, w_pad, bh)
-    img32 = decode_pallas.images_from_strips(strips, num_frames, height, width)
-    return jax.lax.bitcast_convert_type(img32, jnp.uint8).reshape(
-        num_frames, height, width)
+    else:
+        img32 = decode_pallas.images_from_strips(
+            strips, num_frames, height, width)
+        img = jax.lax.bitcast_convert_type(img32, jnp.uint8).reshape(
+            num_frames, height, width)
+    return (img, end) if emit_end else img
 
 
 def decode_frames_shared(
@@ -517,27 +609,34 @@ def decode_frames_shared(
 
 @partial(jax.jit, static_argnames=(
     "bounds", "adj_inc", "wpr", "num_frames", "height", "width", "block_dim",
-    "delta", "interpret", "nb_total"))
+    "delta", "interpret", "nb_total", "emit_end"))
 def _decode_shared_jit(rows, init, pair, *, bounds, adj_inc, wpr, num_frames,
-                       height, width, block_dim, delta, interpret, nb_total):
+                       height, width, block_dim, delta, interpret, nb_total,
+                       emit_end=False):
     from ..ops import decode_pallas
 
     block_size = block_dim * block_dim
     out = decode_pallas.decode_tiles(
         rows, init, pair, width=wpr, bounds=bounds, adj_inc=adj_inc,
         num_steps=block_size, delta=delta, interpret=interpret,
+        emit_end_bits=emit_end,
     )
+    end = None
+    if emit_end:
+        out, end = out
     if block_dim % 4 == 0 and height % block_dim == 0 and width % block_dim == 0:
         # fast path: reorder packed int32 words, bitcast to bytes at the end
-        return decode_pallas.unpack_to_images(
+        img = decode_pallas.unpack_to_images(
             out, num_frames, height, width, block_dim
         )
-    blk = decode_pallas.unpack_to_blocks(out, nb_total, block_size)
-    nb_frame = nb_total // num_frames
-    blk = blk.reshape(num_frames, nb_frame, block_size)
-    return jax.vmap(
-        lambda b: blocks.blocks_to_image_jax(b, height, width, block_dim)
-    )(blk)
+    else:
+        blk = decode_pallas.unpack_to_blocks(out, nb_total, block_size)
+        nb_frame = nb_total // num_frames
+        blk = blk.reshape(num_frames, nb_frame, block_size)
+        img = jax.vmap(
+            lambda b: blocks.blocks_to_image_jax(b, height, width, block_dim)
+        )(blk)
+    return (img, end) if emit_end else img
 
 
 def encode_frames(

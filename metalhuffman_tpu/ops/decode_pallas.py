@@ -117,7 +117,7 @@ def canonical_meta(widths: np.ndarray) -> CanonicalMeta:
 
 
 def _make_kernel(width: int, bounds, adj_inc, *, sub: int, num_steps: int,
-                 delta: bool, image_h2: int = 0):
+                 delta: bool, image_h2: int = 0, emit_end: bool = False):
     """Build the kernel body specialized for one canonical table.
 
     ``image_h2 > 0`` selects image-strip emission (see decode_tiles_images):
@@ -125,6 +125,12 @@ def _make_kernel(width: int, bounds, adj_inc, *, sub: int, num_steps: int,
     vregs are lane-interleaved into half-row word order and stored at the
     row's final image position — the kernel output IS the image, up to a
     host-side byte view. Requires num_steps == 64 (8x8 blocks).
+
+    ``emit_end`` adds a second output holding each block's final row-local
+    bit position (the loop carry — free to surface). A well-formed block
+    ends exactly at ``init + block_bits``; comparing against the offset
+    index detects stream corruption/desync on-device, the TPU analog of
+    the reference's decode-verify assert (``AAPLRenderer.m:1849-1876``).
     """
     # Prune compares: bound 0 => always true (fold into base); bound >= 2^16
     # => length unused above the max active width (always false).
@@ -142,7 +148,7 @@ def _make_kernel(width: int, bounds, adj_inc, *, sub: int, num_steps: int,
 
     min_w = base_w  # smallest active code width (bounds folded into base)
 
-    def kernel(rows_ref, init_ref, pair_ref, out_ref):
+    def kernel(rows_ref, init_ref, pair_ref, out_ref, *maybe_end_ref):
         pair_tab = pair_ref[:]
         if image_h2:
             lane = jax.lax.broadcasted_iota(jnp.int32, (sub, LANES), 1)
@@ -231,6 +237,8 @@ def _make_kernel(width: int, bounds, adj_inc, *, sub: int, num_steps: int,
             for j in range(n_groups):  # unrolled: static store indices
                 carry, packed = outer(j, carry)
                 out_ref[0, j] = packed
+            if emit_end:
+                maybe_end_ref[0][0] = carry[0]
         else:
             rows_pp = sub // image_h2
             for dy in range(8):
@@ -251,17 +259,19 @@ def _make_kernel(width: int, bounds, adj_inc, *, sub: int, num_steps: int,
                     out_ref[0, :, dy, (2 * h) * LANES:(2 * h + 1) * LANES] = lo[sl]
                     out_ref[0, :, dy,
                             (2 * h + 1) * LANES:(2 * h + 2) * LANES] = hi2[sl]
+            if emit_end:
+                maybe_end_ref[0][0] = carry[0]
 
     return kernel
 
 
 @partial(jax.jit, static_argnames=(
     "width", "bounds", "adj_inc", "num_steps", "delta", "group_tiles",
-    "interpret"))
+    "interpret", "emit_end_bits"))
 def decode_tiles(rows_tiled, init_tiled, pair_table, *, width: int, bounds,
                  adj_inc, num_steps: int = 64, delta: bool = True,
                  group_tiles: int = DEFAULT_GROUP_TILES,
-                 interpret: bool = False):
+                 interpret: bool = False, emit_end_bits: bool = False):
     """Run the decode kernel over pre-tiled inputs.
 
     Args:
@@ -270,11 +280,15 @@ def decode_tiles(rows_tiled, init_tiled, pair_table, *, width: int, bounds,
         init_tiled: (nt, 8, 128) int32 starting bit offset within each row.
         pair_table: (8, 128) int32 packed canonical symbol pairs.
         bounds/adj_inc: CanonicalMeta tuples (static — kernel specializers).
+        emit_end_bits: also return each block's final row-local bit position
+            (``(ng, g*8, 128) int32``, same block order as the output) for
+            on-device stream-integrity checking (:func:`check_block_ends`).
 
     Returns:
         (nt//g, num_steps//4, g*8, 128) int32: 4 decoded bytes packed
         little-endian per element, blocks in stream order along the
         (axis0, axis2, axis3) dims (see :func:`unpack_to_blocks`).
+        With ``emit_end_bits``: a (packed, end_bits) tuple.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -298,7 +312,18 @@ def decode_tiles(rows_tiled, init_tiled, pair_table, *, width: int, bounds,
     pair_g = jnp.tile(pair_table, (g, 1))
 
     kernel = _make_kernel(
-        width, bounds, adj_inc, sub=sub, num_steps=num_steps, delta=delta)
+        width, bounds, adj_inc, sub=sub, num_steps=num_steps, delta=delta,
+        emit_end=emit_end_bits)
+    out_specs = pl.BlockSpec((1, n_groups, sub, LANES),
+                             lambda i: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((ng, n_groups, sub, LANES), jnp.int32)
+    if emit_end_bits:
+        out_specs = (out_specs,
+                     pl.BlockSpec((1, sub, LANES), lambda i: (i, 0, 0),
+                                  memory_space=pltpu.VMEM))
+        out_shape = (out_shape,
+                     jax.ShapeDtypeStruct((ng, sub, LANES), jnp.int32))
     out = pl.pallas_call(
         kernel,
         grid=(ng,),
@@ -310,10 +335,8 @@ def decode_tiles(rows_tiled, init_tiled, pair_table, *, width: int, bounds,
             pl.BlockSpec((sub, LANES), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, n_groups, sub, LANES),
-                               lambda i: (i, 0, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((ng, n_groups, sub, LANES), jnp.int32),
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
     )(rows_g, init_g, pair_g)
     # stays in grouped layout; block order is (ng, g*8, 128) = stream order,
@@ -322,11 +345,12 @@ def decode_tiles(rows_tiled, init_tiled, pair_table, *, width: int, bounds,
 
 
 @partial(jax.jit, static_argnames=(
-    "width", "bounds", "adj_inc", "h2", "delta", "group_tiles", "interpret"))
+    "width", "bounds", "adj_inc", "h2", "delta", "group_tiles", "interpret",
+    "emit_end_bits"))
 def decode_tiles_images(rows_tiled, init_tiled, pair_table, *, width: int,
                         bounds, adj_inc, h2: int, delta: bool = True,
                         group_tiles: int = DEFAULT_GROUP_TILES,
-                        interpret: bool = False):
+                        interpret: bool = False, emit_end_bits: bool = False):
     """Decode straight into image layout (8x8 blocks, W = h2*1024 pixels).
 
     Requires inputs staged by :func:`tile_layout_images` (h-major feed
@@ -356,7 +380,18 @@ def decode_tiles_images(rows_tiled, init_tiled, pair_table, *, width: int,
 
     kernel = _make_kernel(
         width, bounds, adj_inc, sub=sub, num_steps=64, delta=delta,
-        image_h2=h2)
+        image_h2=h2, emit_end=emit_end_bits)
+    out_specs = pl.BlockSpec((1, rows_pp, 8, h2 * 2 * LANES),
+                             lambda i: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((ng, rows_pp, 8, h2 * 2 * LANES),
+                                     jnp.int32)
+    if emit_end_bits:
+        out_specs = (out_specs,
+                     pl.BlockSpec((1, sub, LANES), lambda i: (i, 0, 0),
+                                  memory_space=pltpu.VMEM))
+        out_shape = (out_shape,
+                     jax.ShapeDtypeStruct((ng, sub, LANES), jnp.int32))
     return pl.pallas_call(
         kernel,
         grid=(ng,),
@@ -368,11 +403,8 @@ def decode_tiles_images(rows_tiled, init_tiled, pair_table, *, width: int,
             pl.BlockSpec((sub, LANES), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, rows_pp, 8, h2 * 2 * LANES),
-                               lambda i: (i, 0, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((ng, rows_pp, 8, h2 * 2 * LANES),
-                                       jnp.int32),
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
     )(rows_g, init_g, pair_g)
 
@@ -445,6 +477,39 @@ def pad_offsets_grid(block_offsets, n_rows: int, bw: int, bw_pad: int):
     return jnp.pad(offs, ((0, 0), (0, bw_pad - bw))).reshape(-1)
 
 
+def feed_permute_images(x_flat, h2: int, group_tiles: int, fill: int = 0):
+    """Apply the h-major feed permutation to a flat per-block int array.
+
+    Pads to whole programs with ``fill`` and returns (nt, 8, 128) in the
+    exact lane order :func:`tile_layout_images` stages blocks (and hence
+    the order the kernel's per-block outputs, e.g. end bits, come back in).
+    """
+    nb = x_flat.shape[0]
+    sub = group_tiles * SUBLANES
+    per_prog = sub * LANES
+    ngp = -(-nb // per_prog)
+    rows_pp = sub // h2
+    xp = jnp.pad(x_flat.astype(jnp.int32), (0, ngp * per_prog - nb),
+                 constant_values=fill)
+    return xp.reshape(ngp, rows_pp, h2, LANES).transpose(0, 2, 1, 3).reshape(
+        ngp * group_tiles, SUBLANES, LANES)
+
+
+def unpermute_images_flat(x, h2: int, group_tiles: int):
+    """Inverse of :func:`feed_permute_images` -> flat padded-grid order.
+
+    Accepts any array whose flat order matches the staged lane order
+    ((nt, 8, 128) and the kernel's (ng, g*8, 128) end-bits output flatten
+    identically).
+    """
+    flat = np.asarray(x).reshape(-1)
+    per_prog = group_tiles * SUBLANES * LANES
+    ngp = flat.size // per_prog
+    rows_pp = group_tiles * SUBLANES // h2
+    return flat.reshape(ngp, h2, rows_pp, LANES).transpose(
+        0, 2, 1, 3).reshape(-1)
+
+
 def tile_layout_images(code_words_be, block_offsets, width: int, h2: int,
                        group_tiles: int = DEFAULT_GROUP_TILES):
     """Stage tiles with the h-major feed permutation for image-layout decode.
@@ -455,18 +520,12 @@ def tile_layout_images(code_words_be, block_offsets, width: int, h2: int,
     decode garbage into rows past the real image (cropped by the caller).
     """
     nb = block_offsets.shape[0]
-    sub = group_tiles * SUBLANES
-    per_prog = sub * LANES
-    ngp = -(-nb // per_prog)
-    rows_pp = sub // h2
-    offs = jnp.pad(block_offsets.astype(jnp.int32), (0, ngp * per_prog - nb))
-    offs = offs.reshape(ngp, rows_pp, h2, LANES).transpose(0, 2, 1, 3).reshape(-1)
-    word_start = offs.reshape(ngp * group_tiles, SUBLANES, LANES) >> 5
+    offs = feed_permute_images(block_offsets, h2, group_tiles)
+    word_start = offs >> 5
     idx = word_start[:, None] + jnp.arange(width, dtype=jnp.int32).reshape(
         1, width, 1, 1)
     rows = jnp.take(code_words_be.astype(jnp.int32), idx, mode="clip")
-    init = offs.reshape(ngp * group_tiles, SUBLANES, LANES) & 31
-    return rows, init, nb
+    return rows, offs & 31, nb
 
 
 def images_from_strips(strips, num_frames: int, height: int, width: int):
@@ -573,3 +632,83 @@ def decode_stream_pallas(stream, *, delta: bool = True, block_size: int = 64,
         num_steps=block_size, delta=delta, interpret=interpret,
     )
     return unpack_to_blocks(out, nb, block_size)
+
+
+# -- on-device stream-integrity check -----------------------------------------
+#
+# A canonical Huffman stream self-synchronizes only if every bit is intact:
+# any flipped/lost bit desyncs the decoder, and the block then ends at the
+# wrong bit position with overwhelming probability. The kernel's loop carry
+# already holds each block's final row-local bit position — emitting it
+# (``emit_end_bits``) and comparing against ``init + block_bits`` (known from
+# the offset index) yields a per-block corruption mask with no extra decode
+# work. This is the device analog of the reference's decode-verify assert
+# (``AAPLRenderer.m:1849-1876``), but O(blocks) instead of O(pixels), and it
+# runs on the production path rather than a separate verification decode.
+# (A corruption that preserves total bit length within a block — e.g. two
+# compensating symbol swaps — passes this check; pair it with the container
+# CRC for whole-payload integrity.)
+
+def block_end_targets(block_offsets, last_end_bit: int | None) -> np.ndarray:
+    """Stream-order expected row-local end bit per block -> (nb,) int32.
+
+    ``last_end_bit`` is the bit position where the LAST block ends (equal to
+    the stream's exact total bits when there is no partial tail). Pass None
+    when unknown (e.g. the stream may carry tail symbols past the last
+    whole block): the last block is then marked -1 = unchecked.
+    """
+    offs = np.asarray(block_offsets, dtype=np.int64)
+    if offs.size == 0:
+        return np.zeros(0, np.int32)
+    if last_end_bit is None:
+        ends = np.append(offs[1:], offs[-1])  # placeholder, masked below
+    else:
+        ends = np.append(offs[1:], np.int64(last_end_bit))
+    t = ((offs & 31) + (ends - offs)).astype(np.int32)
+    if last_end_bit is None:
+        t[-1] = -1
+    return t
+
+
+def check_block_ends(end_bits, targets) -> np.ndarray:
+    """Kernel end-bits vs targets (-1 = don't check) -> flat bool err mask.
+
+    ``end_bits`` is the kernel's second output; ``targets`` must be staged
+    in the SAME lane order (plain stream order reshaped for the tile path,
+    :func:`feed_permute_images` with fill=-1 for the image path).
+    """
+    e = np.asarray(end_bits).reshape(-1)
+    t = np.asarray(targets).reshape(-1)
+    return (e != t) & (t >= 0)
+
+
+def decode_stream_checked(stream, *, delta: bool = True, block_size: int = 64,
+                          interpret: bool = False):
+    """Decode + integrity-check an EncodedStream on-device.
+
+    Returns (blocks (nb, block_size) uint8, err_mask (nb,) bool). A True
+    mask entry means that block did not end at its indexed bit position —
+    the stream is corrupt or truncated there.
+    """
+    meta, words, offsets, width = prepare_stream(stream, block_size)
+    rows, init, nb = tile_layout_jax(
+        jnp.asarray(words), jnp.asarray(offsets), width)
+    out, end = decode_tiles(
+        rows, init, jnp.asarray(meta.pair_table),
+        width=width, bounds=meta.bounds, adj_inc=meta.adj_inc,
+        num_steps=block_size, delta=delta, interpret=interpret,
+        emit_end_bits=True,
+    )
+    targets = block_end_targets(offsets, None)
+    tgt = np.full(end.size, -1, np.int32)
+    tgt[:nb] = targets
+    err = check_block_ends(end, tgt)[:nb]
+    if stream.num_symbols == nb * block_size:
+        # no tail symbols: the last block ends at the stream's exact bit
+        # count, known only up to byte rounding -> loose window check
+        total_bits = 8 * (
+            stream.code_bytes.size - bitstream.READ_AHEAD_PAD_BYTES)
+        last_end = int(np.asarray(end).reshape(-1)[nb - 1])
+        hi = (int(offsets[-1]) & 31) + (total_bits - int(offsets[-1]))
+        err[nb - 1] = not (hi - 7 <= last_end <= hi)
+    return unpack_to_blocks(out, nb, block_size), err

@@ -1,0 +1,129 @@
+"""On-device stream-integrity check (decode_pallas emit_end_bits).
+
+The kernel surfaces each block's final bit position; comparing against the
+offset index flags corrupt/desynced blocks — the device analog of the
+reference's decode-verify assert (AAPLRenderer.m:1849-1876), tested here on
+the Pallas interpret path per VERDICT round-1 item 9.
+"""
+
+import numpy as np
+import pytest
+
+from metalhuffman_tpu.core import encode_symbols
+from metalhuffman_tpu.core.container import EncodedStream
+from metalhuffman_tpu.models import CodecConfig, frame_stream
+from metalhuffman_tpu.ops import decode_pallas
+
+
+def _stream(n_blocks=300, seed=3):
+    rng = np.random.default_rng(seed)
+    data = rng.integers(0, 256, n_blocks * 64, dtype=np.uint8)
+    # skewed histogram -> varied code widths
+    data = np.minimum(data, rng.integers(0, 256, data.size, dtype=np.uint8))
+    return data, encode_symbols(data, block_size=64)
+
+
+def _corrupt(stream: EncodedStream, block: int) -> EncodedStream:
+    """Overwrite bytes inside ``block`` so its bit consumption shifts.
+
+    A run of 0xFF decodes as maximal-width codes, overshooting the block's
+    bit budget — a persistent desync the end-position check must flag. (A
+    single flipped bit often RE-syncs — canonical Huffman self-synchronizes
+    — ending at the right position with wrong content; that case is what
+    the container CRC is for.)
+    """
+    code = stream.code_bytes.copy()
+    start = int(stream.block_offsets[block]) // 8 + 2
+    code[start : start + 8] = 0xFF
+    return EncodedStream(
+        stream.num_symbols, stream.widths, code, stream.block_offsets)
+
+
+def test_clean_stream_no_errors():
+    _, enc = _stream()
+    blocks, err = decode_pallas.decode_stream_checked(
+        enc, delta=False, interpret=True)
+    assert not err.any()
+
+
+def test_corrupt_block_flagged_tile_path():
+    data, enc = _stream()
+    bad = 137
+    blocks, err = decode_pallas.decode_stream_checked(
+        _corrupt(enc, bad), delta=False, interpret=True)
+    assert err[bad], "corrupted block must be flagged"
+    # corruption is block-local: every other complete block still decodes
+    others = np.ones(err.size, bool)
+    others[bad] = False
+    assert not err[others].any()
+    exp = data.reshape(-1, 64)
+    got = np.asarray(blocks)
+    assert np.array_equal(got[others], exp[others])
+
+
+def test_truncated_stream_flagged():
+    _, enc = _stream()
+    cut = int(enc.block_offsets[250]) // 8
+    code = enc.code_bytes.copy()
+    code[cut:] = 0
+    _, err = decode_pallas.decode_stream_checked(
+        EncodedStream(enc.num_symbols, enc.widths, code, enc.block_offsets),
+        delta=False, interpret=True)
+    assert err[250:-1].any(), "zeroed tail must desync some blocks"
+    assert not err[:249].any()
+
+
+@pytest.mark.parametrize("shape", [(64, 1024), (64, 520)])
+def test_shared_checked_image_path(shape):
+    h, w = shape
+    rng = np.random.default_rng(11)
+    # skewed histogram -> varied widths (a flat 8-bit table would make the
+    # whole stream fixed-width and trivially end-synced)
+    frames = np.minimum(rng.integers(0, 256, (2, h, w), dtype=np.uint8),
+                        rng.integers(0, 256, (2, h, w), dtype=np.uint8))
+    cfg = CodecConfig(backend="pallas", interpret=True, delta=False)
+    stream = frame_stream.encode_frames_shared(frames, cfg)
+    prep = frame_stream.prepare_shared(stream, 2, h, w, cfg, check=True)
+    out, err = frame_stream.decode_shared_step_checked(prep, cfg)
+    assert np.array_equal(np.asarray(out), frames)
+    assert not err.any()
+
+    bad = err.size // 2
+    prep_bad = frame_stream.prepare_shared(
+        _corrupt(stream, bad), 2, h, w, cfg, check=True)
+    _, err2 = frame_stream.decode_shared_step_checked(prep_bad, cfg)
+    assert err2[bad]
+    others = np.ones(err2.size, bool)
+    others[bad] = False
+    assert not err2[others].any()
+
+
+def test_shared_checked_generic_path():
+    # block_dim=4 -> no ImagePlan -> generic packed-blocks path
+    rng = np.random.default_rng(12)
+    frames = rng.integers(0, 256, (2, 32, 144), dtype=np.uint8)
+    cfg = CodecConfig(backend="pallas", interpret=True, block_dim=4)
+    stream = frame_stream.encode_frames_shared(frames, cfg)
+    prep = frame_stream.prepare_shared(stream, 2, 32, 144, cfg, check=True)
+    out, err = frame_stream.decode_shared_step_checked(prep, cfg)
+    assert np.array_equal(np.asarray(out), frames)
+    assert not err.any()
+
+    bad = 100
+    prep_bad = frame_stream.prepare_shared(
+        _corrupt(stream, bad), 2, 32, 144, cfg, check=True)
+    _, err2 = frame_stream.decode_shared_step_checked(prep_bad, cfg)
+    assert err2[bad]
+
+
+def test_raw_strips_checked():
+    rng = np.random.default_rng(13)
+    frames = rng.integers(0, 256, (2, 64, 1024), dtype=np.uint8)
+    cfg = CodecConfig(backend="pallas", interpret=True)
+    stream = frame_stream.encode_frames_shared(frames, cfg)
+    prep = frame_stream.prepare_shared(stream, 2, 64, 1024, cfg, check=True)
+    raw, err = frame_stream.decode_shared_step_checked(prep, cfg, raw=True)
+    got = frame_stream.frames_from_raw(
+        raw, 2, 64, 1024, w_pad=prep.w_pad, bh=prep.bh)
+    assert np.array_equal(got, frames)
+    assert not err.any()
