@@ -171,6 +171,103 @@ def run_video(height: int, width: int, frames: int, iters: int, verbose: bool,
     return gbps
 
 
+def run_encode(height: int, width: int, frames: int, iters: int,
+               verbose: bool, content: str = "synthetic"):
+    """Encode benchmark: host MT encoder + the hybrid device path's stages.
+
+    Reports the production end-to-end rate on THIS box (the multithreaded
+    C++ encoder; PERF.md explains why the hybrid's transfers are
+    relay-bound here) and, as diagnostics, the hybrid stage rates: the
+    Pallas stage-1 packing kernel (device-resident timing) and the C++
+    stage-2 row merge — the numbers that bound the hybrid on
+    directly-attached hardware.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from metalhuffman_tpu import native
+    from metalhuffman_tpu.core import blocks as blocks_mod
+    from metalhuffman_tpu.core import delta as delta_mod
+    from metalhuffman_tpu.ops import encode_pallas
+
+    if content == "photo":
+        base = photo_frames(height, width, frames)
+    else:
+        base = np.stack([synthetic_frame(height, width, seed=0, phase=i)
+                         for i in range(frames)])
+    blk = np.concatenate([blocks_mod.image_to_blocks(f) for f in base])
+    syms = delta_mod.delta_encode_blocks(blk).reshape(-1)
+    payload = syms.size
+
+    # production host path (multithreaded C++)
+    native.encode_symbols(syms)  # warm (lazy lib build)
+    t0 = time.perf_counter()
+    for _ in range(max(1, iters // 8)):
+        enc = native.encode_symbols(syms)
+    host_gbps = payload * max(1, iters // 8) / (time.perf_counter() - t0) / 1e9
+
+    # hybrid stage 1: device packing kernel, device-resident timing with
+    # distinct inputs (two symbol rotations; same table/wmax)
+    widths = native.code_lengths(np.bincount(syms, minlength=256).astype(np.int64))
+    codes = native.canonical_codes(widths)
+    bits_pb = (widths[syms].reshape(-1, 64).astype(np.uint32)
+               .sum(axis=1, dtype=np.uint32))
+    wmax = int(bits_pb.max()) // 32 + 2
+    n_blocks = payload // 64
+    nb_pad = -(-n_blocks // 1024) * 1024
+    codes_pair, widths_pair = encode_pallas.pack_code_tables(widths, codes)
+    cp, wp = jnp.asarray(codes_pair), jnp.asarray(widths_pair)
+    staged = []
+    for roll in (0, 64):
+        padded = np.zeros(nb_pad * 64, np.uint8)
+        s = np.roll(syms, roll)
+        padded[: s.size] = s
+        staged.append(encode_pallas._stage_symbols(
+            jax.device_put(jnp.asarray(padded)), nt=nb_pad // 1024))
+    outs = [encode_pallas.encode_rows(st, cp, wp, wmax=wmax) for st in staged]
+    _barrier(outs[-1])
+    t0 = time.perf_counter()
+    r = None
+    for i in range(iters):
+        r = encode_pallas.encode_rows(staged[i % 2], cp, wp, wmax=wmax)
+    _barrier(r)
+    stage1_gbps = payload * iters / (time.perf_counter() - t0) / 1e9
+
+    # hybrid stage 2: host row merge (rows fetched once; fetch not timed)
+    rows = np.asarray(encode_pallas._rows_block_major(
+        outs[0], wmax=wmax, n_blocks=n_blocks)).view(np.uint32)
+    native.merge_rows(rows, bits_pb)  # warm
+    t0 = time.perf_counter()
+    for _ in range(max(1, iters // 8)):
+        code, offsets, total_bits = native.merge_rows(rows, bits_pb)
+    merge_gbps = payload * max(1, iters // 8) / (time.perf_counter() - t0) / 1e9
+
+    # cross-check: hybrid output byte-identical to the host encoder
+    same = (np.array_equal(code, enc.code_bytes)
+            and np.array_equal(offsets, enc.block_offsets))
+    if not same:
+        print("FATAL: hybrid merge differs from host encoder", file=sys.stderr)
+        sys.exit(1)
+
+    # end-to-end hybrid on this box (includes relay transfers — see PERF.md)
+    t0 = time.perf_counter()
+    encode_pallas.encode_symbols_hybrid(syms)
+    e2e_gbps = payload / (time.perf_counter() - t0) / 1e9
+
+    if verbose:
+        print(
+            f"device={jax.devices()[0].device_kind} payload={payload/1e6:.0f} MB "
+            f"content={content} wmax={wmax}\n"
+            f"host MT encode: {host_gbps:.2f} GB/s (production on this box)\n"
+            f"hybrid stage-1 kernel (device-resident): {stage1_gbps:.2f} GB/s\n"
+            f"hybrid stage-2 C++ merge: {merge_gbps:.2f} GB/s\n"
+            f"hybrid end-to-end incl. relay transfers: {e2e_gbps:.2f} GB/s "
+            f"(transfer-bound here; see PERF.md)",
+            file=sys.stderr,
+        )
+    return host_gbps
+
+
 def run_single(height: int, width: int, backend: str, iters: int, verbose: bool):
     """Per-frame dispatch mode (includes per-dispatch overhead)."""
     import jax
@@ -242,7 +339,8 @@ def main():
     ap.add_argument("--width", type=int, default=2048)
     ap.add_argument("--frames", type=int, default=30)
     ap.add_argument("--iters", type=int, default=25)
-    ap.add_argument("--mode", default="video", choices=["video", "single"])
+    ap.add_argument("--mode", default="video",
+                    choices=["video", "single", "encode"])
     ap.add_argument("--content", default="synthetic",
                     choices=["synthetic", "photo"],
                     help="photo = committed real-photo asset, panned per frame")
@@ -260,10 +358,15 @@ def main():
 
         jax.profiler.start_trace(args.trace)
 
+    metric = "decode_throughput"
     if args.mode == "video":
         gbps = run_video(args.height, args.width, args.frames, args.iters,
                          args.verbose, content=args.content,
                          variants=args.variants)
+    elif args.mode == "encode":
+        gbps = run_encode(args.height, args.width, args.frames, args.iters,
+                          args.verbose, content=args.content)
+        metric = "encode_throughput"
     else:
         gbps = run_single(args.height, args.width, args.backend, args.iters,
                           args.verbose)
@@ -275,7 +378,7 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "decode_throughput",
+                "metric": metric,
                 "value": round(gbps, 4),
                 "unit": "GB/s",
                 "vs_baseline": round(gbps / BASELINE_GBPS, 2),

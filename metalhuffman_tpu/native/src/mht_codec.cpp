@@ -647,7 +647,10 @@ int mht_merge_rows(const uint32_t* rows, const uint32_t* block_bits,
       const int64_t blo = t * per;
       const int64_t bhi = std::min<int64_t>(n_blocks, blo + per);
       int64_t bit_pos = offs[blo];
-      uint64_t acc = 0;
+      // 128-bit accumulator: append up to 64 bits (two row words) per step
+      // and flush 8 output bytes at a time — ~2x fewer dependent shift ops
+      // per byte than a 64-bit acc with 32-bit flushes.
+      unsigned __int128 acc = 0;
       int nbits = static_cast<int>(bit_pos & 7);  // lead-in zero bits
       int64_t byte_pos = bit_pos >> 3;
       bool first_partial = nbits != 0;
@@ -656,11 +659,21 @@ int mht_merge_rows(const uint32_t* rows, const uint32_t* block_bits,
         int64_t left = block_bits[b];
         int64_t j = 0;
         while (left > 0) {
-          const int take = left >= 32 ? 32 : static_cast<int>(left);
-          acc = (acc << take) | (static_cast<uint64_t>(row[j]) >> (32 - take));
-          nbits += take;
-          left -= take;
-          ++j;
+          if (left >= 64) {
+            const uint64_t two =
+                (static_cast<uint64_t>(row[j]) << 32) | row[j + 1];
+            acc = (acc << 64) | two;
+            nbits += 64;
+            left -= 64;
+            j += 2;
+          } else {
+            const int take = left >= 32 ? 32 : static_cast<int>(left);
+            acc = (acc << take) |
+                  (static_cast<uint64_t>(row[j]) >> (32 - take));
+            nbits += take;
+            left -= take;
+            ++j;
+          }
           // flush whole bytes; invariant: byte_pos*8 + nbits == bits appended
           if (first_partial && nbits >= 8) {
             nbits -= 8;
@@ -668,22 +681,23 @@ int mht_merge_rows(const uint32_t* rows, const uint32_t* block_bits,
             first_partial = false;
             ++byte_pos;
           }
-          while (nbits >= 32) {
-            nbits -= 32;
-            const uint32_t v = static_cast<uint32_t>(acc >> nbits);
-            const uint32_t be = __builtin_bswap32(v);
-            std::memcpy(code_bytes_out + byte_pos, &be, 4);
-            byte_pos += 4;
-          }
-          while (nbits >= 8) {
-            nbits -= 8;
-            code_bytes_out[byte_pos++] =
-                static_cast<uint8_t>((acc >> nbits) & 0xFF);
+          while (nbits >= 64) {
+            nbits -= 64;
+            const uint64_t be =
+                __builtin_bswap64(static_cast<uint64_t>(acc >> nbits));
+            std::memcpy(code_bytes_out + byte_pos, &be, 8);
+            byte_pos += 8;
           }
         }
       }
+      while (nbits >= 8) {  // drain whole tail bytes
+        nbits -= 8;
+        code_bytes_out[byte_pos++] =
+            static_cast<uint8_t>((acc >> nbits) & 0xFF);
+      }
       if (nbits > 0) {
-        const uint8_t byte = static_cast<uint8_t>((acc << (8 - nbits)) & 0xFF);
+        const uint8_t byte = static_cast<uint8_t>(
+            (static_cast<uint32_t>(acc) << (8 - nbits)) & 0xFF);
         if (first_partial)
           head_byte[t] = byte;
         else

@@ -147,6 +147,9 @@ def _make_kernel(width: int, bounds, adj_inc, *, sub: int, num_steps: int,
     n_groups = num_steps // SYMS_PER_GROUP
 
     min_w = base_w  # smallest active code width (bounds folded into base)
+    # largest active width = base + all compares satisfied; tables narrower
+    # than 16 bits (e.g. photos: 2..14) tighten the refill fetch range below
+    max_w = base_w + len(terms)
 
     def kernel(rows_ref, init_ref, pair_ref, out_ref, *maybe_end_ref):
         pair_tab = pair_ref[:]
@@ -161,12 +164,12 @@ def _make_kernel(width: int, bounds, adj_inc, *, sub: int, num_steps: int,
             s = bits & 31
             # one shared one-hot selects the 3-word refill for this group.
             # At unrolled group j the word index provably lies in
-            # [4j*min_w/32, (31 + 64j)/32] (init < 32, each symbol consumes
-            # min_w..16 bits), so the select only scans that static range
-            # (ref loads per group: Mosaic lowers these natively, unlike
-            # variable-length value slices).
+            # [4j*min_w/32, (31 + 4j*max_w)/32] (init < 32, each symbol
+            # consumes min_w..max_w bits), so the select only scans that
+            # static range (ref loads per group: Mosaic lowers these
+            # natively, unlike variable-length value slices).
             lo = (SYMS_PER_GROUP * j * min_w) >> 5
-            hi = min(width - 3, (31 + 16 * SYMS_PER_GROUP * j) >> 5)
+            hi = min(width - 3, (31 + max_w * SYMS_PER_GROUP * j) >> 5)
             lo = min(lo, hi)
             if lo == hi:
                 # word index is fully determined (early groups) — no select

@@ -22,15 +22,12 @@ TILES = 256  # grid size
 
 
 def make_kernel(dtype):
-    one = jnp.asarray(1, dtype)
-    thr = jnp.asarray(7, dtype)
-
     def kernel(x_ref, o_ref):
         v = x_ref[0]
         acc = jnp.zeros_like(v)
         for _ in range(CHAIN):
-            v = v + one                      # dependent add
-            acc = acc + (v > thr).astype(dtype)  # compare + accumulate
+            v = v + np.asarray(1, dtype)         # dependent add
+            acc = acc + (v > np.asarray(7, dtype)).astype(dtype)
         o_ref[0] = v + acc
 
     return kernel
@@ -39,7 +36,7 @@ def make_kernel(dtype):
 def run(dtype, shape):
     x = jnp.asarray(
         np.random.default_rng(0).integers(0, 100, (TILES,) + shape), dtype)
-    fn = pl.pallas_call(
+    call = pl.pallas_call(
         make_kernel(dtype),
         grid=(TILES,),
         in_specs=[pl.BlockSpec((1,) + shape, lambda i: (i, 0, 0),
@@ -48,7 +45,7 @@ def run(dtype, shape):
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((TILES,) + shape, dtype),
     )
-    fn = jax.jit(lambda a: fn(a))
+    fn = jax.jit(call)
     r = fn(x)
     float(jnp.sum(r[..., :1, :1].astype(jnp.int32)))  # warm + barrier
     best = float("inf")
