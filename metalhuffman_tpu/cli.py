@@ -25,6 +25,10 @@ import numpy as np
 def _add_codec_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--block-dim", type=int, default=8)
     p.add_argument("--no-delta", action="store_true")
+    p.add_argument("--zero-init", action="store_true",
+                   help="zero-init-delta variant: block root bytes ship "
+                        "uncoded in a side array (reference's "
+                        "IMPL_DELTAS_AND_INIT_ZERO_DELTA mode)")
     p.add_argument(
         "--backend", default="pallas", choices=["pallas", "xla", "native"],
         help="decode path (pallas = TPU kernel, xla = portable device, "
@@ -40,6 +44,7 @@ def _config(args):
     return CodecConfig(
         block_dim=args.block_dim,
         delta=not args.no_delta,
+        zero_init=getattr(args, "zero_init", False),
         backend=args.backend,
         interpret=args.interpret,
     )
@@ -133,6 +138,8 @@ def cmd_info(args) -> int:
     stream, h, w, bd, delta, crc = container.read_frame(data)
     widths = stream.widths
     active = int((widths > 0).sum())
+    if stream.block_init is not None:
+        delta = "zero-init"
     print(
         f"MHT1: {h}x{w}, block_dim={bd}, delta={delta}, "
         f"{stream.compressed_size} bytes ({stream.compressed_size/(h*w):.1%}), "

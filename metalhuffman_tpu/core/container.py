@@ -33,6 +33,10 @@ class EncodedStream:
     widths: np.ndarray  # (256,) uint8 canonical bit-width table
     code_bytes: np.ndarray  # uint8 stream incl. +2 read-ahead pad bytes
     block_offsets: np.ndarray  # (num_blocks,) uint32 bit offset per block root
+    #: zero-init-delta side channel (reference's _blockInitData,
+    #: AAPLRenderer.m:449-473): one uncoded root byte per block; None unless
+    #: the stream was encoded with CodecConfig.zero_init
+    block_init: np.ndarray | None = None
 
     def core_blob(self) -> bytes:
         """Reference-compatible blob; its length is the compressed size used
@@ -72,10 +76,23 @@ def write_frame(
     bytes; 0 means "not recorded". Decoders can verify it to detect stream
     corruption end-to-end (a capability the reference only has as an in-app
     assert against the live original, ``AAPLRenderer.m:1849-1876``).
+
+    The delta byte is a MODE: 0 = none, 1 = delta, 2 = delta + zero-init
+    (``stream.block_init`` root bytes appended after the offset index —
+    the reference's ``_blockInitData`` side channel).
     """
+    mode = int(delta)
+    tail = b""
+    if stream.block_init is not None:
+        if not delta:
+            raise ValueError("zero-init requires delta precoding")
+        if stream.block_init.size != stream.block_offsets.size:
+            raise ValueError("block_init must have one byte per block")
+        mode = 2
+        tail = stream.block_init.astype(np.uint8).tobytes()
     head = DISK_MAGIC + struct.pack(
         "<IIIBBI",
-        height, width, stream.block_offsets.size, block_dim, int(delta),
+        height, width, stream.block_offsets.size, block_dim, mode,
         source_crc32 & 0xFFFFFFFF,
     )
     core = stream.core_blob()
@@ -84,6 +101,7 @@ def write_frame(
         + struct.pack("<I", len(core))
         + core
         + stream.block_offsets.astype("<u4").tobytes()
+        + tail
     )
 
 
@@ -125,5 +143,13 @@ def read_frame(data: bytes):
     ).astype(np.uint32)
     if offsets.size != n_blocks:
         raise ValueError("truncated MHT1 container (offset index incomplete)")
-    stream = EncodedStream(num_symbols, widths, code_bytes, offsets)
+    block_init = None
+    if delta == 2:  # zero-init mode: uncoded root bytes after the index
+        init_off = core_off + core_len + 4 * n_blocks
+        block_init = np.frombuffer(
+            data, dtype=np.uint8, count=n_blocks, offset=init_off).copy()
+        if block_init.size != n_blocks:
+            raise ValueError("truncated MHT1 container (block_init missing)")
+    stream = EncodedStream(
+        num_symbols, widths, code_bytes, offsets, block_init)
     return stream, height, width, block_dim, bool(delta), crc

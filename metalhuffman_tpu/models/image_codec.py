@@ -35,6 +35,10 @@ class CodecConfig:
 
     block_dim: int = 8  # HUFF_BLOCK_DIM (reference: AAPLShaderTypes.h:112)
     delta: bool = True  # IMPL_DELTAS_BEFORE_HUFF_ENCODING (:109)
+    #: IMPL_DELTAS_AND_INIT_ZERO_DELTA_BEFORE_HUFF_ENCODING (:110): each
+    #: block's root byte ships uncoded in a side array and its stream slot
+    #: becomes a zero delta (requires delta=True)
+    zero_init: bool = False
     table1_bits: int = 8  # HUFF_TABLE1_NUM_BITS (:120)
     table2_bits: int = 8  # HUFF_TABLE2_NUM_BITS (:121)
     backend: str = "pallas"  # 'pallas' (TPU kernel) | 'xla' | 'native' (host C++)
@@ -67,11 +71,31 @@ class ImageCodec:
     # -- encode (host) ------------------------------------------------------
 
     def encode(self, img: np.ndarray) -> container.EncodedStream:
-        """Image -> blocked+delta'd canonical Huffman stream."""
+        """Image -> blocked+delta'd canonical Huffman stream.
+
+        With ``config.zero_init`` each block's root byte moves to the
+        stream's uncoded ``block_init`` side array and its stream slot
+        becomes a zero delta (the reference's compile-time
+        ``IMPL_DELTAS_AND_INIT_ZERO_DELTA_BEFORE_HUFF_ENCODING`` variant).
+        """
         cfg = self.config
         blk = blocks.image_to_blocks(img, cfg.block_dim).ravel()
-        payload = native.delta_encode(blk, cfg.block_size) if cfg.delta else blk
-        return native.encode_symbols(payload, block_size=cfg.block_size)
+        if not cfg.delta:
+            if cfg.zero_init:
+                raise ValueError("zero_init requires delta precoding")
+            return native.encode_symbols(blk, block_size=cfg.block_size)
+        payload = native.delta_encode(blk, cfg.block_size)
+        if not cfg.zero_init:
+            return native.encode_symbols(payload, block_size=cfg.block_size)
+        from ..core import delta as delta_mod
+
+        init, zeroed = delta_mod.split_zero_init(
+            payload.reshape(-1, cfg.block_size))
+        stream = native.encode_symbols(
+            zeroed.reshape(-1), block_size=cfg.block_size)
+        return container.EncodedStream(
+            stream.num_symbols, stream.widths, stream.code_bytes,
+            stream.block_offsets, block_init=init)
 
     def encode_best(self, img: np.ndarray):
         """Encode with and without delta precoding, keep the smaller stream.
@@ -166,10 +190,15 @@ class ImageCodec:
         ``drawInMTKView:`` 7-pass chain, collapsed into one fused program).
         """
         cfg = self.config
+        init = prep.stream.block_init
         if cfg.backend == "native":
             blk = native.decode_blocks(
                 prep.stream, delta=cfg.delta, block_size=cfg.block_size
             )
+            if init is not None:
+                from ..core import delta as delta_mod
+
+                blk = delta_mod.apply_block_init(blk, init)
             return blocks.blocks_to_image(
                 blk, prep.height, prep.width, cfg.block_dim
             )
@@ -177,7 +206,7 @@ class ImageCodec:
                 and jax.default_backend() in ("cpu", "gpu")):
             # the Pallas kernel only compiles on TPU; interpret it elsewhere
             cfg = CodecConfig(**{**cfg.__dict__, "interpret": True})
-        return _decode_step_jit(
+        out = _decode_step_jit(
             prep.device_args,
             backend=cfg.backend,
             height=prep.height,
@@ -189,6 +218,13 @@ class ImageCodec:
             static_meta=prep.static_meta,
             words_per_row=prep.words_per_row,
         )
+        if init is not None:
+            # prev-init equivalence: add each block's root byte to the whole
+            # block mod 256 (one fused broadcast add on device)
+            out = _apply_init_image_jit(
+                out, jnp.asarray(init), block_dim=cfg.block_dim,
+                height=prep.height, width=prep.width)
+        return out
 
     def decode(self, data: bytes | container.EncodedStream, height=None, width=None):
         """Host convenience: container bytes (or stream) -> (H, W) uint8.
@@ -267,6 +303,10 @@ class ImageCodec:
             rows, bit_init, jnp.asarray(t1), jnp.asarray(t2),
             num_steps=cfg.block_size, delta=cfg.delta,
         ))
+        if stream.block_init is not None:
+            from ..core import delta as delta_mod
+
+            blk = delta_mod.apply_block_init(blk, stream.block_init[sel])
         region = blocks.blocks_to_image(
             blk, (by1 - by0) * bd, (bx1 - bx0) * bd, bd
         )
@@ -281,6 +321,18 @@ class ImageCodec:
             diff = int(np.sum(out != img))
             raise AssertionError(f"roundtrip mismatch: {diff} bytes differ")
         return stream
+
+
+@partial(jax.jit, static_argnames=("block_dim", "height", "width"))
+def _apply_init_image_jit(img, init, *, block_dim, height, width):
+    """Fold zero-init root bytes into a decoded image (mod-256 add)."""
+    bh = -(-height // block_dim)
+    bw = -(-width // block_dim)
+    init_img = jnp.repeat(
+        jnp.repeat(init.reshape(bh, bw), block_dim, 0), block_dim, 1
+    )[:height, :width]
+    return ((img.astype(jnp.int32) + init_img.astype(jnp.int32)) & 0xFF
+            ).astype(jnp.uint8)
 
 
 @partial(
