@@ -142,16 +142,15 @@ def run_video(height: int, width: int, frames: int, iters: int, verbose: bool,
     dt_same = timed_loop([decodes[0]] * iters)
     gbps_same = base.size * iters / dt_same / 1e9
 
-    # per-dispatch latency distribution (each sample barriered; includes
-    # ~1 relay round-trip of overhead per sample — diagnostic only)
-    lat = []
-    for i in range(3 * variants):
-        t0 = time.perf_counter()
-        _barrier(decodes[i % variants]())
-        lat.append((time.perf_counter() - t0) * 1e3)
-    lat.sort()
-
     if verbose:
+        # per-dispatch latency distribution (each sample barriered; includes
+        # ~1 relay round-trip of overhead per sample — diagnostic only)
+        lat = []
+        for i in range(3 * variants):
+            t0 = time.perf_counter()
+            _barrier(decodes[i % variants]())
+            lat.append((time.perf_counter() - t0) * 1e3)
+        lat.sort()
         ratio = streams[0].compressed_size / base.size
         per_frame = dt / iters / frames * 1e3
         agree = gbps / gbps_same if gbps_same else float("nan")

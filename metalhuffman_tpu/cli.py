@@ -105,24 +105,33 @@ def cmd_info(args) -> int:
     from .models import frame_stream
 
     data = Path(args.input).read_bytes()
+
+    def pct(total: int, raw: int) -> str:
+        return f" ({total/raw:.1%})" if raw else ""
+
+    def mode_str(stream, delta) -> str:
+        return "zero-init" if stream.block_init is not None else str(delta)
+
     if data[:4] == frame_stream.SEGMENTED_MAGIC:
         segs, t, h, w, bd, delta = frame_stream.read_segmented(data)
         total = sum(s.compressed_size for s, _ in segs)
         per = ", ".join(f"{st}f/{s.compressed_size}B" for s, st in segs[:8])
         if len(segs) > 8:
             per += ", ..."
+        mode = mode_str(segs[0][0], delta) if segs else str(delta)
         print(
             f"MHV2: {t} frames {h}x{w} in {len(segs)} shared-table segments, "
-            f"block_dim={bd}, delta={delta}, {total} compressed bytes "
-            f"({total/(t*h*w):.1%}) [{per}]"
+            f"block_dim={bd}, delta={mode}, {total} compressed bytes"
+            f"{pct(total, t*h*w)} [{per}]"
         )
         return 0
     if data[:4] == frame_stream.SHARED_MAGIC:
         stream, t, h, w, bd, delta = frame_stream.read_shared(data)
         print(
             f"MHTV: {t} frames {h}x{w} shared-table, block_dim={bd}, "
-            f"delta={delta}, {stream.compressed_size} compressed bytes "
-            f"({stream.compressed_size/(t*h*w):.1%}), "
+            f"delta={mode_str(stream, delta)}, "
+            f"{stream.compressed_size} compressed bytes"
+            f"{pct(stream.compressed_size, t*h*w)}, "
             f"{stream.block_offsets.size} blocks"
         )
         return 0
@@ -131,8 +140,8 @@ def cmd_info(args) -> int:
         total = sum(s.compressed_size for s in streams)
         print(
             f"MHTS: {len(streams)} frames {h}x{w}, block_dim={bd}, "
-            f"delta={delta}, {total} compressed bytes "
-            f"({total/(len(streams)*h*w):.1%})"
+            f"delta={mode_str(streams[0], delta)}, {total} compressed bytes"
+            f"{pct(total, len(streams)*h*w)}"
         )
         return 0
     stream, h, w, bd, delta, crc = container.read_frame(data)
@@ -142,7 +151,7 @@ def cmd_info(args) -> int:
         delta = "zero-init"
     print(
         f"MHT1: {h}x{w}, block_dim={bd}, delta={delta}, "
-        f"{stream.compressed_size} bytes ({stream.compressed_size/(h*w):.1%}), "
+        f"{stream.compressed_size} bytes{pct(stream.compressed_size, h*w)}, "
         f"{stream.block_offsets.size} blocks, {active} active symbols, "
         f"code widths {int(widths[widths>0].min())}..{int(widths.max())}, "
         f"crc32={'recorded' if crc else 'absent'}"
@@ -205,13 +214,25 @@ def cmd_decode_video(args) -> int:
 
     data = Path(args.input).read_bytes()
     cfg = _config(args)
+    check = getattr(args, "check", False)
+    if check and args.backend != "pallas":
+        # the integrity check is an output of the Pallas kernel (the decode
+        # carry); other backends never compute it — refuse loudly rather
+        # than silently decode unchecked
+        raise SystemExit(
+            "--check requires --backend pallas (the on-device integrity "
+            "check is emitted by the TPU decode kernel)")
     t0 = time.perf_counter()
     import dataclasses
 
     if data[:4] == frame_stream.SEGMENTED_MAGIC:
         segs, t, h, w, bd, delta = frame_stream.read_segmented(data)
         cfg = dataclasses.replace(cfg, block_dim=bd, delta=delta)
-        frames = frame_stream.decode_frames_segmented(segs, h, w, cfg)
+        try:
+            frames = frame_stream.decode_frames_segmented(
+                segs, h, w, cfg, check=check)
+        except ValueError as e:
+            raise SystemExit(str(e))
     elif data[:4] == frame_stream.SHARED_MAGIC:
         stream, t, h, w, bd, delta = frame_stream.read_shared(data)
         # the container header is authoritative for block_dim/delta
@@ -220,7 +241,7 @@ def cmd_decode_video(args) -> int:
             # host decode (one segment) — never touches a device
             frames = frame_stream.decode_frames_segmented(
                 [(stream, t)], h, w, cfg)
-        elif getattr(args, "check", False):
+        elif check:
             # on-device integrity check: each block must end at its indexed
             # bit position (kernel emits the end-bit carry for free)
             prep = frame_stream.prepare_shared(stream, t, h, w, cfg,
@@ -238,7 +259,23 @@ def cmd_decode_video(args) -> int:
     elif data[:4] == frame_stream.STREAM_MAGIC:
         streams, h, w, bd, delta = frame_stream.read_stream(data)
         cfg = dataclasses.replace(cfg, block_dim=bd, delta=delta)
-        if cfg.backend == "xla":
+        if check:
+            # per-frame checked decode (a one-frame batch is a shared
+            # stream); serial — the check's host fetch is a barrier
+            frames = []
+            for fi, s in enumerate(streams):
+                prep = frame_stream.prepare_shared(s, 1, h, w, cfg,
+                                                   check=True)
+                img, err = frame_stream.decode_shared_step_checked(prep, cfg)
+                if err.any():
+                    idx = np.nonzero(err)[0]
+                    raise SystemExit(
+                        f"stream integrity check failed in frame {fi}: "
+                        f"{idx.size} corrupt block(s), first at "
+                        f"{idx[:8].tolist()}")
+                frames.append(np.asarray(img).reshape(h, w))
+            frames = np.stack(frames)
+        elif cfg.backend == "xla":
             prep = frame_stream.prepare_batch(streams, h, w, cfg)
             frames = np.asarray(frame_stream.decode_batch(prep, cfg))
         else:
@@ -355,8 +392,9 @@ def main(argv=None) -> int:
     p.add_argument("input")
     p.add_argument("output", help=".npy path or output directory for PNGs")
     p.add_argument("--check", action="store_true",
-                   help="on-device stream-integrity check (MHTV): fail if "
-                        "any block does not end at its indexed bit position")
+                   help="on-device stream-integrity check (MHTV/MHV2/MHTS; "
+                        "requires --backend pallas): fail if any block does "
+                        "not end at its indexed bit position")
     _add_codec_flags(p)
     p.set_defaults(fn=cmd_decode_video)
 

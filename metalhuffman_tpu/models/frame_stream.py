@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core import blocks, container
+from ..core import bitstream, blocks, container, delta as delta_mod
 from ..ops import decode_xla, layout as layout_mod
 from ..parallel import mesh as mesh_mod, shard_decode
 from .image_codec import CodecConfig, ImageCodec
@@ -41,13 +41,21 @@ STREAM_MAGIC = b"MHTS"
 def encode_frames_shared(
     frames: np.ndarray, config: CodecConfig | None = None
 ) -> container.EncodedStream:
-    """(T, H, W) frames -> one EncodedStream with a shared canonical table."""
+    """(T, H, W) frames -> one EncodedStream with a shared canonical table.
+
+    With ``config.zero_init`` every block's root byte moves to the stream's
+    uncoded ``block_init`` side array (the reference's compile-time
+    ``IMPL_DELTAS_AND_INIT_ZERO_DELTA`` variant, applied across the whole
+    sequence); MHTV/MHV2 serialize it with mode byte 2.
+    """
     from .. import native
 
     cfg = config or CodecConfig()
     frames = np.asarray(frames)
     if frames.ndim != 3:
         raise ValueError("frames must be (T, H, W)")
+    if cfg.zero_init and not cfg.delta:
+        raise ValueError("zero_init requires delta precoding")
     payloads = []
     for f in frames:
         blk = blocks.image_to_blocks(f, cfg.block_dim).ravel()
@@ -57,30 +65,60 @@ def encode_frames_shared(
     payload = np.concatenate(payloads)
     # no worst-case pre-check: the encoder verifies the *actual* total bits
     # against the u32 offset cap and raises cleanly on true overflow
-    return native.encode_symbols(payload, block_size=cfg.block_size)
+    if not cfg.zero_init:
+        return native.encode_symbols(payload, block_size=cfg.block_size)
+    init, zeroed = delta_mod.split_zero_init(
+        payload.reshape(-1, cfg.block_size))
+    stream = native.encode_symbols(
+        zeroed.reshape(-1), block_size=cfg.block_size)
+    return container.EncodedStream(
+        stream.num_symbols, stream.widths, stream.code_bytes,
+        stream.block_offsets, block_init=init)
 
 
 SHARED_MAGIC = b"MHTV"
 
 
+def _stream_mode(stream: container.EncodedStream, delta: bool) -> int:
+    """Container mode byte: 0 = none, 1 = delta, 2 = delta + zero-init."""
+    if stream.block_init is None:
+        return int(delta)
+    if not delta:
+        raise ValueError("zero-init requires delta precoding")
+    if stream.block_init.size != stream.block_offsets.size:
+        raise ValueError("block_init must have one byte per block")
+    return 2
+
+
 def write_shared(stream: container.EncodedStream, num_frames: int, height: int,
                  width: int, config: CodecConfig | None = None) -> bytes:
-    """Serialize a shared-table frame sequence to the MHTV container."""
+    """Serialize a shared-table frame sequence to the MHTV container.
+
+    The delta byte is a MODE (same scheme as MHT1): 0 = none, 1 = delta,
+    2 = delta + zero-init (``stream.block_init`` root bytes appended after
+    the offset index).
+    """
     cfg = config or CodecConfig()
+    mode = _stream_mode(stream, cfg.delta)
     head = SHARED_MAGIC + struct.pack(
         "<IIIIBB", num_frames, height, width, stream.block_offsets.size,
-        cfg.block_dim, int(cfg.delta),
+        cfg.block_dim, mode,
     )
     core = stream.core_blob()
+    tail = b"" if mode != 2 else stream.block_init.astype(np.uint8).tobytes()
     return (head + struct.pack("<I", len(core)) + core
-            + stream.block_offsets.astype("<u4").tobytes())
+            + stream.block_offsets.astype("<u4").tobytes() + tail)
 
 
 def read_shared(data: bytes):
-    """Parse MHTV -> (stream, num_frames, height, width, block_dim, delta)."""
+    """Parse MHTV -> (stream, num_frames, height, width, block_dim, delta).
+
+    Mode byte 2 (zero-init) yields ``delta=True`` and a stream carrying the
+    uncoded ``block_init`` root bytes.
+    """
     if data[:4] != SHARED_MAGIC:
         raise ValueError("not an MHTV container")
-    t, h, w, n_blocks, bd, delta = struct.unpack_from("<IIIIBB", data, 4)
+    t, h, w, n_blocks, bd, mode = struct.unpack_from("<IIIIBB", data, 4)
     (core_len,) = struct.unpack_from("<I", data, 22)
     core = data[26 : 26 + core_len]
     num_symbols, widths, code_bytes = container.parse_core_blob(core)
@@ -89,8 +127,16 @@ def read_shared(data: bytes):
     ).astype(np.uint32)
     if offsets.size != n_blocks:
         raise ValueError("truncated MHTV container (offset index incomplete)")
-    stream = container.EncodedStream(num_symbols, widths, code_bytes, offsets)
-    return stream, t, h, w, bd, bool(delta)
+    block_init = None
+    if mode == 2:
+        init_off = 26 + core_len + 4 * n_blocks
+        block_init = np.frombuffer(
+            data, dtype=np.uint8, count=n_blocks, offset=init_off).copy()
+        if block_init.size != n_blocks:
+            raise ValueError("truncated MHTV container (block_init missing)")
+    stream = container.EncodedStream(
+        num_symbols, widths, code_bytes, offsets, block_init)
+    return stream, t, h, w, bd, bool(mode)
 
 
 @dataclass(frozen=True)
@@ -114,6 +160,12 @@ class PreparedShared:
     #: staged expected end-bits (kernel lane order, -1 = unchecked); present
     #: only when prepared with check=True (decode_shared_step_checked)
     end_targets: object = None
+    #: byte-rounded (lo, hi) window for the LAST block's end bit (its exact
+    #: end is not indexed); None when the stream has tail symbols
+    last_window: tuple | None = None
+    #: staged zero-init root bytes, (T, blocks_per_frame) uint8 on device;
+    #: None unless the stream carries block_init (mode 2)
+    init_grid: object = None
 
 
 def prepare_shared(
@@ -157,12 +209,24 @@ def prepare_shared(
     rows = jax.device_put(rows)
     init = jax.device_put(init)
     pair = jax.device_put(jnp.asarray(meta.pair_table))
+    init_grid = None
+    if stream.block_init is not None:
+        init_grid = jax.device_put(jnp.asarray(
+            stream.block_init.astype(np.uint8).reshape(num_frames, -1)))
     end_targets = None
+    last_window = None
     if check:
         # expected per-block end bits, staged in the kernel's lane order;
         # last block -1 (its exact end is only known up to byte rounding —
-        # decode_shared_step_checked applies a loose window there)
+        # decode_shared_step_checked applies the loose window below)
         tgt = decode_pallas.block_end_targets(offsets, None)
+        if nb_total and stream.num_symbols == nb_total * cfg.block_size:
+            # no tail symbols: the last block ends at the stream's exact
+            # bit count, known up to byte rounding
+            total_bits = 8 * (
+                stream.code_bytes.size - bitstream.READ_AHEAD_PAD_BYTES)
+            hi = (int(offsets[-1]) & 31) + (total_bits - int(offsets[-1]))
+            last_window = (hi - 7, hi)
         if plan is not None:
             n_rows = num_frames * plan.bh
             tg = np.full((n_rows, plan.bw_pad), -1, np.int32)
@@ -180,6 +244,7 @@ def prepare_shared(
     return PreparedShared(
         num_frames, height, width, nb_total, wpr, rows, init, pair,
         meta.bounds, meta.adj_inc, h2, w_pad, bh, g, end_targets,
+        last_window, init_grid,
     )
 
 
@@ -199,6 +264,10 @@ def decode_shared_step(prep: PreparedShared, config: CodecConfig | None = None,
         cfg = CodecConfig(**{**cfg.__dict__, "interpret": True})
     if prep.h2:
         if raw:
+            if prep.init_grid is not None:
+                raise ValueError(
+                    "raw strips cannot carry the zero-init root fold; "
+                    "decode zero-init streams with raw=False")
             # production path: the kernel output IS the image; return the
             # strips untouched and view bytes on the host for free
             # (frames_from_raw). No post-kernel device op at all.
@@ -208,20 +277,25 @@ def decode_shared_step(prep: PreparedShared, config: CodecConfig | None = None,
                 h2=prep.h2, delta=cfg.delta, interpret=cfg.interpret,
                 group_tiles=prep.group_tiles,
             )
-        return _decode_shared_image_jit(
+        out = _decode_shared_image_jit(
             prep.rows, prep.init, prep.pair,
             bounds=prep.bounds, adj_inc=prep.adj_inc, wpr=prep.wpr,
             num_frames=prep.num_frames, height=prep.height, width=prep.width,
             h2=prep.h2, delta=cfg.delta, interpret=cfg.interpret,
             w_pad=prep.w_pad, bh=prep.bh, group_tiles=prep.group_tiles,
         )
-    out = _decode_shared_jit(
-        prep.rows, prep.init, prep.pair,
-        bounds=prep.bounds, adj_inc=prep.adj_inc, wpr=prep.wpr,
-        num_frames=prep.num_frames, height=prep.height, width=prep.width,
-        block_dim=cfg.block_dim, delta=cfg.delta, interpret=cfg.interpret,
-        nb_total=prep.nb_total,
-    )
+    else:
+        out = _decode_shared_jit(
+            prep.rows, prep.init, prep.pair,
+            bounds=prep.bounds, adj_inc=prep.adj_inc, wpr=prep.wpr,
+            num_frames=prep.num_frames, height=prep.height, width=prep.width,
+            block_dim=cfg.block_dim, delta=cfg.delta, interpret=cfg.interpret,
+            nb_total=prep.nb_total,
+        )
+    if prep.init_grid is not None:
+        out = _apply_init_frames_jit(
+            out, prep.init_grid, block_dim=cfg.block_dim,
+            height=prep.height, width=prep.width)
     return out
 
 
@@ -246,6 +320,10 @@ def decode_shared_step_checked(prep: PreparedShared,
         cfg = CodecConfig(**{**cfg.__dict__, "interpret": True})
     if prep.h2:
         if raw:
+            if prep.init_grid is not None:
+                raise ValueError(
+                    "raw strips cannot carry the zero-init root fold; "
+                    "decode zero-init streams with raw=False")
             result, end = _decode_shared_strips_jit(
                 prep.rows, prep.init, prep.pair,
                 bounds=prep.bounds, adj_inc=prep.adj_inc, wpr=prep.wpr,
@@ -274,12 +352,30 @@ def decode_shared_step_checked(prep: PreparedShared,
         bw = -(-prep.width // 8)
         bw_pad = prep.w_pad // 8
         n_rows = prep.num_frames * prep.bh
-        flat = decode_pallas.unpermute_images_flat(
-            err_lane, prep.h2, prep.group_tiles)
-        err = flat[: n_rows * bw_pad].reshape(n_rows, bw_pad)[:, :bw]
-        err = np.ascontiguousarray(err).reshape(-1)
+
+        def to_stream_order(lane_flat):
+            flat = decode_pallas.unpermute_images_flat(
+                lane_flat, prep.h2, prep.group_tiles)
+            grid = flat[: n_rows * bw_pad].reshape(n_rows, bw_pad)[:, :bw]
+            return np.ascontiguousarray(grid).reshape(-1)
+
+        err = to_stream_order(err_lane)
+        ends_stream = None
+        if prep.last_window is not None:
+            ends_stream = to_stream_order(np.asarray(end))
     else:
-        err = err_lane[: prep.nb_total]
+        err = np.array(err_lane[: prep.nb_total])
+        ends_stream = (np.asarray(end).reshape(-1)[: prep.nb_total]
+                       if prep.last_window is not None else None)
+    if prep.last_window is not None and err.size:
+        # the last block's end is only indexed up to byte rounding: a
+        # byte-rounded window replaces the unchecked -1 target
+        lo, hi = prep.last_window
+        err[-1] = not (lo <= int(ends_stream[-1]) <= hi)
+    if prep.init_grid is not None:
+        result = _apply_init_frames_jit(
+            result, prep.init_grid, block_dim=cfg.block_dim,
+            height=prep.height, width=prep.width)
     return result, err
 
 
@@ -304,6 +400,11 @@ def decode_shared_sharded(
     from ..parallel import mesh as mesh_mod, shard_decode
 
     cfg = config or CodecConfig()
+    if stream.block_init is not None:
+        raise ValueError(
+            "sharded decode returns raw strips/packed blocks and cannot fold "
+            "zero-init roots; apply core.delta.apply_block_init after "
+            "reassembly, or use decode_frames_shared")
     if mesh is None:
         mesh = mesh_mod.make_mesh()
     n_shards = mesh.devices.size
@@ -392,6 +493,12 @@ def encode_frames_segmented(
     if frames.ndim != 3:
         raise ValueError("frames must be (T, H, W)")
     t, h, w = frames.shape
+    if t == 0 or h == 0 or w == 0:
+        raise ValueError("cannot encode an empty frame stack")
+    if cfg.zero_init and not cfg.delta:
+        # validate here: the overflow-halving retry below must only ever
+        # see the encoder's u32-overflow ValueError
+        raise ValueError("zero_init requires delta precoding")
     bh, bw = blocks.block_grid(h, w, cfg.block_dim)
     frame_symbols = bh * bw * cfg.block_size
     counts = segment_frame_counts(t, frame_symbols, max_segment_bits)
@@ -417,18 +524,31 @@ def write_segmented(
     segments: list[tuple[container.EncodedStream, int]], height: int,
     width: int, config: CodecConfig | None = None,
 ) -> bytes:
-    """Serialize segments to the MHV2 container."""
+    """Serialize segments to the MHV2 container.
+
+    The delta byte is a MODE (0/1/2 as MHT1/MHTV); mode 2 appends each
+    segment's ``block_init`` root bytes after that segment's offset index.
+    All segments must agree on the mode.
+    """
     cfg = config or CodecConfig()
+    if not segments:
+        raise ValueError("cannot serialize an empty segment list")
+    modes = {_stream_mode(s, cfg.delta) for s, _ in segments}
+    if len(modes) != 1:
+        raise ValueError("MHV2 segments must share one delta/zero-init mode")
+    mode = modes.pop()
     total_frames = sum(t for _, t in segments)
     out = [SEGMENTED_MAGIC, struct.pack(
         "<IIIBBI", total_frames, height, width, cfg.block_dim,
-        int(cfg.delta), len(segments))]
+        mode, len(segments))]
     for stream, t in segments:
         core = stream.core_blob()
         out.append(struct.pack(
             "<III", t, stream.block_offsets.size, len(core)))
         out.append(core)
         out.append(stream.block_offsets.astype("<u4").tobytes())
+        if mode == 2:
+            out.append(stream.block_init.astype(np.uint8).tobytes())
     return b"".join(out)
 
 
@@ -436,7 +556,7 @@ def read_segmented(data: bytes):
     """Parse MHV2 -> (segments [(stream, t)], total_frames, h, w, bd, delta)."""
     if data[:4] != SEGMENTED_MAGIC:
         raise ValueError("not an MHV2 container")
-    total, h, w, bd, delta, n_seg = struct.unpack_from("<IIIBBI", data, 4)
+    total, h, w, bd, mode, n_seg = struct.unpack_from("<IIIBBI", data, 4)
     pos = 4 + 18
     segments = []
     for _ in range(n_seg):
@@ -448,32 +568,50 @@ def read_segmented(data: bytes):
         offsets = np.frombuffer(
             data, dtype="<u4", count=n_blocks, offset=pos).astype(np.uint32)
         pos += 4 * n_blocks
+        block_init = None
+        if mode == 2:
+            block_init = np.frombuffer(
+                data, dtype=np.uint8, count=n_blocks, offset=pos).copy()
+            if block_init.size != n_blocks:
+                raise ValueError(
+                    "truncated MHV2 container (block_init missing)")
+            pos += n_blocks
         segments.append((
-            container.EncodedStream(num_symbols, widths, code_bytes, offsets),
+            container.EncodedStream(
+                num_symbols, widths, code_bytes, offsets, block_init),
             t,
         ))
     if sum(t for _, t in segments) != total:
         raise ValueError("MHV2 segment frame counts do not sum to the header")
-    return segments, total, h, w, bd, bool(delta)
+    return segments, total, h, w, bd, bool(mode)
 
 
 def decode_frames_segmented(
     segments: list[tuple[container.EncodedStream, int]], height: int,
-    width: int, config: CodecConfig | None = None,
+    width: int, config: CodecConfig | None = None, check: bool = False,
 ) -> np.ndarray:
     """Decode a segment list -> (T, H, W) uint8 (pipelined across segments).
 
     Device backends pipeline through StreamingDecoder (segment k+1 stages
     while k decodes); the native backend decodes per segment on the host.
+    With ``check=True`` each segment runs the on-device integrity check
+    (serially — the check's host fetch is a pipeline barrier) and a
+    ``ValueError`` names the first corrupt segment/blocks.
     """
     cfg = config or CodecConfig()
     if cfg.backend == "native":
+        if check:
+            raise ValueError(
+                "the stream-integrity check runs on the device decode path; "
+                "use backend='pallas'")
         from .. import native
 
         outs = []
         for stream, t in segments:
             blk = native.decode_blocks(
                 stream, delta=cfg.delta, block_size=cfg.block_size)
+            if stream.block_init is not None:
+                blk = delta_mod.apply_block_init(blk, stream.block_init)
             bh, bw = blocks.block_grid(height, width, cfg.block_dim)
             per = bh * bw
             outs.append(np.stack([
@@ -484,12 +622,24 @@ def decode_frames_segmented(
             ]))
         return np.concatenate(outs) if outs else np.zeros(
             (0, height, width), np.uint8)
-    dec = StreamingDecoder(cfg)
     outs = []
+    if check:
+        for si, (stream, t) in enumerate(segments):
+            prep = prepare_shared(stream, t, height, width, cfg, check=True)
+            frames, err = decode_shared_step_checked(prep, cfg)
+            if err.any():
+                idx = np.nonzero(err)[0]
+                raise ValueError(
+                    f"stream integrity check failed in segment {si}: "
+                    f"{idx.size} corrupt block(s), first at {idx[:8].tolist()}")
+            outs.append(np.asarray(frames))
+        return np.concatenate(outs) if outs else np.zeros(
+            (0, height, width), np.uint8)
+    dec = StreamingDecoder(cfg)
     handles = []
     for stream, t in segments:
         handles.append(dec.submit(stream, t, height, width))
-        if len(handles) > 2:  # keep two segments in flight
+        if len(handles) >= 2:  # keep at most two segments in flight
             outs.append(dec.result(handles.pop(0)))
     while handles:
         outs.append(dec.result(handles.pop(0)))
@@ -520,17 +670,20 @@ class StreamingDecoder:
                height: int, width: int):
         """Enqueue staging + decode; returns an opaque handle (non-blocking)."""
         prep = prepare_shared(stream, num_frames, height, width, self.config)
-        raw = decode_shared_step(prep, self.config, raw=bool(prep.h2))
-        return (prep, raw)
+        # raw strips skip the device byte relayout, but cannot carry the
+        # zero-init root fold — zero-init batches use the image path
+        raw_mode = bool(prep.h2) and prep.init_grid is None
+        out = decode_shared_step(prep, self.config, raw=raw_mode)
+        return (prep, out, raw_mode)
 
     def result(self, handle) -> np.ndarray:
         """Block on one submitted batch; returns (T, H, W) uint8 frames."""
-        prep, raw = handle
-        if prep.h2:
+        prep, out, raw_mode = handle
+        if raw_mode:
             return frames_from_raw(
-                raw, prep.num_frames, prep.height, prep.width,
+                out, prep.num_frames, prep.height, prep.width,
                 w_pad=prep.w_pad, bh=prep.bh)
-        return np.asarray(raw)
+        return np.asarray(out)
 
 
 def frames_from_raw(raw, num_frames: int, height: int, width: int,
@@ -548,6 +701,24 @@ def frames_from_raw(raw, num_frames: int, height: int, width: int,
     if rows_pf == height and wp == width:
         return frames
     return frames[:, :height, :width]
+
+
+@partial(jax.jit, static_argnames=("block_dim", "height", "width"))
+def _apply_init_frames_jit(frames, init_grid, *, block_dim, height, width):
+    """Fold zero-init root bytes into decoded frames (mod-256 add).
+
+    ``init_grid`` is (T, bh*bw) uint8; decoding a zero-init stream with
+    prev=0 then adding each block's root byte to the whole block is exactly
+    equivalent to seeding the accumulator (core.delta.apply_block_init) —
+    every decode kernel stays unchanged.
+    """
+    t = frames.shape[0]
+    bh = -(-height // block_dim)
+    bw = -(-width // block_dim)
+    img = jnp.repeat(
+        jnp.repeat(init_grid.reshape(t, bh, bw), block_dim, 1), block_dim, 2
+    )[:, :height, :width]
+    return frames + img.astype(frames.dtype)  # uint8 add wraps mod 256
 
 
 @partial(jax.jit, static_argnames=(
@@ -696,6 +867,9 @@ class PreparedBatch:
     offsets_b: jnp.ndarray  # (T, nb_padded) int32
     t1_b: jnp.ndarray  # (T, 2^k1) int32
     t2_b: jnp.ndarray  # (T, t2_size) int32
+    #: (T, n_blocks) uint8 zero-init root bytes; None when no stream in the
+    #: batch carries block_init
+    init_b: jnp.ndarray | None = None
 
 
 def prepare_batch(
@@ -740,10 +914,19 @@ def prepare_batch(
         words_b[i, : w.size] = w
         offs_b[i, : o.size] = o
         t2_b[i, : tables[i][1].size] = tables[i][1]
+    init_b = None
+    if any(s.block_init is not None for s in streams):
+        # zero-init streams: stage the uncoded root bytes for the decode
+        # fold (a frame without block_init contributes zeros = no-op)
+        init_b = np.zeros((T, nb), np.uint8)
+        for i, s in enumerate(streams):
+            if s.block_init is not None:
+                init_b[i, : s.block_init.size] = s.block_init
+        init_b = jnp.asarray(init_b)
     return PreparedBatch(
         height, width, nb, wpr,
         jnp.asarray(words_b), jnp.asarray(offs_b), jnp.asarray(t1_b),
-        jnp.asarray(t2_b),
+        jnp.asarray(t2_b), init_b,
     )
 
 
@@ -763,12 +946,17 @@ def _decode_batch_jit(words_b, offsets_b, t1_b, t2_b, *, width, num_steps, delta
 def decode_batch(prep: PreparedBatch, config: CodecConfig | None = None):
     """Single-device batched decode -> (T, H, W) uint8 device array."""
     cfg = config or CodecConfig()
-    return _decode_batch_jit(
+    out = _decode_batch_jit(
         prep.words_b, prep.offsets_b, prep.t1_b, prep.t2_b,
         width=prep.words_per_row, num_steps=cfg.block_size, delta=cfg.delta,
         height_px=prep.height, width_px=prep.width, n_blocks=prep.n_blocks,
         block_dim=cfg.block_dim,
     )
+    if prep.init_b is not None:
+        out = _apply_init_frames_jit(
+            out, prep.init_b, block_dim=cfg.block_dim,
+            height=prep.height, width=prep.width)
+    return out
 
 
 def decode_batch_sharded(prep: PreparedBatch, mesh=None,
@@ -782,8 +970,14 @@ def decode_batch_sharded(prep: PreparedBatch, mesh=None,
     cfg = config or CodecConfig()
     if mesh is None:
         mesh = mesh_mod.make_mesh_2d()
-    return shard_decode.decode_frames_sharded(
+    out = shard_decode.decode_frames_sharded(
         prep.words_b, prep.offsets_b, prep.t1_b, prep.t2_b,
         mesh=mesh, width=prep.words_per_row, num_steps=cfg.block_size,
         delta=cfg.delta,
     )
+    if prep.init_b is not None:
+        # fold zero-init roots into the padded block batch (pad blocks get 0)
+        pad = out.shape[1] - prep.init_b.shape[1]
+        init = jnp.pad(prep.init_b, ((0, 0), (0, pad))) if pad else prep.init_b
+        out = out + init[:, :, None].astype(out.dtype)
+    return out

@@ -70,3 +70,54 @@ def test_video_roundtrip_per_frame(tmp_path):
 
     f0 = imageio.load_grayscale(outdir / "frame_00000.png")
     np.testing.assert_array_equal(f0, frames[0])
+
+
+def test_decode_video_check_requires_pallas(tmp_path):
+    rng = np.random.default_rng(5)
+    frames = rng.integers(0, 256, (2, 16, 16), np.uint8)
+    src = tmp_path / "frames.npy"
+    np.save(src, frames)
+    mhtv = tmp_path / "out.mhtv"
+    assert cli.main(["encode-video", str(src), str(mhtv),
+                     "--backend", "pallas", "--interpret"]) == 0
+    with pytest.raises(SystemExit, match="pallas"):
+        cli.main(["decode-video", str(mhtv), str(tmp_path / "o.npy"),
+                  "--check", "--backend", "native"])
+    with pytest.raises(SystemExit, match="pallas"):
+        cli.main(["decode-video", str(mhtv), str(tmp_path / "o.npy"),
+                  "--check", "--backend", "xla"])
+
+
+def test_decode_video_check_mhts(tmp_path):
+    """--check covers MHTS too (per-frame checked decode; review finding)."""
+    rng = np.random.default_rng(6)
+    frames = rng.integers(0, 256, (2, 16, 16), np.uint8)
+    src = tmp_path / "frames.npy"
+    np.save(src, frames)
+    mhts = tmp_path / "out.mhts"
+    out = tmp_path / "o.npy"
+    assert cli.main(["encode-video", str(src), str(mhts),
+                     "--per-frame-tables", "--backend", "pallas",
+                     "--interpret"]) == 0
+    assert cli.main(["decode-video", str(mhts), str(out), "--check",
+                     "--backend", "pallas", "--interpret"]) == 0
+    np.testing.assert_array_equal(np.load(out), frames)
+
+
+def test_video_zero_init_cli(tmp_path):
+    """--zero-init is honored on the (default) shared-table video path."""
+    rng = np.random.default_rng(7)
+    frames = rng.integers(0, 256, (2, 16, 24), np.uint8)
+    src = tmp_path / "frames.npy"
+    np.save(src, frames)
+    mhtv = tmp_path / "out.mhtv"
+    out = tmp_path / "o.npy"
+    assert cli.main(["encode-video", str(src), str(mhtv), "--zero-init",
+                     "--backend", "pallas", "--interpret"]) == 0
+    from metalhuffman_tpu.models import frame_stream
+
+    stream, *_ = frame_stream.read_shared(mhtv.read_bytes())
+    assert stream.block_init is not None
+    assert cli.main(["decode-video", str(mhtv), str(out),
+                     "--backend", "pallas", "--interpret"]) == 0
+    np.testing.assert_array_equal(np.load(out), frames)

@@ -127,3 +127,45 @@ def test_raw_strips_checked():
         raw, 2, 64, 1024, w_pad=prep.w_pad, bh=prep.bh)
     assert np.array_equal(got, frames)
     assert not err.any()
+
+
+def test_last_block_window_checked():
+    """The LAST block is verified via the byte-rounded window (review fix):
+    zeroing its bytes must flag it even though its exact end is unindexed."""
+    rng = np.random.default_rng(14)
+    frames = np.minimum(rng.integers(0, 256, (2, 16, 32), dtype=np.uint8),
+                        rng.integers(0, 256, (2, 16, 32), dtype=np.uint8))
+    cfg = CodecConfig(backend="pallas", interpret=True, delta=False)
+    stream = frame_stream.encode_frames_shared(frames, cfg)
+    prep = frame_stream.prepare_shared(stream, 2, 16, 32, cfg, check=True)
+    assert prep.last_window is not None
+    _, err = frame_stream.decode_shared_step_checked(prep, cfg)
+    assert not err.any()
+
+    code = stream.code_bytes.copy()
+    code[int(stream.block_offsets[-1]) // 8 + 1 :] = 0
+    bad = EncodedStream(
+        stream.num_symbols, stream.widths, code, stream.block_offsets)
+    prep_bad = frame_stream.prepare_shared(bad, 2, 16, 32, cfg, check=True)
+    _, err2 = frame_stream.decode_shared_step_checked(prep_bad, cfg)
+    assert err2[-1], "last-block corruption must be flagged"
+
+
+def test_last_block_window_image_path():
+    rng = np.random.default_rng(15)
+    frames = np.minimum(rng.integers(0, 256, (2, 16, 1024), dtype=np.uint8),
+                        rng.integers(0, 256, (2, 16, 1024), dtype=np.uint8))
+    cfg = CodecConfig(backend="pallas", interpret=True, delta=False)
+    stream = frame_stream.encode_frames_shared(frames, cfg)
+    prep = frame_stream.prepare_shared(stream, 2, 16, 1024, cfg, check=True)
+    assert prep.h2 and prep.last_window is not None
+    _, err = frame_stream.decode_shared_step_checked(prep, cfg)
+    assert not err.any()
+
+    code = stream.code_bytes.copy()
+    code[int(stream.block_offsets[-1]) // 8 + 1 :] = 0
+    bad = EncodedStream(
+        stream.num_symbols, stream.widths, code, stream.block_offsets)
+    prep_bad = frame_stream.prepare_shared(bad, 2, 16, 1024, cfg, check=True)
+    _, err2 = frame_stream.decode_shared_step_checked(prep_bad, cfg)
+    assert err2[-1]

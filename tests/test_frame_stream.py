@@ -137,3 +137,74 @@ def test_segmented_over_u32_roundtrip_native():
     assert len(segs) >= 2
     out = frame_stream.decode_frames_segmented(segs, h, w, cfg)
     np.testing.assert_array_equal(out, frames)
+
+
+def test_sharded_batch_zero_init():
+    """decode_batch_sharded folds block_init into the padded block batch."""
+    mesh = mesh_mod.make_mesh_2d(data_parallel=2)
+    frames = _frames(4, 40, 64, seed=41)
+    cfg = CodecConfig(backend="xla", zero_init=True)
+    streams = frame_stream.encode_frames(frames, cfg)
+    prep = frame_stream.prepare_batch(
+        streams, 40, 64, cfg, pad_blocks_to=mesh.shape[mesh_mod.SEQ_AXIS])
+    out = np.asarray(frame_stream.decode_batch_sharded(prep, mesh, cfg))
+    for i in range(4):
+        img = blocks.blocks_to_image(out[i, : prep.n_blocks], 40, 64)
+        np.testing.assert_array_equal(img, frames[i])
+
+
+def test_empty_frame_stack_raises():
+    with pytest.raises(ValueError, match="empty"):
+        frame_stream.encode_frames_segmented(
+            np.zeros((0, 16, 16), np.uint8), CodecConfig())
+
+
+def test_segmented_checked_decode():
+    """check=True verifies per segment and names the corrupt one."""
+    import dataclasses
+
+    frames = _frames(4, 16, 32, seed=42)
+    cfg = CodecConfig(backend="pallas", interpret=True)
+    segs = frame_stream.encode_frames_segmented(
+        frames, cfg, max_segment_bits=2 * 16 * 32 * 16)
+    assert len(segs) >= 2
+    out = frame_stream.decode_frames_segmented(segs, 16, 32, cfg, check=True)
+    np.testing.assert_array_equal(out, frames)
+
+    s1, t1 = segs[1]
+    code = s1.code_bytes.copy()
+    code[int(s1.block_offsets[2]) // 8 + 2 :][:8] = 0xFF
+    bad = dataclasses.replace(s1, code_bytes=code)
+    with pytest.raises(ValueError, match="segment 1"):
+        frame_stream.decode_frames_segmented(
+            [segs[0], (bad, t1)] + segs[2:], 16, 32, cfg, check=True)
+    with pytest.raises(ValueError, match="pallas"):
+        frame_stream.decode_frames_segmented(
+            segs, 16, 32, CodecConfig(backend="native"), check=True)
+
+
+def test_pipeline_keeps_two_segments_in_flight(monkeypatch):
+    """The segment pipeline drains at depth 2 (not 3 — review finding)."""
+    frames = _frames(6, 16, 32, seed=43)
+    cfg = CodecConfig(backend="pallas", interpret=True)
+    segs = frame_stream.encode_frames_segmented(
+        frames, cfg, max_segment_bits=16 * 32 * 10)
+    assert len(segs) == 6
+    depth = {"max": 0, "cur": 0}
+    orig_submit = frame_stream.StreamingDecoder.submit
+    orig_result = frame_stream.StreamingDecoder.result
+
+    def submit(self, *a, **k):
+        depth["cur"] += 1
+        depth["max"] = max(depth["max"], depth["cur"])
+        return orig_submit(self, *a, **k)
+
+    def result(self, handle):
+        depth["cur"] -= 1
+        return orig_result(self, handle)
+
+    monkeypatch.setattr(frame_stream.StreamingDecoder, "submit", submit)
+    monkeypatch.setattr(frame_stream.StreamingDecoder, "result", result)
+    out = frame_stream.decode_frames_segmented(segs, 16, 32, cfg)
+    np.testing.assert_array_equal(out, frames)
+    assert depth["max"] == 2
