@@ -30,24 +30,33 @@ def decode_image(blob: bytes, config=None):
 
 def encode_video(frames, config=None) -> bytes:
     """Convenience: (T, H, W) uint8 frames -> MHTV container, auto-upgrading
-    to segmented MHV2 when the stream could overflow u32 block offsets."""
+    to segmented MHV2 when the stream could overflow u32 block offsets.
+
+    Records the source payload CRC-32 so decoders can verify end-to-end
+    (the trailer catches length-preserving corruption the on-device
+    end-bit check cannot)."""
+    import zlib
+
     import numpy as np
 
     from .models import frame_stream
 
     frames_arr = np.asarray(frames)
     t, h, w = frames_arr.shape
+    crc = zlib.crc32(np.ascontiguousarray(frames_arr).tobytes())
     segs = frame_stream.encode_frames_segmented(frames_arr, config)
     if len(segs) == 1:
-        return frame_stream.write_shared(segs[0][0], t, h, w, config)
-    return frame_stream.write_segmented(segs, h, w, config)
+        return frame_stream.write_shared(
+            segs[0][0], t, h, w, config, source_crc32=crc)
+    return frame_stream.write_segmented(segs, h, w, config, source_crc32=crc)
 
 
 def decode_video(blob: bytes, config=None):
     """Convenience: MHTV/MHV2 container bytes -> (T, H, W) uint8 frames.
 
     The container's recorded block_dim/delta are authoritative; config
-    selects the backend only.
+    selects the backend only. When the container records a source CRC-32
+    the decoded payload is verified against it (ValueError on mismatch).
     """
     import dataclasses
 
@@ -59,8 +68,12 @@ def decode_video(blob: bytes, config=None):
         segs, _t, h, w, bd, delta = frame_stream.read_segmented(blob)
         cfg = dataclasses.replace(
             config or CodecConfig(), block_dim=bd, delta=delta)
-        return frame_stream.decode_frames_segmented(segs, h, w, cfg)
-    stream, t, h, w, bd, delta = frame_stream.read_shared(blob)
-    cfg = dataclasses.replace(
-        config or CodecConfig(), block_dim=bd, delta=delta)
-    return np.asarray(frame_stream.decode_frames_shared(stream, t, h, w, cfg))
+        frames = frame_stream.decode_frames_segmented(segs, h, w, cfg)
+    else:
+        stream, t, h, w, bd, delta = frame_stream.read_shared(blob)
+        cfg = dataclasses.replace(
+            config or CodecConfig(), block_dim=bd, delta=delta)
+        frames = np.asarray(
+            frame_stream.decode_frames_shared(stream, t, h, w, cfg))
+    frame_stream.verify_source_crc32(frames, frame_stream.source_crc32(blob))
+    return frames

@@ -17,6 +17,7 @@ from __future__ import annotations
 import argparse
 import sys
 import time
+import zlib
 from pathlib import Path
 
 import numpy as np
@@ -112,6 +113,9 @@ def cmd_info(args) -> int:
     def mode_str(stream, delta) -> str:
         return "zero-init" if stream.block_init is not None else str(delta)
 
+    def crc_str(recorded) -> str:
+        return f", crc32={'recorded' if recorded else 'absent'}"
+
     if data[:4] == frame_stream.SEGMENTED_MAGIC:
         segs, t, h, w, bd, delta = frame_stream.read_segmented(data)
         total = sum(s.compressed_size for s, _ in segs)
@@ -122,7 +126,8 @@ def cmd_info(args) -> int:
         print(
             f"MHV2: {t} frames {h}x{w} in {len(segs)} shared-table segments, "
             f"block_dim={bd}, delta={mode}, {total} compressed bytes"
-            f"{pct(total, t*h*w)} [{per}]"
+            f"{pct(total, t*h*w)}"
+            f"{crc_str(frame_stream.source_crc32(data))} [{per}]"
         )
         return 0
     if data[:4] == frame_stream.SHARED_MAGIC:
@@ -133,6 +138,7 @@ def cmd_info(args) -> int:
             f"{stream.compressed_size} compressed bytes"
             f"{pct(stream.compressed_size, t*h*w)}, "
             f"{stream.block_offsets.size} blocks"
+            f"{crc_str(frame_stream.source_crc32(data))}"
         )
         return 0
     if data[:4] == frame_stream.STREAM_MAGIC:
@@ -142,6 +148,7 @@ def cmd_info(args) -> int:
             f"MHTS: {len(streams)} frames {h}x{w}, block_dim={bd}, "
             f"delta={mode_str(streams[0], delta)}, {total} compressed bytes"
             f"{pct(total, len(streams)*h*w)}"
+            f"{crc_str(any(frame_stream.read_stream_crcs(data)))}"
         )
         return 0
     stream, h, w, bd, delta, crc = container.read_frame(data)
@@ -187,17 +194,23 @@ def cmd_encode_video(args) -> int:
     t0 = time.perf_counter()
     if args.per_frame_tables:
         streams = frame_stream.encode_frames(frames, cfg)
-        blob = frame_stream.write_stream(streams, h, w, cfg)
+        blob = frame_stream.write_stream(
+            streams, h, w, cfg,
+            source_crc32s=[zlib.crc32(np.ascontiguousarray(f).tobytes())
+                           for f in frames])
         kind = "MHTS"
     else:
         # auto-upgrades to segmented MHV2 when one shared stream could
         # overflow the u32 block-offset index (> ~512 MB compressed)
+        crc = zlib.crc32(np.ascontiguousarray(frames).tobytes())
         segs = frame_stream.encode_frames_segmented(frames, cfg)
         if len(segs) == 1:
-            blob = frame_stream.write_shared(segs[0][0], t, h, w, cfg)
+            blob = frame_stream.write_shared(
+                segs[0][0], t, h, w, cfg, source_crc32=crc)
             kind = "MHTV"
         else:
-            blob = frame_stream.write_segmented(segs, h, w, cfg)
+            blob = frame_stream.write_segmented(
+                segs, h, w, cfg, source_crc32=crc)
             kind = f"MHV2[{len(segs)} segments]"
     dt = time.perf_counter() - t0
     Path(args.output).write_bytes(blob)
@@ -208,21 +221,15 @@ def cmd_encode_video(args) -> int:
     return 0
 
 
-def cmd_decode_video(args) -> int:
-    from .models import frame_stream
-    from .utils import imageio
+def _decode_video_frames(data: bytes, cfg, check: bool):
+    """Decode any MHTV/MHV2/MHTS container -> (frames, t, h, w).
 
-    data = Path(args.input).read_bytes()
-    cfg = _config(args)
-    check = getattr(args, "check", False)
-    if check and args.backend != "pallas":
-        # the integrity check is an output of the Pallas kernel (the decode
-        # carry); other backends never compute it — refuse loudly rather
-        # than silently decode unchecked
-        raise SystemExit(
-            "--check requires --backend pallas (the on-device integrity "
-            "check is emitted by the TPU decode kernel)")
-    t0 = time.perf_counter()
+    ``check=True`` runs the on-device per-block end-bit integrity check
+    (Pallas backend only) and raises SystemExit naming the corrupt blocks.
+    Shared by ``decode-video`` and ``verify``.
+    """
+    from .models import frame_stream
+
     import dataclasses
 
     if data[:4] == frame_stream.SEGMENTED_MAGIC:
@@ -292,6 +299,54 @@ def cmd_decode_video(args) -> int:
         t = len(streams)
     else:
         raise SystemExit("not an MHTV/MHV2/MHTS container")
+    return frames, t, h, w
+
+
+def _verify_video_crc(data: bytes, frames) -> bool:
+    """Check decoded frames against any recorded source CRC-32.
+
+    Returns True when a CRC was recorded and matched, False when the
+    container records none; raises SystemExit on mismatch. This catches
+    length-preserving corruption the on-device end-bit check cannot see
+    (same-width code substitutions).
+    """
+    from .models import frame_stream
+
+    try:
+        if data[:4] == frame_stream.STREAM_MAGIC:
+            crcs = frame_stream.read_stream_crcs(data)
+            for fi, (f, crc) in enumerate(zip(frames, crcs)):
+                if crc and zlib.crc32(
+                        np.ascontiguousarray(f).tobytes()) != crc:
+                    raise ValueError(
+                        f"decoded frame {fi} fails its recorded CRC-32 — "
+                        "the stream is corrupt")
+            return any(crcs)
+        recorded = frame_stream.source_crc32(data)
+        frame_stream.verify_source_crc32(np.asarray(frames), recorded)
+        return bool(recorded)
+    except ValueError as e:
+        raise SystemExit(str(e))
+
+
+def cmd_decode_video(args) -> int:
+    from .utils import imageio
+
+    data = Path(args.input).read_bytes()
+    cfg = _config(args)
+    check = getattr(args, "check", False)
+    if check and args.backend != "pallas":
+        # the integrity check is an output of the Pallas kernel (the decode
+        # carry); other backends never compute it — refuse loudly rather
+        # than silently decode unchecked
+        raise SystemExit(
+            "--check requires --backend pallas (the on-device integrity "
+            "check is emitted by the TPU decode kernel)")
+    t0 = time.perf_counter()
+    frames, t, h, w = _decode_video_frames(data, cfg, check)
+    # verify any recorded payload CRC — catches length-preserving corruption
+    # the on-device end-bit check cannot see (same-width code substitutions)
+    _verify_video_crc(data, frames)
     dt = time.perf_counter() - t0
     out = Path(args.output)
     if out.suffix == ".npy":
@@ -301,6 +356,82 @@ def cmd_decode_video(args) -> int:
         for i, f in enumerate(frames):
             imageio.save_grayscale(f, out / f"frame_{i:05d}.png")
     print(f"{args.input}: decoded {t} frames {h}x{w} in {dt:.2f} s -> {args.output}")
+    return 0
+
+
+def cmd_verify(args) -> int:
+    """Decode a container with every applicable integrity check and report.
+
+    The CLI analog of the reference's capture/verify mode — readback plus
+    byte-for-byte compare with assert-on-diff (``AAPLRenderer.m:1849-1876``)
+    — for streams whose source is no longer at hand: parse, full decode,
+    on-device per-block end-bit check (Pallas backend), and recorded
+    source-CRC-32 verification. Exit 0 only when every check passes.
+    """
+    import dataclasses
+
+    from .core import container
+    from .models import frame_stream
+
+    data = Path(args.input).read_bytes()
+    cfg = _config(args)
+    pallas = args.backend == "pallas"
+    lines = []
+
+    def report(name: str, status: str) -> None:
+        lines.append(f"  {name:<14} {status}")
+
+    try:
+        if data[:4] == container.DISK_MAGIC:
+            stream, h, w, bd, delta, crc = container.read_frame(data)
+            mode = ("zero-init" if stream.block_init is not None
+                    else "delta" if delta else "none")
+            head = (f"MHT1: {h}x{w}, block_dim={bd}, mode={mode}, "
+                    f"{stream.block_offsets.size} blocks")
+            if pallas:
+                dcfg = dataclasses.replace(cfg, block_dim=bd, delta=delta)
+                prep = frame_stream.prepare_shared(
+                    stream, 1, h, w, dcfg, check=True)
+                img, err = frame_stream.decode_shared_step_checked(prep, dcfg)
+                if err.any():
+                    idx = np.nonzero(err)[0]
+                    raise SystemExit(
+                        f"stream integrity check failed: {idx.size} corrupt "
+                        f"block(s), first at {idx[:8].tolist()}")
+                report("end-bit check", f"ok ({int(err.size)} blocks)")
+                out = np.asarray(img).reshape(h, w)
+                if crc and zlib.crc32(out.tobytes()) != crc:
+                    raise SystemExit(
+                        "decoded image fails the container's source CRC-32 "
+                        "(corrupt stream or decoder mismatch)")
+            else:
+                from .models import ImageCodec
+
+                out = ImageCodec(cfg).decode(data)  # verifies any CRC itself
+                report("end-bit check", "skipped (needs --backend pallas)")
+            report("decode", f"ok ({h}x{w}, {args.backend})")
+            report("source CRC-32", "ok" if crc else "absent")
+        elif data[:4] in (frame_stream.SHARED_MAGIC,
+                          frame_stream.SEGMENTED_MAGIC,
+                          frame_stream.STREAM_MAGIC):
+            kind = {frame_stream.SHARED_MAGIC: "MHTV",
+                    frame_stream.SEGMENTED_MAGIC: "MHV2",
+                    frame_stream.STREAM_MAGIC: "MHTS"}[bytes(data[:4])]
+            frames, t, h, w = _decode_video_frames(data, cfg, check=pallas)
+            head = f"{kind}: {t} frames {h}x{w}"
+            report("end-bit check",
+                   "ok" if pallas else "skipped (needs --backend pallas)")
+            report("decode", f"ok ({t} frames, {args.backend})")
+            recorded = _verify_video_crc(data, frames)
+            report("source CRC-32", "ok" if recorded else "absent")
+        else:
+            raise SystemExit("not an MHT1/MHTS/MHTV/MHV2 container")
+    except ValueError as e:
+        raise SystemExit(str(e))
+    print(head)
+    for ln in lines:
+        print(ln)
+    print("PASS")
     return 0
 
 
@@ -401,6 +532,14 @@ def main(argv=None) -> int:
     p = sub.add_parser("info", help="describe an MHT1/MHTS container")
     p.add_argument("input")
     p.set_defaults(fn=cmd_info)
+
+    p = sub.add_parser(
+        "verify",
+        help="decode any container with every integrity check "
+             "(end-bit + recorded CRC-32) and report per-check status")
+    p.add_argument("input")
+    _add_codec_flags(p)
+    p.set_defaults(fn=cmd_verify)
 
     p = sub.add_parser("inspect", help="debug dump of an MHT1 stream")
     p.add_argument("input")

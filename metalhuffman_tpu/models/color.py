@@ -9,6 +9,8 @@ pipeline (one canonical table + one kernel dispatch for all channels —
 
 from __future__ import annotations
 
+import zlib
+
 import numpy as np
 
 from ..core import container
@@ -40,12 +42,19 @@ def decode_color(
 
 
 def encode_color_to_bytes(img: np.ndarray, config: CodecConfig | None = None) -> bytes:
-    """(H, W, C) -> MHTV container (channels as frames)."""
+    """(H, W, C) -> MHTV container (channels as frames, planes CRC recorded)."""
     stream, c = encode_color(img, config)
     h, w = img.shape[:2]
-    return frame_stream.write_shared(stream, c, h, w, config)
+    planes = np.ascontiguousarray(np.moveaxis(np.asarray(img), -1, 0))
+    return frame_stream.write_shared(
+        stream, c, h, w, config, source_crc32=zlib.crc32(planes.tobytes()))
 
 
 def decode_color_from_bytes(blob: bytes, config: CodecConfig | None = None) -> np.ndarray:
+    """MHTV container -> (H, W, C); verifies the recorded planes CRC."""
     stream, c, h, w, _bd, _delta = frame_stream.read_shared(blob)
-    return decode_color(stream, h, w, c, config)
+    out = decode_color(stream, h, w, c, config)
+    frame_stream.verify_source_crc32(
+        np.ascontiguousarray(np.moveaxis(out, -1, 0)),
+        frame_stream.source_crc32(blob))
+    return out

@@ -14,6 +14,7 @@ records (``core.container``).
 from __future__ import annotations
 
 import struct
+import zlib
 from dataclasses import dataclass
 from functools import partial
 
@@ -91,12 +92,18 @@ def _stream_mode(stream: container.EncodedStream, delta: bool) -> int:
 
 
 def write_shared(stream: container.EncodedStream, num_frames: int, height: int,
-                 width: int, config: CodecConfig | None = None) -> bytes:
+                 width: int, config: CodecConfig | None = None,
+                 source_crc32: int = 0) -> bytes:
     """Serialize a shared-table frame sequence to the MHTV container.
 
     The delta byte is a MODE (same scheme as MHT1): 0 = none, 1 = delta,
     2 = delta + zero-init (``stream.block_init`` root bytes appended after
-    the offset index).
+    the offset index). ``source_crc32`` (CRC-32 of the raw (T, H, W) frame
+    bytes, 0 = unrecorded) is appended as a 4-byte trailer; it catches
+    corruption the on-device end-bit check cannot (a bit flip that maps
+    codes to other same-width codes preserves every block's bit length).
+    The reference's verify path compares every decoded byte
+    (``AAPLRenderer.m:1849-1876``) — the CRC is the streaming analog.
     """
     cfg = config or CodecConfig()
     mode = _stream_mode(stream, cfg.delta)
@@ -107,7 +114,8 @@ def write_shared(stream: container.EncodedStream, num_frames: int, height: int,
     core = stream.core_blob()
     tail = b"" if mode != 2 else stream.block_init.astype(np.uint8).tobytes()
     return (head + struct.pack("<I", len(core)) + core
-            + stream.block_offsets.astype("<u4").tobytes() + tail)
+            + stream.block_offsets.astype("<u4").tobytes() + tail
+            + struct.pack("<I", source_crc32 & 0xFFFFFFFF))
 
 
 def read_shared(data: bytes):
@@ -137,6 +145,41 @@ def read_shared(data: bytes):
     stream = container.EncodedStream(
         num_symbols, widths, code_bytes, offsets, block_init)
     return stream, t, h, w, bd, bool(mode)
+
+
+def source_crc32(data: bytes) -> int:
+    """Recorded source CRC-32 of an MHTV/MHV2 container (0 = unrecorded).
+
+    The trailer is detected by length (containers written before the CRC
+    trailer existed parse as unrecorded); verify with
+    :func:`verify_source_crc32` after decoding.
+    """
+    if data[:4] == SHARED_MAGIC:
+        _t, _h, _w, nb, _bd, mode = struct.unpack_from("<IIIIBB", data, 4)
+        (core_len,) = struct.unpack_from("<I", data, 22)
+        end = 26 + core_len + 4 * nb + (nb if mode == 2 else 0)
+    elif data[:4] == SEGMENTED_MAGIC:
+        _t, _h, _w, _bd, mode, n_seg = struct.unpack_from("<IIIBBI", data, 4)
+        end = 4 + 18
+        for _ in range(n_seg):
+            _ft, nb, core_len = struct.unpack_from("<III", data, end)
+            end += 12 + core_len + 4 * nb + (nb if mode == 2 else 0)
+    else:
+        raise ValueError("not an MHTV/MHV2 container")
+    if len(data) >= end + 4:
+        return struct.unpack_from("<I", data, end)[0]
+    return 0
+
+
+def verify_source_crc32(frames: np.ndarray, recorded: int) -> None:
+    """Raise ValueError when decoded frames mismatch a recorded CRC-32."""
+    if not recorded:
+        return
+    got = zlib.crc32(np.ascontiguousarray(frames).tobytes()) & 0xFFFFFFFF
+    if got != recorded:
+        raise ValueError(
+            f"decoded payload CRC-32 mismatch (got {got:#010x}, container "
+            f"records {recorded:#010x}) — the stream is corrupt")
 
 
 @dataclass(frozen=True)
@@ -522,13 +565,15 @@ def encode_frames_segmented(
 
 def write_segmented(
     segments: list[tuple[container.EncodedStream, int]], height: int,
-    width: int, config: CodecConfig | None = None,
+    width: int, config: CodecConfig | None = None, source_crc32: int = 0,
 ) -> bytes:
     """Serialize segments to the MHV2 container.
 
     The delta byte is a MODE (0/1/2 as MHT1/MHTV); mode 2 appends each
     segment's ``block_init`` root bytes after that segment's offset index.
-    All segments must agree on the mode.
+    All segments must agree on the mode. ``source_crc32`` (CRC-32 of the
+    full raw (T, H, W) payload, 0 = unrecorded) trails the last segment —
+    see :func:`write_shared` for why the end-bit check alone is not enough.
     """
     cfg = config or CodecConfig()
     if not segments:
@@ -549,6 +594,7 @@ def write_segmented(
         out.append(stream.block_offsets.astype("<u4").tobytes())
         if mode == 2:
             out.append(stream.block_init.astype(np.uint8).tobytes())
+    out.append(struct.pack("<I", source_crc32 & 0xFFFFFFFF))
     return b"".join(out)
 
 
@@ -822,29 +868,42 @@ def encode_frames(
 
 
 def write_stream(streams: list[container.EncodedStream], height: int, width: int,
-                 config: CodecConfig | None = None) -> bytes:
-    """Serialize a frame sequence to the MHTS container."""
+                 config: CodecConfig | None = None,
+                 source_crc32s: list[int] | None = None) -> bytes:
+    """Serialize a frame sequence to the MHTS container.
+
+    ``source_crc32s`` records each frame's raw-byte CRC-32 in its MHT1
+    record (0 / None = unrecorded); read back with :func:`read_stream_crcs`.
+    """
     cfg = config or CodecConfig()
+    if source_crc32s is not None and len(source_crc32s) != len(streams):
+        raise ValueError("source_crc32s must have one entry per frame")
     out = [STREAM_MAGIC, struct.pack("<I", len(streams))]
-    for s in streams:
-        rec = container.write_frame(s, height, width, cfg.block_dim, cfg.delta)
+    for i, s in enumerate(streams):
+        rec = container.write_frame(
+            s, height, width, cfg.block_dim, cfg.delta,
+            source_crc32=source_crc32s[i] if source_crc32s else 0)
         out.append(struct.pack("<I", len(rec)))
         out.append(rec)
     return b"".join(out)
 
 
-def read_stream(data: bytes):
-    """Parse MHTS -> (streams, height, width, block_dim, delta)."""
+def _iter_stream_records(data: bytes):
     if data[:4] != STREAM_MAGIC:
         raise ValueError("not an MHTS container")
     (count,) = struct.unpack_from("<I", data, 4)
     pos = 8
-    streams, geom = [], None
     for _ in range(count):
         (rec_len,) = struct.unpack_from("<I", data, pos)
         pos += 4
-        stream, h, w, bd, delta, _crc = container.read_frame(data[pos : pos + rec_len])
+        yield container.read_frame(data[pos : pos + rec_len])
         pos += rec_len
+
+
+def read_stream(data: bytes):
+    """Parse MHTS -> (streams, height, width, block_dim, delta)."""
+    streams, geom = [], None
+    for stream, h, w, bd, delta, _crc in _iter_stream_records(data):
         if geom is None:
             geom = (h, w, bd, delta)
         elif geom != (h, w, bd, delta):
@@ -853,6 +912,11 @@ def read_stream(data: bytes):
     if geom is None:
         raise ValueError("empty MHTS stream")
     return streams, *geom
+
+
+def read_stream_crcs(data: bytes) -> list[int]:
+    """Per-frame recorded source CRC-32s of an MHTS container (0 = absent)."""
+    return [rec[5] for rec in _iter_stream_records(data)]
 
 
 @dataclass(frozen=True)
