@@ -67,12 +67,14 @@ def decode_video(blob: bytes, config=None):
     if blob[:4] == frame_stream.SEGMENTED_MAGIC:
         segs, _t, h, w, bd, delta = frame_stream.read_segmented(blob)
         cfg = dataclasses.replace(
-            config or CodecConfig(), block_dim=bd, delta=delta)
+            config or CodecConfig(), block_dim=bd, delta=delta,
+            delta2d=bool(segs) and segs[0][0].predictor == "2d")
         frames = frame_stream.decode_frames_segmented(segs, h, w, cfg)
     else:
         stream, t, h, w, bd, delta = frame_stream.read_shared(blob)
         cfg = dataclasses.replace(
-            config or CodecConfig(), block_dim=bd, delta=delta)
+            config or CodecConfig(), block_dim=bd, delta=delta,
+            delta2d=stream.predictor == "2d")
         frames = np.asarray(
             frame_stream.decode_frames_shared(stream, t, h, w, cfg))
     frame_stream.verify_source_crc32(frames, frame_stream.source_crc32(blob))

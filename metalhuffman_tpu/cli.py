@@ -30,6 +30,11 @@ def _add_codec_flags(p: argparse.ArgumentParser) -> None:
                    help="zero-init-delta variant: block root bytes ship "
                         "uncoded in a side array (reference's "
                         "IMPL_DELTAS_AND_INIT_ZERO_DELTA mode)")
+    p.add_argument("--delta2d", action="store_true",
+                   help="2-D within-block predictor (row 0 delta-left, "
+                        "rows below delta-up): ~3 entropy points smaller "
+                        "than the raster delta on photos, still "
+                        "block-parallel (beyond-reference mode)")
     p.add_argument(
         "--backend", default="pallas", choices=["pallas", "xla", "native"],
         help="decode path (pallas = TPU kernel, xla = portable device, "
@@ -46,6 +51,7 @@ def _config(args):
         block_dim=args.block_dim,
         delta=not args.no_delta,
         zero_init=getattr(args, "zero_init", False),
+        delta2d=getattr(args, "delta2d", False),
         backend=args.backend,
         interpret=args.interpret,
     )
@@ -111,7 +117,11 @@ def cmd_info(args) -> int:
         return f" ({total/raw:.1%})" if raw else ""
 
     def mode_str(stream, delta) -> str:
-        return "zero-init" if stream.block_init is not None else str(delta)
+        base = "delta2d" if stream.predictor == "2d" else str(delta)
+        if stream.block_init is not None:
+            return (base + "+zero-init") if stream.predictor == "2d" \
+                else "zero-init"
+        return base
 
     def crc_str(recorded) -> str:
         return f", crc32={'recorded' if recorded else 'absent'}"
@@ -154,8 +164,7 @@ def cmd_info(args) -> int:
     stream, h, w, bd, delta, crc = container.read_frame(data)
     widths = stream.widths
     active = int((widths > 0).sum())
-    if stream.block_init is not None:
-        delta = "zero-init"
+    delta = mode_str(stream, delta)
     print(
         f"MHT1: {h}x{w}, block_dim={bd}, delta={delta}, "
         f"{stream.compressed_size} bytes{pct(stream.compressed_size, h*w)}, "
@@ -234,7 +243,9 @@ def _decode_video_frames(data: bytes, cfg, check: bool):
 
     if data[:4] == frame_stream.SEGMENTED_MAGIC:
         segs, t, h, w, bd, delta = frame_stream.read_segmented(data)
-        cfg = dataclasses.replace(cfg, block_dim=bd, delta=delta)
+        cfg = dataclasses.replace(
+            cfg, block_dim=bd, delta=delta,
+            delta2d=bool(segs) and segs[0][0].predictor == "2d")
         try:
             frames = frame_stream.decode_frames_segmented(
                 segs, h, w, cfg, check=check)
@@ -242,8 +253,9 @@ def _decode_video_frames(data: bytes, cfg, check: bool):
             raise SystemExit(str(e))
     elif data[:4] == frame_stream.SHARED_MAGIC:
         stream, t, h, w, bd, delta = frame_stream.read_shared(data)
-        # the container header is authoritative for block_dim/delta
-        cfg = dataclasses.replace(cfg, block_dim=bd, delta=delta)
+        # the container header is authoritative for block_dim/delta/mode
+        cfg = dataclasses.replace(cfg, block_dim=bd, delta=delta,
+                                  delta2d=stream.predictor == "2d")
         if cfg.backend == "native":
             # host decode (one segment) — never touches a device
             frames = frame_stream.decode_frames_segmented(
@@ -265,7 +277,8 @@ def _decode_video_frames(data: bytes, cfg, check: bool):
                 frame_stream.decode_frames_shared(stream, t, h, w, cfg))
     elif data[:4] == frame_stream.STREAM_MAGIC:
         streams, h, w, bd, delta = frame_stream.read_stream(data)
-        cfg = dataclasses.replace(cfg, block_dim=bd, delta=delta)
+        cfg = dataclasses.replace(cfg, block_dim=bd, delta=delta,
+                                  delta2d=streams[0].predictor == "2d")
         if check:
             # per-frame checked decode (a one-frame batch is a shared
             # stream); serial — the check's host fetch is a barrier
@@ -384,12 +397,16 @@ def cmd_verify(args) -> int:
     try:
         if data[:4] == container.DISK_MAGIC:
             stream, h, w, bd, delta, crc = container.read_frame(data)
-            mode = ("zero-init" if stream.block_init is not None
+            mode = ("delta2d" if stream.predictor == "2d"
                     else "delta" if delta else "none")
+            if stream.block_init is not None:
+                mode = ("zero-init" if mode == "delta"
+                        else mode + "+zero-init")
             head = (f"MHT1: {h}x{w}, block_dim={bd}, mode={mode}, "
                     f"{stream.block_offsets.size} blocks")
             if pallas:
-                dcfg = dataclasses.replace(cfg, block_dim=bd, delta=delta)
+                dcfg = dataclasses.replace(cfg, block_dim=bd, delta=delta,
+                                           delta2d=stream.predictor == "2d")
                 prep = frame_stream.prepare_shared(
                     stream, 1, h, w, dcfg, check=True)
                 img, err = frame_stream.decode_shared_step_checked(prep, dcfg)

@@ -37,6 +37,10 @@ class EncodedStream:
     #: AAPLRenderer.m:449-473): one uncoded root byte per block; None unless
     #: the stream was encoded with CodecConfig.zero_init
     block_init: np.ndarray | None = None
+    #: which precoder produced the symbols: "left" (the reference's 1-D
+    #: raster delta; also the value when delta is off entirely) or "2d"
+    #: (beyond-reference row0-left/delta-up predictor, core.delta)
+    predictor: str = "left"
 
     def core_blob(self) -> bytes:
         """Reference-compatible blob; its length is the compressed size used
@@ -79,16 +83,22 @@ def write_frame(
 
     The delta byte is a MODE: 0 = none, 1 = delta, 2 = delta + zero-init
     (``stream.block_init`` root bytes appended after the offset index —
-    the reference's ``_blockInitData`` side channel).
+    the reference's ``_blockInitData`` side channel), 3 = delta2d (the
+    beyond-reference 2-D within-block predictor, ``core.delta``),
+    4 = delta2d + zero-init.
     """
     mode = int(delta)
     tail = b""
+    if stream.predictor == "2d":
+        if not delta:
+            raise ValueError("delta2d is a delta precoding mode")
+        mode = 3
     if stream.block_init is not None:
         if not delta:
             raise ValueError("zero-init requires delta precoding")
         if stream.block_init.size != stream.block_offsets.size:
             raise ValueError("block_init must have one byte per block")
-        mode = 2
+        mode = 4 if mode == 3 else 2
         tail = stream.block_init.astype(np.uint8).tobytes()
     head = DISK_MAGIC + struct.pack(
         "<IIIBBI",
@@ -144,12 +154,13 @@ def read_frame(data: bytes):
     if offsets.size != n_blocks:
         raise ValueError("truncated MHT1 container (offset index incomplete)")
     block_init = None
-    if delta == 2:  # zero-init mode: uncoded root bytes after the index
+    if delta in (2, 4):  # zero-init modes: uncoded root bytes after the index
         init_off = core_off + core_len + 4 * n_blocks
         block_init = np.frombuffer(
             data, dtype=np.uint8, count=n_blocks, offset=init_off).copy()
         if block_init.size != n_blocks:
             raise ValueError("truncated MHT1 container (block_init missing)")
     stream = EncodedStream(
-        num_symbols, widths, code_bytes, offsets, block_init)
+        num_symbols, widths, code_bytes, offsets, block_init,
+        predictor="2d" if delta in (3, 4) else "left")
     return stream, height, width, block_dim, bool(delta), crc

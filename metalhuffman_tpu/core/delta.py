@@ -27,6 +27,41 @@ def delta_decode_blocks(deltas: np.ndarray) -> np.ndarray:
     return np.cumsum(deltas, axis=-1, dtype=np.int64).astype(np.uint8)
 
 
+def delta2d_encode_blocks(blocks: np.ndarray, block_dim: int) -> np.ndarray:
+    """2-D within-block predictor: row 0 delta-left, rows 1.. delta-up.
+
+    Beyond-reference capability (the reference's only precoder is the 1-D
+    raster delta above, ``AAPLRenderer.m:432-515``). Residuals stay strictly
+    inside the block, so block-parallel decode is preserved; on photographic
+    content the vertical predictor beats the raster delta by ~3 entropy
+    points (60.8% -> 58.0% of raw on the BigBridge asset — see PERF.md).
+    Input/output shape (..., block_dim*block_dim) uint8.
+    """
+    b = np.asarray(blocks, dtype=np.uint8)
+    sq = b.reshape(*b.shape[:-1], block_dim, block_dim)
+    out = sq.copy()
+    out[..., 0, 1:] = sq[..., 0, 1:] - sq[..., 0, :-1]  # row 0: delta-left
+    out[..., 1:, :] = sq[..., 1:, :] - sq[..., :-1, :]  # rows 1..: delta-up
+    return out.reshape(b.shape)
+
+
+def delta2d_decode_blocks(res: np.ndarray, block_dim: int) -> np.ndarray:
+    """Inverse of :func:`delta2d_encode_blocks`.
+
+    Row 0 is a running sum along the row; every pixel is then a running sum
+    down its column (both mod 256). The root byte res[0][0] propagates
+    additively into every pixel, so the zero-init side-channel fold
+    (:func:`apply_block_init`) composes unchanged.
+    """
+    r = np.asarray(res, dtype=np.uint8)
+    sq = r.reshape(*r.shape[:-1], block_dim, block_dim).copy()
+    # uint8 accumulate wraps mod 256 natively — no widening temp needed
+    row0 = sq[..., 0, :]
+    np.add.accumulate(row0, axis=-1, dtype=np.uint8, out=row0)
+    np.add.accumulate(sq, axis=-2, dtype=np.uint8, out=sq)
+    return sq.reshape(r.shape)
+
+
 def split_zero_init(deltas: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Zero-init-delta transform: (..., block_len) deltas -> (init, zeroed).
 

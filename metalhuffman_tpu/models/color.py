@@ -51,9 +51,18 @@ def encode_color_to_bytes(img: np.ndarray, config: CodecConfig | None = None) ->
 
 
 def decode_color_from_bytes(blob: bytes, config: CodecConfig | None = None) -> np.ndarray:
-    """MHTV container -> (H, W, C); verifies the recorded planes CRC."""
-    stream, c, h, w, _bd, _delta = frame_stream.read_shared(blob)
-    out = decode_color(stream, h, w, c, config)
+    """MHTV container -> (H, W, C); verifies the recorded planes CRC.
+
+    The container's recorded block_dim/mode are authoritative (as in
+    ``decode_video``); config chooses the backend only.
+    """
+    import dataclasses
+
+    stream, c, h, w, bd, delta = frame_stream.read_shared(blob)
+    cfg = dataclasses.replace(
+        config or CodecConfig(), block_dim=bd, delta=delta,
+        delta2d=stream.predictor == "2d")
+    out = decode_color(stream, h, w, c, cfg)
     frame_stream.verify_source_crc32(
         np.ascontiguousarray(np.moveaxis(out, -1, 0)),
         frame_stream.source_crc32(blob))

@@ -55,40 +55,50 @@ def encode_frames_shared(
     frames = np.asarray(frames)
     if frames.ndim != 3:
         raise ValueError("frames must be (T, H, W)")
-    if cfg.zero_init and not cfg.delta:
-        raise ValueError("zero_init requires delta precoding")
+    if (cfg.zero_init or cfg.delta2d) and not cfg.delta:
+        raise ValueError("zero_init/delta2d require delta precoding")
+    predictor = "2d" if cfg.delta2d else "left"
     payloads = []
     for f in frames:
         blk = blocks.image_to_blocks(f, cfg.block_dim).ravel()
-        payloads.append(
-            native.delta_encode(blk, cfg.block_size) if cfg.delta else blk
-        )
+        if cfg.delta2d:
+            payloads.append(delta_mod.delta2d_encode_blocks(
+                blk.reshape(-1, cfg.block_size), cfg.block_dim).ravel())
+        elif cfg.delta:
+            payloads.append(native.delta_encode(blk, cfg.block_size))
+        else:
+            payloads.append(blk)
     payload = np.concatenate(payloads)
     # no worst-case pre-check: the encoder verifies the *actual* total bits
     # against the u32 offset cap and raises cleanly on true overflow
     if not cfg.zero_init:
-        return native.encode_symbols(payload, block_size=cfg.block_size)
+        stream = native.encode_symbols(payload, block_size=cfg.block_size)
+        return container.EncodedStream(
+            stream.num_symbols, stream.widths, stream.code_bytes,
+            stream.block_offsets, predictor=predictor)
     init, zeroed = delta_mod.split_zero_init(
         payload.reshape(-1, cfg.block_size))
     stream = native.encode_symbols(
         zeroed.reshape(-1), block_size=cfg.block_size)
     return container.EncodedStream(
         stream.num_symbols, stream.widths, stream.code_bytes,
-        stream.block_offsets, block_init=init)
+        stream.block_offsets, block_init=init, predictor=predictor)
 
 
 SHARED_MAGIC = b"MHTV"
 
 
 def _stream_mode(stream: container.EncodedStream, delta: bool) -> int:
-    """Container mode byte: 0 = none, 1 = delta, 2 = delta + zero-init."""
+    """Container mode byte: 0 = none, 1 = delta, 2 = delta + zero-init,
+    3 = delta2d, 4 = delta2d + zero-init (same scheme as MHT1)."""
+    two_d = stream.predictor == "2d"
+    if (two_d or stream.block_init is not None) and not delta:
+        raise ValueError("zero-init/delta2d are delta precoding modes")
     if stream.block_init is None:
-        return int(delta)
-    if not delta:
-        raise ValueError("zero-init requires delta precoding")
+        return 3 if two_d else int(delta)
     if stream.block_init.size != stream.block_offsets.size:
         raise ValueError("block_init must have one byte per block")
-    return 2
+    return 4 if two_d else 2
 
 
 def write_shared(stream: container.EncodedStream, num_frames: int, height: int,
@@ -98,7 +108,8 @@ def write_shared(stream: container.EncodedStream, num_frames: int, height: int,
 
     The delta byte is a MODE (same scheme as MHT1): 0 = none, 1 = delta,
     2 = delta + zero-init (``stream.block_init`` root bytes appended after
-    the offset index). ``source_crc32`` (CRC-32 of the raw (T, H, W) frame
+    the offset index), 3 = delta2d, 4 = delta2d + zero-init.
+    ``source_crc32`` (CRC-32 of the raw (T, H, W) frame
     bytes, 0 = unrecorded) is appended as a 4-byte trailer; it catches
     corruption the on-device end-bit check cannot (a bit flip that maps
     codes to other same-width codes preserves every block's bit length).
@@ -112,7 +123,8 @@ def write_shared(stream: container.EncodedStream, num_frames: int, height: int,
         cfg.block_dim, mode,
     )
     core = stream.core_blob()
-    tail = b"" if mode != 2 else stream.block_init.astype(np.uint8).tobytes()
+    tail = (b"" if mode not in (2, 4)
+            else stream.block_init.astype(np.uint8).tobytes())
     return (head + struct.pack("<I", len(core)) + core
             + stream.block_offsets.astype("<u4").tobytes() + tail
             + struct.pack("<I", source_crc32 & 0xFFFFFFFF))
@@ -136,14 +148,15 @@ def read_shared(data: bytes):
     if offsets.size != n_blocks:
         raise ValueError("truncated MHTV container (offset index incomplete)")
     block_init = None
-    if mode == 2:
+    if mode in (2, 4):
         init_off = 26 + core_len + 4 * n_blocks
         block_init = np.frombuffer(
             data, dtype=np.uint8, count=n_blocks, offset=init_off).copy()
         if block_init.size != n_blocks:
             raise ValueError("truncated MHTV container (block_init missing)")
     stream = container.EncodedStream(
-        num_symbols, widths, code_bytes, offsets, block_init)
+        num_symbols, widths, code_bytes, offsets, block_init,
+        predictor="2d" if mode in (3, 4) else "left")
     return stream, t, h, w, bd, bool(mode)
 
 
@@ -157,13 +170,13 @@ def source_crc32(data: bytes) -> int:
     if data[:4] == SHARED_MAGIC:
         _t, _h, _w, nb, _bd, mode = struct.unpack_from("<IIIIBB", data, 4)
         (core_len,) = struct.unpack_from("<I", data, 22)
-        end = 26 + core_len + 4 * nb + (nb if mode == 2 else 0)
+        end = 26 + core_len + 4 * nb + (nb if mode in (2, 4) else 0)
     elif data[:4] == SEGMENTED_MAGIC:
         _t, _h, _w, _bd, mode, n_seg = struct.unpack_from("<IIIBBI", data, 4)
         end = 4 + 18
         for _ in range(n_seg):
             _ft, nb, core_len = struct.unpack_from("<III", data, end)
-            end += 12 + core_len + 4 * nb + (nb if mode == 2 else 0)
+            end += 12 + core_len + 4 * nb + (nb if mode in (2, 4) else 0)
     else:
         raise ValueError("not an MHTV/MHV2 container")
     if len(data) >= end + 4:
@@ -305,26 +318,29 @@ def decode_shared_step(prep: PreparedShared, config: CodecConfig | None = None,
     # the Pallas kernel only compiles on TPU; interpret it elsewhere
     if not cfg.interpret and jax.default_backend() in ("cpu", "gpu"):
         cfg = CodecConfig(**{**cfg.__dict__, "interpret": True})
+    # delta2d: the kernel emits raw residuals (delta=False in-chain) and a
+    # fused post-pass inverts the 2-D predictor per block (cumsums)
+    kdelta = cfg.delta and not cfg.delta2d
     if prep.h2:
         if raw:
-            if prep.init_grid is not None:
+            if prep.init_grid is not None or cfg.delta2d:
                 raise ValueError(
-                    "raw strips cannot carry the zero-init root fold; "
-                    "decode zero-init streams with raw=False")
+                    "raw strips cannot carry the zero-init/delta2d "
+                    "reconstruction; decode such streams with raw=False")
             # production path: the kernel output IS the image; return the
             # strips untouched and view bytes on the host for free
             # (frames_from_raw). No post-kernel device op at all.
             return _decode_shared_strips_jit(
                 prep.rows, prep.init, prep.pair,
                 bounds=prep.bounds, adj_inc=prep.adj_inc, wpr=prep.wpr,
-                h2=prep.h2, delta=cfg.delta, interpret=cfg.interpret,
+                h2=prep.h2, delta=kdelta, interpret=cfg.interpret,
                 group_tiles=prep.group_tiles,
             )
         out = _decode_shared_image_jit(
             prep.rows, prep.init, prep.pair,
             bounds=prep.bounds, adj_inc=prep.adj_inc, wpr=prep.wpr,
             num_frames=prep.num_frames, height=prep.height, width=prep.width,
-            h2=prep.h2, delta=cfg.delta, interpret=cfg.interpret,
+            h2=prep.h2, delta=kdelta, interpret=cfg.interpret,
             w_pad=prep.w_pad, bh=prep.bh, group_tiles=prep.group_tiles,
         )
     else:
@@ -332,9 +348,11 @@ def decode_shared_step(prep: PreparedShared, config: CodecConfig | None = None,
             prep.rows, prep.init, prep.pair,
             bounds=prep.bounds, adj_inc=prep.adj_inc, wpr=prep.wpr,
             num_frames=prep.num_frames, height=prep.height, width=prep.width,
-            block_dim=cfg.block_dim, delta=cfg.delta, interpret=cfg.interpret,
+            block_dim=cfg.block_dim, delta=kdelta, interpret=cfg.interpret,
             nb_total=prep.nb_total,
         )
+    if cfg.delta2d:
+        out = _delta2d_frames_jit(out, block_dim=cfg.block_dim)
     if prep.init_grid is not None:
         out = _apply_init_frames_jit(
             out, prep.init_grid, block_dim=cfg.block_dim,
@@ -361,16 +379,17 @@ def decode_shared_step_checked(prep: PreparedShared,
     cfg = config or CodecConfig()
     if not cfg.interpret and jax.default_backend() in ("cpu", "gpu"):
         cfg = CodecConfig(**{**cfg.__dict__, "interpret": True})
+    kdelta = cfg.delta and not cfg.delta2d
     if prep.h2:
         if raw:
-            if prep.init_grid is not None:
+            if prep.init_grid is not None or cfg.delta2d:
                 raise ValueError(
-                    "raw strips cannot carry the zero-init root fold; "
-                    "decode zero-init streams with raw=False")
+                    "raw strips cannot carry the zero-init/delta2d "
+                    "reconstruction; decode such streams with raw=False")
             result, end = _decode_shared_strips_jit(
                 prep.rows, prep.init, prep.pair,
                 bounds=prep.bounds, adj_inc=prep.adj_inc, wpr=prep.wpr,
-                h2=prep.h2, delta=cfg.delta, interpret=cfg.interpret,
+                h2=prep.h2, delta=kdelta, interpret=cfg.interpret,
                 group_tiles=prep.group_tiles, emit_end=True,
             )
         else:
@@ -378,7 +397,7 @@ def decode_shared_step_checked(prep: PreparedShared,
                 prep.rows, prep.init, prep.pair,
                 bounds=prep.bounds, adj_inc=prep.adj_inc, wpr=prep.wpr,
                 num_frames=prep.num_frames, height=prep.height,
-                width=prep.width, h2=prep.h2, delta=cfg.delta,
+                width=prep.width, h2=prep.h2, delta=kdelta,
                 interpret=cfg.interpret, w_pad=prep.w_pad, bh=prep.bh,
                 group_tiles=prep.group_tiles, emit_end=True,
             )
@@ -387,9 +406,11 @@ def decode_shared_step_checked(prep: PreparedShared,
             prep.rows, prep.init, prep.pair,
             bounds=prep.bounds, adj_inc=prep.adj_inc, wpr=prep.wpr,
             num_frames=prep.num_frames, height=prep.height, width=prep.width,
-            block_dim=cfg.block_dim, delta=cfg.delta, interpret=cfg.interpret,
+            block_dim=cfg.block_dim, delta=kdelta, interpret=cfg.interpret,
             nb_total=prep.nb_total, emit_end=True,
         )
+    if cfg.delta2d and not raw:
+        result = _delta2d_frames_jit(result, block_dim=cfg.block_dim)
     err_lane = decode_pallas.check_block_ends(end, prep.end_targets)
     if prep.h2:
         bw = -(-prep.width // 8)
@@ -443,11 +464,11 @@ def decode_shared_sharded(
     from ..parallel import mesh as mesh_mod, shard_decode
 
     cfg = config or CodecConfig()
-    if stream.block_init is not None:
+    if stream.block_init is not None or cfg.delta2d:
         raise ValueError(
             "sharded decode returns raw strips/packed blocks and cannot fold "
-            "zero-init roots; apply core.delta.apply_block_init after "
-            "reassembly, or use decode_frames_shared")
+            "zero-init roots or invert delta2d; apply core.delta helpers "
+            "after reassembly, or use decode_frames_shared")
     if mesh is None:
         mesh = mesh_mod.make_mesh()
     n_shards = mesh.devices.size
@@ -592,7 +613,7 @@ def write_segmented(
             "<III", t, stream.block_offsets.size, len(core)))
         out.append(core)
         out.append(stream.block_offsets.astype("<u4").tobytes())
-        if mode == 2:
+        if mode in (2, 4):
             out.append(stream.block_init.astype(np.uint8).tobytes())
     out.append(struct.pack("<I", source_crc32 & 0xFFFFFFFF))
     return b"".join(out)
@@ -615,7 +636,7 @@ def read_segmented(data: bytes):
             data, dtype="<u4", count=n_blocks, offset=pos).astype(np.uint32)
         pos += 4 * n_blocks
         block_init = None
-        if mode == 2:
+        if mode in (2, 4):
             block_init = np.frombuffer(
                 data, dtype=np.uint8, count=n_blocks, offset=pos).copy()
             if block_init.size != n_blocks:
@@ -624,7 +645,8 @@ def read_segmented(data: bytes):
             pos += n_blocks
         segments.append((
             container.EncodedStream(
-                num_symbols, widths, code_bytes, offsets, block_init),
+                num_symbols, widths, code_bytes, offsets, block_init,
+                predictor="2d" if mode in (3, 4) else "left"),
             t,
         ))
     if sum(t for _, t in segments) != total:
@@ -655,7 +677,10 @@ def decode_frames_segmented(
         outs = []
         for stream, t in segments:
             blk = native.decode_blocks(
-                stream, delta=cfg.delta, block_size=cfg.block_size)
+                stream, delta=cfg.delta and not cfg.delta2d,
+                block_size=cfg.block_size)
+            if cfg.delta2d:
+                blk = delta_mod.delta2d_decode_blocks(blk, cfg.block_dim)
             if stream.block_init is not None:
                 blk = delta_mod.apply_block_init(blk, stream.block_init)
             bh, bw = blocks.block_grid(height, width, cfg.block_dim)
@@ -717,8 +742,10 @@ class StreamingDecoder:
         """Enqueue staging + decode; returns an opaque handle (non-blocking)."""
         prep = prepare_shared(stream, num_frames, height, width, self.config)
         # raw strips skip the device byte relayout, but cannot carry the
-        # zero-init root fold — zero-init batches use the image path
-        raw_mode = bool(prep.h2) and prep.init_grid is None
+        # zero-init root fold or the delta2d reconstruction — those batches
+        # use the image path
+        raw_mode = (bool(prep.h2) and prep.init_grid is None
+                    and not self.config.delta2d)
         out = decode_shared_step(prep, self.config, raw=raw_mode)
         return (prep, out, raw_mode)
 
@@ -747,6 +774,28 @@ def frames_from_raw(raw, num_frames: int, height: int, width: int,
     if rows_pf == height and wp == width:
         return frames
     return frames[:, :height, :width]
+
+
+@partial(jax.jit, static_argnames=("block_dim",))
+def _delta2d_frames_jit(frames, *, block_dim):
+    """Invert the 2-D within-block predictor on (T, H, W) residual frames.
+
+    Per block: row 0 is a running sum along the row, then every pixel a
+    running sum down its column, both mod 256 (the fused-XLA mirror of
+    ``core.delta.delta2d_decode_blocks``). Runs BEFORE the zero-init fold —
+    the root byte propagates additively through both cumsums, so adding it
+    afterwards to the whole block is still exact. Edge blocks crop safely:
+    padding only sits below/right and the sums never flow up or left.
+    """
+    t, h, w = frames.shape
+    bh, bw = -(-h // block_dim), -(-w // block_dim)
+    p = jnp.pad(frames.astype(jnp.int32),
+                ((0, 0), (0, bh * block_dim - h), (0, bw * block_dim - w)))
+    sq = p.reshape(t, bh, block_dim, bw, block_dim)
+    row0 = jnp.cumsum(sq[:, :, :1], axis=-1)
+    sq = jnp.cumsum(jnp.concatenate([row0, sq[:, :, 1:]], axis=2), axis=2)
+    return (sq & 0xFF).astype(jnp.uint8).reshape(
+        t, bh * block_dim, bw * block_dim)[:, :h, :w]
 
 
 @partial(jax.jit, static_argnames=("block_dim", "height", "width"))
@@ -994,14 +1043,20 @@ def prepare_batch(
     )
 
 
-@partial(jax.jit, static_argnames=("width", "num_steps", "delta", "height_px", "width_px", "n_blocks", "block_dim"))
+@partial(jax.jit, static_argnames=("width", "num_steps", "delta", "delta2d", "height_px", "width_px", "n_blocks", "block_dim"))
 def _decode_batch_jit(words_b, offsets_b, t1_b, t2_b, *, width, num_steps, delta,
-                      height_px, width_px, n_blocks, block_dim):
+                      height_px, width_px, n_blocks, block_dim, delta2d=False):
     def per_frame(words, offsets, t1, t2):
         rows, bit_init = layout_mod.build_layout_jax(words, offsets, width)
         blk = decode_xla.decode_blocks(
             rows, bit_init, t1, t2, num_steps=num_steps, delta=delta
         )[:n_blocks]
+        if delta2d:
+            sq = blk.reshape(-1, block_dim, block_dim).astype(jnp.int32)
+            row0 = jnp.cumsum(sq[:, :1], axis=-1)
+            sq = jnp.cumsum(
+                jnp.concatenate([row0, sq[:, 1:]], axis=1), axis=1)
+            blk = (sq & 0xFF).astype(jnp.uint8).reshape(-1, num_steps)
         return blocks.blocks_to_image_jax(blk, height_px, width_px, block_dim)
 
     return jax.vmap(per_frame)(words_b, offsets_b, t1_b, t2_b)
@@ -1012,7 +1067,8 @@ def decode_batch(prep: PreparedBatch, config: CodecConfig | None = None):
     cfg = config or CodecConfig()
     out = _decode_batch_jit(
         prep.words_b, prep.offsets_b, prep.t1_b, prep.t2_b,
-        width=prep.words_per_row, num_steps=cfg.block_size, delta=cfg.delta,
+        width=prep.words_per_row, num_steps=cfg.block_size,
+        delta=cfg.delta and not cfg.delta2d, delta2d=cfg.delta2d,
         height_px=prep.height, width_px=prep.width, n_blocks=prep.n_blocks,
         block_dim=cfg.block_dim,
     )
@@ -1037,8 +1093,17 @@ def decode_batch_sharded(prep: PreparedBatch, mesh=None,
     out = shard_decode.decode_frames_sharded(
         prep.words_b, prep.offsets_b, prep.t1_b, prep.t2_b,
         mesh=mesh, width=prep.words_per_row, num_steps=cfg.block_size,
-        delta=cfg.delta,
+        delta=cfg.delta and not cfg.delta2d,
     )
+    if cfg.delta2d:
+        # invert the 2-D predictor on the (T, nb, 64) residual blocks before
+        # the zero-init fold (root bytes propagate additively through both
+        # cumsums, so folding after reconstruction stays exact)
+        bd = cfg.block_dim
+        sq = out.reshape(*out.shape[:2], bd, bd).astype(jnp.int32)
+        row0 = jnp.cumsum(sq[:, :, :1], axis=-1)
+        sq = jnp.cumsum(jnp.concatenate([row0, sq[:, :, 1:]], axis=2), axis=2)
+        out = (sq & 0xFF).astype(jnp.uint8).reshape(out.shape)
     if prep.init_b is not None:
         # fold zero-init roots into the padded block batch (pad blocks get 0)
         pad = out.shape[1] - prep.init_b.shape[1]

@@ -39,6 +39,11 @@ class CodecConfig:
     #: block's root byte ships uncoded in a side array and its stream slot
     #: becomes a zero delta (requires delta=True)
     zero_init: bool = False
+    #: beyond-reference 2-D within-block predictor (row 0 delta-left,
+    #: rows 1.. delta-up; ``core.delta.delta2d_encode_blocks``): ~3 entropy
+    #: points smaller than the raster delta on photographic content, still
+    #: block-parallel. Requires delta=True; composes with zero_init.
+    delta2d: bool = False
     table1_bits: int = 8  # HUFF_TABLE1_NUM_BITS (:120)
     table2_bits: int = 8  # HUFF_TABLE2_NUM_BITS (:121)
     backend: str = "pallas"  # 'pallas' (TPU kernel) | 'xla' | 'native' (host C++)
@@ -81,21 +86,30 @@ class ImageCodec:
         cfg = self.config
         blk = blocks.image_to_blocks(img, cfg.block_dim).ravel()
         if not cfg.delta:
-            if cfg.zero_init:
-                raise ValueError("zero_init requires delta precoding")
+            if cfg.zero_init or cfg.delta2d:
+                raise ValueError("zero_init/delta2d require delta precoding")
             return native.encode_symbols(blk, block_size=cfg.block_size)
-        payload = native.delta_encode(blk, cfg.block_size)
-        if not cfg.zero_init:
-            return native.encode_symbols(payload, block_size=cfg.block_size)
         from ..core import delta as delta_mod
 
+        predictor = "left"
+        if cfg.delta2d:
+            predictor = "2d"
+            payload = delta_mod.delta2d_encode_blocks(
+                blk.reshape(-1, cfg.block_size), cfg.block_dim).ravel()
+        else:
+            payload = native.delta_encode(blk, cfg.block_size)
+        if not cfg.zero_init:
+            stream = native.encode_symbols(payload, block_size=cfg.block_size)
+            return container.EncodedStream(
+                stream.num_symbols, stream.widths, stream.code_bytes,
+                stream.block_offsets, predictor=predictor)
         init, zeroed = delta_mod.split_zero_init(
             payload.reshape(-1, cfg.block_size))
         stream = native.encode_symbols(
             zeroed.reshape(-1), block_size=cfg.block_size)
         return container.EncodedStream(
             stream.num_symbols, stream.widths, stream.code_bytes,
-            stream.block_offsets, block_init=init)
+            stream.block_offsets, block_init=init, predictor=predictor)
 
     def encode_best(self, img: np.ndarray):
         """Encode with and without delta precoding, keep the smaller stream.
@@ -107,15 +121,25 @@ class ImageCodec:
         config matches ``delta_used`` for decoding, or rely on the container
         flag.
         """
-        blk = blocks.image_to_blocks(img, self.config.block_dim).ravel()
-        plain = native.encode_symbols(blk, block_size=self.config.block_size)
+        from dataclasses import replace as dc_replace
+
+        from ..core import delta as delta_mod
+
+        cfg = self.config
+        blk = blocks.image_to_blocks(img, cfg.block_dim).ravel()
+        plain = native.encode_symbols(blk, block_size=cfg.block_size)
         deltas = native.encode_symbols(
-            native.delta_encode(blk, self.config.block_size),
-            block_size=self.config.block_size,
+            native.delta_encode(blk, cfg.block_size),
+            block_size=cfg.block_size,
         )
-        if deltas.compressed_size < plain.compressed_size:
-            return deltas, True
-        return plain, False
+        d2 = dc_replace(
+            native.encode_symbols(
+                delta_mod.delta2d_encode_blocks(
+                    blk.reshape(-1, cfg.block_size), cfg.block_dim).ravel(),
+                block_size=cfg.block_size),
+            predictor="2d")
+        best = min((plain, deltas, d2), key=lambda s: s.compressed_size)
+        return best, best is not plain
 
     def encode_to_bytes(self, img: np.ndarray) -> bytes:
         """Image -> on-disk MHT1 container (records a source CRC-32)."""
@@ -192,12 +216,17 @@ class ImageCodec:
         cfg = self.config
         init = prep.stream.block_init
         if cfg.backend == "native":
-            blk = native.decode_blocks(
-                prep.stream, delta=cfg.delta, block_size=cfg.block_size
-            )
-            if init is not None:
-                from ..core import delta as delta_mod
+            from ..core import delta as delta_mod
 
+            # delta2d: the serial decoders emit raw residuals (delta=False)
+            # and the 2-D reconstruction runs as a vectorized post-pass
+            blk = native.decode_blocks(
+                prep.stream, delta=cfg.delta and not cfg.delta2d,
+                block_size=cfg.block_size
+            )
+            if cfg.delta2d:
+                blk = delta_mod.delta2d_decode_blocks(blk, cfg.block_dim)
+            if init is not None:
                 blk = delta_mod.apply_block_init(blk, init)
             return blocks.blocks_to_image(
                 blk, prep.height, prep.width, cfg.block_dim
@@ -213,7 +242,8 @@ class ImageCodec:
             width=prep.width,
             n_blocks=prep.n_blocks,
             block_dim=cfg.block_dim,
-            delta=cfg.delta,
+            delta=cfg.delta and not cfg.delta2d,
+            delta2d=cfg.delta2d,
             interpret=cfg.interpret,
             static_meta=prep.static_meta,
             words_per_row=prep.words_per_row,
@@ -239,9 +269,13 @@ class ImageCodec:
             stream, height, width, block_dim, use_delta, crc = container.read_frame(
                 bytes(data)
             )
-            if block_dim != self.config.block_dim or use_delta != self.config.delta:
+            use_2d = stream.predictor == "2d"
+            if (block_dim != self.config.block_dim
+                    or use_delta != self.config.delta
+                    or use_2d != self.config.delta2d):
                 codec = ImageCodec(replace(
-                    self.config, block_dim=block_dim, delta=use_delta))
+                    self.config, block_dim=block_dim, delta=use_delta,
+                    delta2d=use_2d))
         else:
             stream = data
             if height is None or width is None:
@@ -301,11 +335,13 @@ class ImageCodec:
         )
         blk = np.asarray(decode_xla.decode_blocks(
             rows, bit_init, jnp.asarray(t1), jnp.asarray(t2),
-            num_steps=cfg.block_size, delta=cfg.delta,
+            num_steps=cfg.block_size, delta=cfg.delta and not cfg.delta2d,
         ))
-        if stream.block_init is not None:
-            from ..core import delta as delta_mod
+        from ..core import delta as delta_mod
 
+        if cfg.delta2d:
+            blk = delta_mod.delta2d_decode_blocks(blk, cfg.block_dim)
+        if stream.block_init is not None:
             blk = delta_mod.apply_block_init(blk, stream.block_init[sel])
         region = blocks.blocks_to_image(
             blk, (by1 - by0) * bd, (bx1 - bx0) * bd, bd
@@ -335,16 +371,36 @@ def _apply_init_image_jit(img, init, *, block_dim, height, width):
             ).astype(jnp.uint8)
 
 
+def _delta2d_reconstruct_image(img, block_dim):
+    """Invert the 2-D predictor on a decoded residual image (mod-256 sums).
+
+    Per block: row 0 is a running sum along the row, then every pixel a
+    running sum down its column (core.delta.delta2d_decode_blocks, as fused
+    XLA cumsums). Edge blocks crop safely — padding only sits below/right of
+    real pixels and sums never flow up or left.
+    """
+    h, w = img.shape
+    bh, bw = -(-h // block_dim), -(-w // block_dim)
+    p = jnp.pad(img.astype(jnp.int32),
+                ((0, bh * block_dim - h), (0, bw * block_dim - w)))
+    sq = p.reshape(bh, block_dim, bw, block_dim)
+    row0 = jnp.cumsum(sq[:, :1], axis=-1)
+    sq = jnp.concatenate([row0, sq[:, 1:]], axis=1)
+    sq = jnp.cumsum(sq, axis=1)
+    return (sq & 0xFF).astype(jnp.uint8).reshape(
+        bh * block_dim, bw * block_dim)[:h, :w]
+
+
 @partial(
     jax.jit,
     static_argnames=(
         "backend", "height", "width", "n_blocks", "block_dim", "delta",
-        "interpret", "static_meta", "words_per_row",
+        "delta2d", "interpret", "static_meta", "words_per_row",
     ),
 )
 def _decode_step_jit(
     device_args, *, backend, height, width, n_blocks, block_dim, delta,
-    interpret, static_meta=(), words_per_row=0
+    interpret, static_meta=(), words_per_row=0, delta2d=False
 ):
     block_size = block_dim * block_dim
     if backend == "pallas":
@@ -357,9 +413,12 @@ def _decode_step_jit(
                 h2=plan.h2, delta=delta, interpret=interpret,
                 group_tiles=plan.group_tiles,
             )
-            return decode_pallas.images_from_strips_padded(
+            img = decode_pallas.images_from_strips_padded(
                 strips, 1, height, width, plan.w_pad, plan.bh
             ).reshape(height, width)
+            if delta2d:
+                img = _delta2d_reconstruct_image(img, block_dim)
+            return img
         out = decode_pallas.decode_tiles(
             rows, init, pair_table,
             width=words_per_row, bounds=bounds, adj_inc=adj_inc,
@@ -371,4 +430,9 @@ def _decode_step_jit(
         blk = decode_xla.decode_blocks(
             rows, bit_init, t1, t2, num_steps=block_size, delta=delta
         )[:n_blocks]
+    if delta2d:
+        sq = blk.reshape(-1, block_dim, block_dim).astype(jnp.int32)
+        row0 = jnp.cumsum(sq[:, :1], axis=-1)
+        sq = jnp.cumsum(jnp.concatenate([row0, sq[:, 1:]], axis=1), axis=1)
+        blk = (sq & 0xFF).astype(jnp.uint8).reshape(-1, block_size)
     return blocks.blocks_to_image_jax(blk, height, width, block_dim)
