@@ -70,12 +70,13 @@ def photo_frames(height: int, width: int, frames: int) -> np.ndarray:
 
 
 def run_video(height: int, width: int, frames: int, iters: int, verbose: bool,
-              content: str = "synthetic", variants: int = 4):
+              content: str = "synthetic", variants: int = 4,
+              precoder: str = "delta"):
     import jax
 
     from metalhuffman_tpu.models import CodecConfig, frame_stream
 
-    cfg = CodecConfig(backend="pallas")
+    cfg = CodecConfig(backend="pallas", delta2d=precoder == "delta2d")
     if content == "photo":
         base = photo_frames(height, width, frames)
     else:
@@ -99,7 +100,8 @@ def run_video(height: int, width: int, frames: int, iters: int, verbose: bool,
     p0 = preps[0]
     h2 = p0.h2
     if h2:
-        # production path: kernel emits image layout; bytes are a free host view
+        # production path: kernel emits image layout (delta2d reconstructs
+        # in kernel registers); bytes are a free host view
         decodes = [
             (lambda p=p: frame_stream.decode_shared_step(p, cfg, raw=True))
             for p in preps]
@@ -157,7 +159,7 @@ def run_video(height: int, width: int, frames: int, iters: int, verbose: bool,
         print(
             f"device={jax.devices()[0].device_kind} frames={frames} "
             f"frame={height}x{width} iters={iters} content={content} "
-            f"variants={variants}\n"
+            f"variants={variants} precoder={precoder}\n"
             f"encode(host)={t_enc:.2f} s for {variants}x{base.size/1e6:.0f} MB  "
             f"compressed={streams[0].compressed_size} B ({ratio:.1%})\n"
             f"decode={per_frame:.3f} ms/frame  varied={gbps:.2f} GB/s  "
@@ -346,6 +348,11 @@ def main():
     ap.add_argument("--variants", type=int, default=4,
                     help="distinct staged input batches round-robined in the "
                          "timed loop (elision control; PERF.md)")
+    ap.add_argument("--precoder", default="delta",
+                    choices=["delta", "delta2d"],
+                    help="delta2d = 2-D within-block predictor (mode 3): "
+                         "smaller streams, decode pays the on-device "
+                         "reconstruction post-pass")
     ap.add_argument("--backend", default="pallas", choices=["pallas", "xla"])
     ap.add_argument("-v", "--verbose", action="store_true")
     ap.add_argument("--trace", default=None, metavar="DIR",
@@ -361,7 +368,7 @@ def main():
     if args.mode == "video":
         gbps = run_video(args.height, args.width, args.frames, args.iters,
                          args.verbose, content=args.content,
-                         variants=args.variants)
+                         variants=args.variants, precoder=args.precoder)
     elif args.mode == "encode":
         gbps = run_encode(args.height, args.width, args.frames, args.iters,
                           args.verbose, content=args.content)

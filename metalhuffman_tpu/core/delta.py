@@ -62,6 +62,59 @@ def delta2d_decode_blocks(res: np.ndarray, block_dim: int) -> np.ndarray:
     return sq.reshape(r.shape)
 
 
+def _group_prefix_jax(x, axis: int, group: int):
+    """Within-group prefix sums along ``axis`` (group boundaries at multiples
+    of ``group``), as log2(group) masked shifted adds.
+
+    uint8 adds wrap mod 256 natively. Shifts whose source crosses a group
+    boundary are masked to zero, so truncated edge groups need no padding
+    (a roll's wrap-around only reaches positions the mask kills). This
+    lowering is all elementwise — XLA fuses it; ``jnp.cumsum`` on a minor
+    dim of 8 lowers to relayout-heavy scans that cost more than the decode
+    kernel itself (measured 34.9 -> 3.1 GB/s end-to-end — PERF.md).
+    """
+    import jax.numpy as jnp
+
+    n = x.shape[axis]
+    pos = jnp.arange(n) % group
+    shape = [1] * x.ndim
+    shape[axis] = n
+    s = 1
+    while s < group:
+        shifted = jnp.roll(x, s, axis)
+        keep = (pos >= s).reshape(shape)
+        x = x + jnp.where(keep, shifted, jnp.zeros_like(x))
+        s *= 2
+    return x
+
+
+def delta2d_decode_frames_jax(frames, block_dim: int):
+    """JAX inverse of the 2-D predictor on (..., H, W) residual frames.
+
+    Row 0 of each block gets a prefix along W within the block (computed
+    everywhere, selected onto block-row-0 rows); then every pixel a prefix
+    down its column within the block. All mod 256 in uint8.
+    """
+    import jax.numpy as jnp
+
+    x = frames.astype(jnp.uint8)
+    h = x.shape[-2]
+    rowsel = [1] * x.ndim
+    rowsel[-2] = h
+    is_row0 = ((jnp.arange(h) % block_dim) == 0).reshape(rowsel)
+    x = jnp.where(is_row0, _group_prefix_jax(x, x.ndim - 1, block_dim), x)
+    return _group_prefix_jax(x, x.ndim - 2, block_dim)
+
+
+def delta2d_decode_blocks_jax(blk, block_dim: int):
+    """JAX inverse of the 2-D predictor on (..., block_dim**2) blocks."""
+    import jax.numpy as jnp
+
+    sq = blk.reshape(*blk.shape[:-1], block_dim, block_dim)
+    return delta2d_decode_frames_jax(sq, block_dim).reshape(
+        blk.shape).astype(jnp.uint8)
+
+
 def split_zero_init(deltas: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """Zero-init-delta transform: (..., block_len) deltas -> (init, zeroed).
 

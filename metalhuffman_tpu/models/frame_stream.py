@@ -318,15 +318,15 @@ def decode_shared_step(prep: PreparedShared, config: CodecConfig | None = None,
     # the Pallas kernel only compiles on TPU; interpret it elsewhere
     if not cfg.interpret and jax.default_backend() in ("cpu", "gpu"):
         cfg = CodecConfig(**{**cfg.__dict__, "interpret": True})
-    # delta2d: the kernel emits raw residuals (delta=False in-chain) and a
-    # fused post-pass inverts the 2-D predictor per block (cumsums)
+    # delta2d: the kernel decodes raw residuals (delta=False in-chain) and
+    # reconstructs the 2-D predictor in registers at emission (_delta2d_row)
     kdelta = cfg.delta and not cfg.delta2d
     if prep.h2:
         if raw:
-            if prep.init_grid is not None or cfg.delta2d:
+            if prep.init_grid is not None:
                 raise ValueError(
-                    "raw strips cannot carry the zero-init/delta2d "
-                    "reconstruction; decode such streams with raw=False")
+                    "raw strips cannot carry the zero-init root fold; "
+                    "decode zero-init streams with raw=False")
             # production path: the kernel output IS the image; return the
             # strips untouched and view bytes on the host for free
             # (frames_from_raw). No post-kernel device op at all.
@@ -334,7 +334,7 @@ def decode_shared_step(prep: PreparedShared, config: CodecConfig | None = None,
                 prep.rows, prep.init, prep.pair,
                 bounds=prep.bounds, adj_inc=prep.adj_inc, wpr=prep.wpr,
                 h2=prep.h2, delta=kdelta, interpret=cfg.interpret,
-                group_tiles=prep.group_tiles,
+                group_tiles=prep.group_tiles, delta2d=cfg.delta2d,
             )
         out = _decode_shared_image_jit(
             prep.rows, prep.init, prep.pair,
@@ -342,6 +342,7 @@ def decode_shared_step(prep: PreparedShared, config: CodecConfig | None = None,
             num_frames=prep.num_frames, height=prep.height, width=prep.width,
             h2=prep.h2, delta=kdelta, interpret=cfg.interpret,
             w_pad=prep.w_pad, bh=prep.bh, group_tiles=prep.group_tiles,
+            d2_bd=cfg.block_dim if cfg.delta2d else 0,
         )
     else:
         out = _decode_shared_jit(
@@ -349,10 +350,8 @@ def decode_shared_step(prep: PreparedShared, config: CodecConfig | None = None,
             bounds=prep.bounds, adj_inc=prep.adj_inc, wpr=prep.wpr,
             num_frames=prep.num_frames, height=prep.height, width=prep.width,
             block_dim=cfg.block_dim, delta=kdelta, interpret=cfg.interpret,
-            nb_total=prep.nb_total,
+            nb_total=prep.nb_total, delta2d=cfg.delta2d,
         )
-    if cfg.delta2d:
-        out = _delta2d_frames_jit(out, block_dim=cfg.block_dim)
     if prep.init_grid is not None:
         out = _apply_init_frames_jit(
             out, prep.init_grid, block_dim=cfg.block_dim,
@@ -382,15 +381,16 @@ def decode_shared_step_checked(prep: PreparedShared,
     kdelta = cfg.delta and not cfg.delta2d
     if prep.h2:
         if raw:
-            if prep.init_grid is not None or cfg.delta2d:
+            if prep.init_grid is not None:
                 raise ValueError(
-                    "raw strips cannot carry the zero-init/delta2d "
-                    "reconstruction; decode such streams with raw=False")
+                    "raw strips cannot carry the zero-init root fold; "
+                    "decode zero-init streams with raw=False")
             result, end = _decode_shared_strips_jit(
                 prep.rows, prep.init, prep.pair,
                 bounds=prep.bounds, adj_inc=prep.adj_inc, wpr=prep.wpr,
                 h2=prep.h2, delta=kdelta, interpret=cfg.interpret,
                 group_tiles=prep.group_tiles, emit_end=True,
+                delta2d=cfg.delta2d,
             )
         else:
             result, end = _decode_shared_image_jit(
@@ -400,6 +400,7 @@ def decode_shared_step_checked(prep: PreparedShared,
                 width=prep.width, h2=prep.h2, delta=kdelta,
                 interpret=cfg.interpret, w_pad=prep.w_pad, bh=prep.bh,
                 group_tiles=prep.group_tiles, emit_end=True,
+                d2_bd=cfg.block_dim if cfg.delta2d else 0,
             )
     else:
         result, end = _decode_shared_jit(
@@ -407,10 +408,8 @@ def decode_shared_step_checked(prep: PreparedShared,
             bounds=prep.bounds, adj_inc=prep.adj_inc, wpr=prep.wpr,
             num_frames=prep.num_frames, height=prep.height, width=prep.width,
             block_dim=cfg.block_dim, delta=kdelta, interpret=cfg.interpret,
-            nb_total=prep.nb_total, emit_end=True,
+            nb_total=prep.nb_total, emit_end=True, delta2d=cfg.delta2d,
         )
-    if cfg.delta2d and not raw:
-        result = _delta2d_frames_jit(result, block_dim=cfg.block_dim)
     err_lane = decode_pallas.check_block_ends(end, prep.end_targets)
     if prep.h2:
         bw = -(-prep.width // 8)
@@ -742,10 +741,9 @@ class StreamingDecoder:
         """Enqueue staging + decode; returns an opaque handle (non-blocking)."""
         prep = prepare_shared(stream, num_frames, height, width, self.config)
         # raw strips skip the device byte relayout, but cannot carry the
-        # zero-init root fold or the delta2d reconstruction — those batches
-        # use the image path
-        raw_mode = (bool(prep.h2) and prep.init_grid is None
-                    and not self.config.delta2d)
+        # zero-init root fold — zero-init batches use the image path
+        # (delta2d reconstructs in-kernel, so raw works for it)
+        raw_mode = bool(prep.h2) and prep.init_grid is None
         out = decode_shared_step(prep, self.config, raw=raw_mode)
         return (prep, out, raw_mode)
 
@@ -776,28 +774,6 @@ def frames_from_raw(raw, num_frames: int, height: int, width: int,
     return frames[:, :height, :width]
 
 
-@partial(jax.jit, static_argnames=("block_dim",))
-def _delta2d_frames_jit(frames, *, block_dim):
-    """Invert the 2-D within-block predictor on (T, H, W) residual frames.
-
-    Per block: row 0 is a running sum along the row, then every pixel a
-    running sum down its column, both mod 256 (the fused-XLA mirror of
-    ``core.delta.delta2d_decode_blocks``). Runs BEFORE the zero-init fold —
-    the root byte propagates additively through both cumsums, so adding it
-    afterwards to the whole block is still exact. Edge blocks crop safely:
-    padding only sits below/right and the sums never flow up or left.
-    """
-    t, h, w = frames.shape
-    bh, bw = -(-h // block_dim), -(-w // block_dim)
-    p = jnp.pad(frames.astype(jnp.int32),
-                ((0, 0), (0, bh * block_dim - h), (0, bw * block_dim - w)))
-    sq = p.reshape(t, bh, block_dim, bw, block_dim)
-    row0 = jnp.cumsum(sq[:, :, :1], axis=-1)
-    sq = jnp.cumsum(jnp.concatenate([row0, sq[:, :, 1:]], axis=2), axis=2)
-    return (sq & 0xFF).astype(jnp.uint8).reshape(
-        t, bh * block_dim, bw * block_dim)[:, :h, :w]
-
-
 @partial(jax.jit, static_argnames=("block_dim", "height", "width"))
 def _apply_init_frames_jit(frames, init_grid, *, block_dim, height, width):
     """Fold zero-init root bytes into decoded frames (mod-256 add).
@@ -818,31 +794,32 @@ def _apply_init_frames_jit(frames, init_grid, *, block_dim, height, width):
 
 @partial(jax.jit, static_argnames=(
     "bounds", "adj_inc", "wpr", "h2", "delta", "interpret", "group_tiles",
-    "emit_end"))
+    "emit_end", "delta2d"))
 def _decode_shared_strips_jit(rows, init, pair, *, bounds, adj_inc, wpr, h2,
                               delta, interpret, group_tiles=8,
-                              emit_end=False):
+                              emit_end=False, delta2d=False):
     from ..ops import decode_pallas
 
     return decode_pallas.decode_tiles_images(
         rows, init, pair, width=wpr, bounds=bounds, adj_inc=adj_inc, h2=h2,
         delta=delta, interpret=interpret, group_tiles=group_tiles,
-        emit_end_bits=emit_end,
+        emit_end_bits=emit_end, delta2d=delta2d,
     )
 
 
 @partial(jax.jit, static_argnames=(
     "bounds", "adj_inc", "wpr", "num_frames", "height", "width", "h2",
-    "delta", "interpret", "w_pad", "bh", "group_tiles", "emit_end"))
+    "delta", "interpret", "w_pad", "bh", "group_tiles", "emit_end", "d2_bd"))
 def _decode_shared_image_jit(rows, init, pair, *, bounds, adj_inc, wpr,
                              num_frames, height, width, h2, delta, interpret,
-                             w_pad=0, bh=0, group_tiles=8, emit_end=False):
+                             w_pad=0, bh=0, group_tiles=8, emit_end=False,
+                             d2_bd=0):
     from ..ops import decode_pallas
 
     strips = decode_pallas.decode_tiles_images(
         rows, init, pair, width=wpr, bounds=bounds, adj_inc=adj_inc, h2=h2,
         delta=delta, interpret=interpret, group_tiles=group_tiles,
-        emit_end_bits=emit_end,
+        emit_end_bits=emit_end, delta2d=bool(d2_bd),
     )
     end = None
     if emit_end:
@@ -875,17 +852,18 @@ def decode_frames_shared(
 
 @partial(jax.jit, static_argnames=(
     "bounds", "adj_inc", "wpr", "num_frames", "height", "width", "block_dim",
-    "delta", "interpret", "nb_total", "emit_end"))
+    "delta", "interpret", "nb_total", "emit_end", "delta2d"))
 def _decode_shared_jit(rows, init, pair, *, bounds, adj_inc, wpr, num_frames,
                        height, width, block_dim, delta, interpret, nb_total,
-                       emit_end=False):
+                       emit_end=False, delta2d=False):
     from ..ops import decode_pallas
 
     block_size = block_dim * block_dim
+    in_kernel_d2 = delta2d and block_dim == 8
     out = decode_pallas.decode_tiles(
         rows, init, pair, width=wpr, bounds=bounds, adj_inc=adj_inc,
         num_steps=block_size, delta=delta, interpret=interpret,
-        emit_end_bits=emit_end,
+        emit_end_bits=emit_end, delta2d=in_kernel_d2,
     )
     end = None
     if emit_end:
@@ -902,6 +880,10 @@ def _decode_shared_jit(rows, init, pair, *, bounds, adj_inc, wpr, num_frames,
         img = jax.vmap(
             lambda b: blocks.blocks_to_image_jax(b, height, width, block_dim)
         )(blk)
+    if delta2d and not in_kernel_d2:
+        # non-8x8 blocks: the in-register reconstruction is 8x8-specific;
+        # fall back to the fused-XLA prefix (masked shifted adds)
+        img = delta_mod.delta2d_decode_frames_jax(img, block_dim)
     return (img, end) if emit_end else img
 
 
@@ -1052,11 +1034,7 @@ def _decode_batch_jit(words_b, offsets_b, t1_b, t2_b, *, width, num_steps, delta
             rows, bit_init, t1, t2, num_steps=num_steps, delta=delta
         )[:n_blocks]
         if delta2d:
-            sq = blk.reshape(-1, block_dim, block_dim).astype(jnp.int32)
-            row0 = jnp.cumsum(sq[:, :1], axis=-1)
-            sq = jnp.cumsum(
-                jnp.concatenate([row0, sq[:, 1:]], axis=1), axis=1)
-            blk = (sq & 0xFF).astype(jnp.uint8).reshape(-1, num_steps)
+            blk = delta_mod.delta2d_decode_blocks_jax(blk, block_dim)
         return blocks.blocks_to_image_jax(blk, height_px, width_px, block_dim)
 
     return jax.vmap(per_frame)(words_b, offsets_b, t1_b, t2_b)
@@ -1098,12 +1076,8 @@ def decode_batch_sharded(prep: PreparedBatch, mesh=None,
     if cfg.delta2d:
         # invert the 2-D predictor on the (T, nb, 64) residual blocks before
         # the zero-init fold (root bytes propagate additively through both
-        # cumsums, so folding after reconstruction stays exact)
-        bd = cfg.block_dim
-        sq = out.reshape(*out.shape[:2], bd, bd).astype(jnp.int32)
-        row0 = jnp.cumsum(sq[:, :, :1], axis=-1)
-        sq = jnp.cumsum(jnp.concatenate([row0, sq[:, :, 1:]], axis=2), axis=2)
-        out = (sq & 0xFF).astype(jnp.uint8).reshape(out.shape)
+        # prefix sums, so folding after reconstruction stays exact)
+        out = delta_mod.delta2d_decode_blocks_jax(out, cfg.block_dim)
     if prep.init_b is not None:
         # fold zero-init roots into the padded block batch (pad blocks get 0)
         pad = out.shape[1] - prep.init_b.shape[1]

@@ -371,26 +371,6 @@ def _apply_init_image_jit(img, init, *, block_dim, height, width):
             ).astype(jnp.uint8)
 
 
-def _delta2d_reconstruct_image(img, block_dim):
-    """Invert the 2-D predictor on a decoded residual image (mod-256 sums).
-
-    Per block: row 0 is a running sum along the row, then every pixel a
-    running sum down its column (core.delta.delta2d_decode_blocks, as fused
-    XLA cumsums). Edge blocks crop safely — padding only sits below/right of
-    real pixels and sums never flow up or left.
-    """
-    h, w = img.shape
-    bh, bw = -(-h // block_dim), -(-w // block_dim)
-    p = jnp.pad(img.astype(jnp.int32),
-                ((0, bh * block_dim - h), (0, bw * block_dim - w)))
-    sq = p.reshape(bh, block_dim, bw, block_dim)
-    row0 = jnp.cumsum(sq[:, :1], axis=-1)
-    sq = jnp.concatenate([row0, sq[:, 1:]], axis=1)
-    sq = jnp.cumsum(sq, axis=1)
-    return (sq & 0xFF).astype(jnp.uint8).reshape(
-        bh * block_dim, bw * block_dim)[:h, :w]
-
-
 @partial(
     jax.jit,
     static_argnames=(
@@ -406,33 +386,34 @@ def _decode_step_jit(
     if backend == "pallas":
         rows, init, pair_table = device_args
         bounds, adj_inc, plan = static_meta
+        # delta2d on 8x8 blocks reconstructs in kernel registers
+        # (decode_pallas._delta2d_row) — no post-pass at all
+        in_kernel_d2 = delta2d and block_dim == 8
         if plan is not None:
             strips = decode_pallas.decode_tiles_images(
                 rows, init, pair_table,
                 width=words_per_row, bounds=bounds, adj_inc=adj_inc,
                 h2=plan.h2, delta=delta, interpret=interpret,
-                group_tiles=plan.group_tiles,
+                group_tiles=plan.group_tiles, delta2d=delta2d,
             )
-            img = decode_pallas.images_from_strips_padded(
+            return decode_pallas.images_from_strips_padded(
                 strips, 1, height, width, plan.w_pad, plan.bh
             ).reshape(height, width)
-            if delta2d:
-                img = _delta2d_reconstruct_image(img, block_dim)
-            return img
         out = decode_pallas.decode_tiles(
             rows, init, pair_table,
             width=words_per_row, bounds=bounds, adj_inc=adj_inc,
             num_steps=block_size, delta=delta, interpret=interpret,
+            delta2d=in_kernel_d2,
         )
         blk = decode_pallas.unpack_to_blocks(out, n_blocks, block_size)
+        delta2d = delta2d and not in_kernel_d2  # 8x8: already reconstructed
     else:
         rows, bit_init, t1, t2 = device_args
         blk = decode_xla.decode_blocks(
             rows, bit_init, t1, t2, num_steps=block_size, delta=delta
         )[:n_blocks]
     if delta2d:
-        sq = blk.reshape(-1, block_dim, block_dim).astype(jnp.int32)
-        row0 = jnp.cumsum(sq[:, :1], axis=-1)
-        sq = jnp.cumsum(jnp.concatenate([row0, sq[:, 1:]], axis=1), axis=1)
-        blk = (sq & 0xFF).astype(jnp.uint8).reshape(-1, block_size)
+        from ..core import delta as delta_mod
+
+        blk = delta_mod.delta2d_decode_blocks_jax(blk, block_dim)
     return blocks.blocks_to_image_jax(blk, height, width, block_dim)

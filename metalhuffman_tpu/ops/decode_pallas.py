@@ -116,8 +116,51 @@ def canonical_meta(widths: np.ndarray) -> CanonicalMeta:
     )
 
 
+_SWAR_LOW7 = 0x7F7F7F7F
+_SWAR_HI = -2139062144  # 0x80808080 as int32
+
+
+def _swar_add(a, b):
+    """Bytewise mod-256 add of packed 4-byte int32 vregs (no carry bleed).
+
+    Low 7 bits of each byte add directly; each byte's 8th bit is the xor of
+    the operands' high bits with the carry out of the low-7 add — the
+    standard carry-isolating SWAR sum.
+    """
+    return (((a & _SWAR_LOW7) + (b & _SWAR_LOW7))
+            ^ ((a ^ b) & _SWAR_HI))
+
+
+def _swar_prefix4(x):
+    """Bytewise prefix sums within each packed int32 (byte k += bytes < k)."""
+    x = _swar_add(x, jax.lax.shift_left(x, 8))
+    return _swar_add(x, jax.lax.shift_left(x, 16))
+
+
+def _delta2d_row(dy, p0, p1, prev0, prev1):
+    """In-register delta2d reconstruction of one 8-pixel block row.
+
+    ``p0``/``p1`` hold the row's raw residuals (pixels 0-3 / 4-7, one byte
+    each, little-endian). Row 0 takes a within-row prefix sum (SWAR prefix
+    per word + the first word's last byte broadcast into the second word);
+    every later row adds the previous reconstructed row bytewise. ~20 SWAR
+    adds per 64-symbol block — off the decode chain's critical path and
+    zero extra HBM traffic, vs ~3x slowdown for the same reconstruction as
+    post-kernel XLA elementwise passes (PERF.md).
+    """
+    if dy == 0:
+        p0 = _swar_prefix4(p0)
+        carry = jax.lax.shift_right_logical(p0, 24) * 0x01010101
+        p1 = _swar_add(_swar_prefix4(p1), carry)
+    else:
+        p0 = _swar_add(p0, prev0)
+        p1 = _swar_add(p1, prev1)
+    return p0, p1
+
+
 def _make_kernel(width: int, bounds, adj_inc, *, sub: int, num_steps: int,
-                 delta: bool, image_h2: int = 0, emit_end: bool = False):
+                 delta: bool, image_h2: int = 0, emit_end: bool = False,
+                 delta2d: bool = False):
     """Build the kernel body specialized for one canonical table.
 
     ``image_h2 > 0`` selects image-strip emission (see decode_tiles_images):
@@ -131,7 +174,14 @@ def _make_kernel(width: int, bounds, adj_inc, *, sub: int, num_steps: int,
     ends exactly at ``init + block_bits``; comparing against the offset
     index detects stream corruption/desync on-device, the TPU analog of
     the reference's decode-verify assert (``AAPLRenderer.m:1849-1876``).
+
+    ``delta2d`` reconstructs the 2-D within-block predictor (mode 3) in
+    registers on the emission side (:func:`_delta2d_row`); requires
+    num_steps == 64 and delta=False (the in-chain accumulate is the 1-D
+    predictor's).
     """
+    if delta2d and (delta or num_steps != 64):
+        raise ValueError("delta2d kernel mode needs delta=False and 8x8 blocks")
     # Prune compares: bound 0 => always true (fold into base); bound >= 2^16
     # => length unused above the max active width (always false).
     base_w = 1
@@ -236,10 +286,19 @@ def _make_kernel(width: int, bounds, adj_inc, *, sub: int, num_steps: int,
             return (bits + t, prev), packed
 
         carry = (init_ref[0], jnp.zeros((sub, LANES), jnp.int32))
+        prev0 = prev1 = jnp.zeros((sub, LANES), jnp.int32)
         if not image_h2:
-            for j in range(n_groups):  # unrolled: static store indices
-                carry, packed = outer(j, carry)
-                out_ref[0, j] = packed
+            if delta2d:
+                for dy in range(n_groups // 2):  # one 8-pixel block row
+                    carry, p0 = outer(2 * dy, carry)
+                    carry, p1 = outer(2 * dy + 1, carry)
+                    prev0, prev1 = _delta2d_row(dy, p0, p1, prev0, prev1)
+                    out_ref[0, 2 * dy] = prev0
+                    out_ref[0, 2 * dy + 1] = prev1
+            else:
+                for j in range(n_groups):  # unrolled: static store indices
+                    carry, packed = outer(j, carry)
+                    out_ref[0, j] = packed
             if emit_end:
                 maybe_end_ref[0][0] = carry[0]
         else:
@@ -247,6 +306,9 @@ def _make_kernel(width: int, bounds, adj_inc, *, sub: int, num_steps: int,
             for dy in range(8):
                 carry, p0 = outer(2 * dy, carry)      # pixels 0..3 of row dy
                 carry, p1 = outer(2 * dy + 1, carry)  # pixels 4..7
+                if delta2d:
+                    p0, p1 = prev0, prev1 = _delta2d_row(
+                        dy, p0, p1, prev0, prev1)
                 # lane interleave: half-row word k <- block k>>1, word k&1
                 lo = jnp.where(
                     parity,
@@ -270,11 +332,12 @@ def _make_kernel(width: int, bounds, adj_inc, *, sub: int, num_steps: int,
 
 @partial(jax.jit, static_argnames=(
     "width", "bounds", "adj_inc", "num_steps", "delta", "group_tiles",
-    "interpret", "emit_end_bits"))
+    "interpret", "emit_end_bits", "delta2d"))
 def decode_tiles(rows_tiled, init_tiled, pair_table, *, width: int, bounds,
                  adj_inc, num_steps: int = 64, delta: bool = True,
                  group_tiles: int = DEFAULT_GROUP_TILES,
-                 interpret: bool = False, emit_end_bits: bool = False):
+                 interpret: bool = False, emit_end_bits: bool = False,
+                 delta2d: bool = False):
     """Run the decode kernel over pre-tiled inputs.
 
     Args:
@@ -316,7 +379,7 @@ def decode_tiles(rows_tiled, init_tiled, pair_table, *, width: int, bounds,
 
     kernel = _make_kernel(
         width, bounds, adj_inc, sub=sub, num_steps=num_steps, delta=delta,
-        emit_end=emit_end_bits)
+        emit_end=emit_end_bits, delta2d=delta2d)
     out_specs = pl.BlockSpec((1, n_groups, sub, LANES),
                              lambda i: (i, 0, 0, 0),
                              memory_space=pltpu.VMEM)
@@ -349,11 +412,12 @@ def decode_tiles(rows_tiled, init_tiled, pair_table, *, width: int, bounds,
 
 @partial(jax.jit, static_argnames=(
     "width", "bounds", "adj_inc", "h2", "delta", "group_tiles", "interpret",
-    "emit_end_bits"))
+    "emit_end_bits", "delta2d"))
 def decode_tiles_images(rows_tiled, init_tiled, pair_table, *, width: int,
                         bounds, adj_inc, h2: int, delta: bool = True,
                         group_tiles: int = DEFAULT_GROUP_TILES,
-                        interpret: bool = False, emit_end_bits: bool = False):
+                        interpret: bool = False, emit_end_bits: bool = False,
+                        delta2d: bool = False):
     """Decode straight into image layout (8x8 blocks, W = h2*1024 pixels).
 
     Requires inputs staged by :func:`tile_layout_images` (h-major feed
@@ -383,7 +447,7 @@ def decode_tiles_images(rows_tiled, init_tiled, pair_table, *, width: int,
 
     kernel = _make_kernel(
         width, bounds, adj_inc, sub=sub, num_steps=64, delta=delta,
-        image_h2=h2, emit_end=emit_end_bits)
+        image_h2=h2, emit_end=emit_end_bits, delta2d=delta2d)
     out_specs = pl.BlockSpec((1, rows_pp, 8, h2 * 2 * LANES),
                              lambda i: (i, 0, 0, 0),
                              memory_space=pltpu.VMEM)

@@ -112,15 +112,20 @@ def test_shared_pallas_checked_decode():
     np.testing.assert_array_equal(np.asarray(out), frames)
 
 
-def test_raw_strips_refuse_delta2d():
-    frames = np.stack([_img(2048 // 8 * 8, 2048, seed=30)])
+def test_raw_strips_carry_in_kernel_reconstruction():
+    # delta2d reconstructs in kernel registers (decode_pallas._delta2d_row),
+    # so even the zero-post-op raw-strips production path returns final
+    # pixels — unlike zero-init, whose fold stays outside the kernel
+    frames = np.stack([_img(64, 2048, seed=30)])
     cfg = CodecConfig(backend="pallas", interpret=True, delta2d=True)
     stream = frame_stream.encode_frames_shared(frames, cfg)
-    prep = frame_stream.prepare_shared(stream, 1, frames.shape[1], 2048, cfg)
+    prep = frame_stream.prepare_shared(stream, 1, 64, 2048, cfg)
     if not prep.h2:
         pytest.skip("geometry did not take the image-layout path")
-    with pytest.raises(ValueError, match="delta2d"):
-        frame_stream.decode_shared_step(prep, cfg, raw=True)
+    raw = frame_stream.decode_shared_step(prep, cfg, raw=True)
+    out = frame_stream.frames_from_raw(raw, 1, 64, 2048,
+                                       w_pad=prep.w_pad, bh=prep.bh)
+    np.testing.assert_array_equal(out, frames)
 
 
 def test_mhts_per_frame_tables():
