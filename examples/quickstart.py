@@ -45,6 +45,12 @@ def main():
     assert np.array_equal(mht.decode_video(vblob, cfg), frames)
     print(f"MHTV container: {len(vblob)} bytes for {len(frames)} frames")
 
+    # 4b. the delta2d precoder (mode 3): smaller streams at full decode
+    #     speed (the kernel reconstructs the 2-D predictor in registers)
+    best, used = codec.encode_best(img)  # measures none/delta/delta2d
+    print(f"encode_best: predictor={best.predictor!r} "
+          f"{best.compressed_size} bytes (delta was {stream.compressed_size})")
+
     # 5. files via the CLI-equivalent API
     with tempfile.TemporaryDirectory() as d:
         path = os.path.join(d, "frame.mht")

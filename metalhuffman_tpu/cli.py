@@ -342,6 +342,53 @@ def _verify_video_crc(data: bytes, frames) -> bool:
         raise SystemExit(str(e))
 
 
+def _decode_one_frame(data: bytes, cfg, n: int):
+    """Random-access decode of frame ``n`` from any video container.
+
+    Only that frame's blocks are decoded — temporal random access via the
+    per-block offset index (``frame_stream.decode_frame``). Returns
+    (img, h, w).
+    """
+    import dataclasses
+
+    from .models import frame_stream
+
+    def bad(total):
+        raise SystemExit(f"--frame {n} out of range (container has {total})")
+
+    if data[:4] == frame_stream.SHARED_MAGIC:
+        stream, t, h, w, bd, delta = frame_stream.read_shared(data)
+        if not 0 <= n < t:
+            bad(t)
+        cfg = dataclasses.replace(cfg, block_dim=bd, delta=delta,
+                                  delta2d=stream.predictor == "2d")
+        return frame_stream.decode_frame(stream, n, h, w, cfg), h, w
+    if data[:4] == frame_stream.SEGMENTED_MAGIC:
+        segs, t, h, w, bd, delta = frame_stream.read_segmented(data)
+        if not 0 <= n < t:
+            bad(t)
+        cfg = dataclasses.replace(
+            cfg, block_dim=bd, delta=delta,
+            delta2d=bool(segs) and segs[0][0].predictor == "2d")
+        for stream, ft in segs:  # locate the owning segment
+            if n < ft:
+                return frame_stream.decode_frame(stream, n, h, w, cfg), h, w
+            n -= ft
+    if data[:4] == frame_stream.STREAM_MAGIC:
+        streams, h, w, bd, delta = frame_stream.read_stream(data)
+        if not 0 <= n < len(streams):
+            bad(len(streams))
+        cfg = dataclasses.replace(cfg, block_dim=bd, delta=delta,
+                                  delta2d=streams[n].predictor == "2d")
+        img = frame_stream.decode_frame(streams[n], 0, h, w, cfg)
+        crc = frame_stream.read_stream_crcs(data)[n]
+        if crc and zlib.crc32(np.ascontiguousarray(img).tobytes()) != crc:
+            raise SystemExit(
+                f"frame {n} fails its recorded CRC-32 — the stream is corrupt")
+        return img, h, w
+    raise SystemExit("not an MHTV/MHV2/MHTS container")
+
+
 def cmd_decode_video(args) -> int:
     from .utils import imageio
 
@@ -355,6 +402,22 @@ def cmd_decode_video(args) -> int:
         raise SystemExit(
             "--check requires --backend pallas (the on-device integrity "
             "check is emitted by the TPU decode kernel)")
+    if getattr(args, "frame", None) is not None:
+        if check:
+            raise SystemExit(
+                "--check verifies whole streams; drop it for --frame "
+                "random access (or run `verify` on the container)")
+        t0 = time.perf_counter()
+        img, h, w = _decode_one_frame(data, cfg, args.frame)
+        dt = time.perf_counter() - t0
+        out = Path(args.output)
+        if out.suffix == ".npy":
+            np.save(out, img)
+        else:
+            imageio.save_grayscale(np.asarray(img), out)
+        print(f"{args.input}: decoded frame {args.frame} ({h}x{w}) "
+              f"in {dt:.3f} s -> {args.output}")
+        return 0
     t0 = time.perf_counter()
     frames, t, h, w = _decode_video_frames(data, cfg, check)
     # verify any recorded payload CRC — catches length-preserving corruption
@@ -543,6 +606,9 @@ def main(argv=None) -> int:
                    help="on-device stream-integrity check (MHTV/MHV2/MHTS; "
                         "requires --backend pallas): fail if any block does "
                         "not end at its indexed bit position")
+    p.add_argument("--frame", type=int, default=None, metavar="N",
+                   help="decode ONLY frame N (temporal random access via "
+                        "the block offset index; output is one image/.npy)")
     _add_codec_flags(p)
     p.set_defaults(fn=cmd_decode_video)
 

@@ -850,6 +850,58 @@ def decode_frames_shared(
     return decode_shared_step(prep, config)
 
 
+def frame_slice(
+    stream: container.EncodedStream,
+    t0: int,
+    num: int,
+    height: int,
+    width: int,
+    config: CodecConfig | None = None,
+) -> container.EncodedStream:
+    """View of frames [t0, t0+num) of a shared-table stream, zero copy.
+
+    Temporal random access is exactly what the per-block offset index buys
+    (the spatial analog is ``ImageCodec.decode_region``): the view shares
+    ``code_bytes`` and the canonical table and carries only the selected
+    frames' block offsets (+ zero-init roots), so any decode path treats it
+    as an ordinary ``num``-frame stream and never touches the rest.
+    """
+    cfg = config or CodecConfig()
+    bh, bw = blocks.block_grid(height, width, cfg.block_dim)
+    per = bh * bw
+    total = stream.block_offsets.size // per
+    if not (0 <= t0 and t0 + num <= total):
+        raise ValueError(
+            f"frames [{t0}, {t0 + num}) out of range (stream has {total})")
+    sel = slice(t0 * per, (t0 + num) * per)
+    init = None if stream.block_init is None else stream.block_init[sel]
+    return container.EncodedStream(
+        num * per * cfg.block_size, stream.widths, stream.code_bytes,
+        stream.block_offsets[sel], init, predictor=stream.predictor)
+
+
+def decode_frame(
+    stream: container.EncodedStream,
+    t: int,
+    height: int,
+    width: int,
+    config: CodecConfig | None = None,
+) -> np.ndarray:
+    """Decode ONE frame of a shared-table stream -> (H, W) uint8.
+
+    Decodes only that frame's blocks (see :func:`frame_slice`); the work is
+    1/T of the batch. The reference has no random access at all — it always
+    decodes the whole texture (``AAPLRenderer.m:1178-1924``).
+    """
+    cfg = config or CodecConfig()
+    view = frame_slice(stream, t, 1, height, width, cfg)
+    if cfg.backend == "native":
+        return decode_frames_segmented([(view, 1)], height, width, cfg)[0]
+    return np.asarray(
+        decode_frames_shared(view, 1, height, width, cfg)).reshape(
+            height, width)
+
+
 @partial(jax.jit, static_argnames=(
     "bounds", "adj_inc", "wpr", "num_frames", "height", "width", "block_dim",
     "delta", "interpret", "nb_total", "emit_end", "delta2d"))

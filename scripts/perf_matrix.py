@@ -49,6 +49,13 @@ def main():
             )
             rows.append((f"{w}x{h}", content, "Pallas TPU kernel", gbps))
 
+    # delta2d precoder (mode 3): in-register reconstruction — expect parity
+    gbps = bench.run_video(
+        1536, 2048, args.frames, args.iters, verbose=False,
+        content="photo", variants=args.variants, precoder="delta2d",
+    )
+    rows.append(("2048x1536", "photo", "Pallas kernel, delta2d", gbps))
+
     # host C++ decoder on the reference geometry, real-photo content
     cfg = CodecConfig(backend="native")
     frames = bench.photo_frames(1536, 2048, args.frames)

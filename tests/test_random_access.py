@@ -1,0 +1,114 @@
+"""Temporal random access: decode one frame of a video container.
+
+The per-block offset index makes any contiguous block range independently
+decodable; ``frame_stream.frame_slice`` turns frames [t0, t0+n) of a
+shared-table stream into a zero-copy view (shared code_bytes + canonical
+table, sliced offsets/roots) that every decode path treats as an ordinary
+stream. The reference always decodes the whole texture
+(``AAPLRenderer.m:1178-1924``) — this is a beyond-reference capability,
+the temporal analog of ``ImageCodec.decode_region``.
+"""
+
+import numpy as np
+import pytest
+
+from metalhuffman_tpu.models import frame_stream
+from metalhuffman_tpu.models.image_codec import CodecConfig
+
+
+def _frames(t, h, w, seed=0):
+    rng = np.random.default_rng(seed)
+    base = np.cumsum(rng.normal(0, 5, (t, h, w)), axis=2)
+    return (base - base.min()).clip(0, 255).astype(np.uint8)
+
+
+@pytest.mark.parametrize("backend", ["native", "pallas"])
+@pytest.mark.parametrize("mode", ["delta", "zero_init", "delta2d"])
+def test_decode_frame_matches_batch(backend, mode):
+    frames = _frames(4, 24, 40, seed=1)
+    cfg = CodecConfig(backend=backend, interpret=True,
+                      zero_init=mode == "zero_init",
+                      delta2d=mode == "delta2d")
+    stream = frame_stream.encode_frames_shared(frames, cfg)
+    for t in (0, 2, 3):
+        img = frame_stream.decode_frame(stream, t, 24, 40, cfg)
+        np.testing.assert_array_equal(np.asarray(img), frames[t])
+
+
+def test_frame_slice_multi_frame_and_bounds():
+    frames = _frames(5, 16, 24, seed=2)
+    cfg = CodecConfig(backend="native")
+    stream = frame_stream.encode_frames_shared(frames, cfg)
+    view = frame_stream.frame_slice(stream, 1, 3, 16, 24, cfg)
+    out = frame_stream.decode_frames_segmented([(view, 3)], 16, 24, cfg)
+    np.testing.assert_array_equal(out, frames[1:4])
+    with pytest.raises(ValueError, match="out of range"):
+        frame_stream.frame_slice(stream, 3, 3, 16, 24, cfg)
+    with pytest.raises(ValueError, match="out of range"):
+        frame_stream.frame_slice(stream, -1, 1, 16, 24, cfg)
+
+
+def test_cli_frame_mhtv_and_mhv2(tmp_path):
+    from metalhuffman_tpu import cli
+    from metalhuffman_tpu.utils import imageio
+
+    frames = _frames(3, 16, 32, seed=3)
+    src = tmp_path / "f.npy"
+    np.save(src, frames)
+    mhtv = tmp_path / "v.mhtv"
+    assert cli.main(["encode-video", str(src), str(mhtv),
+                     "--backend", "native"]) == 0
+    out = tmp_path / "frame1.png"
+    assert cli.main(["decode-video", str(mhtv), str(out), "--frame", "1",
+                     "--backend", "native"]) == 0
+    np.testing.assert_array_equal(imageio.load_grayscale(out), frames[1])
+
+    # MHV2: frame index resolves across segments
+    cfg = CodecConfig(backend="native")
+    segs = frame_stream.encode_frames_segmented(
+        frames, cfg, max_segment_bits=16 * 32 * 16)
+    assert len(segs) >= 2
+    (tmp_path / "v.mhv2").write_bytes(
+        frame_stream.write_segmented(segs, 16, 32, cfg))
+    out2 = tmp_path / "frame2.npy"
+    assert cli.main(["decode-video", str(tmp_path / "v.mhv2"), str(out2),
+                     "--frame", "2", "--backend", "native"]) == 0
+    np.testing.assert_array_equal(np.load(out2), frames[2])
+
+    with pytest.raises(SystemExit, match="out of range"):
+        cli.main(["decode-video", str(mhtv), str(out), "--frame", "9",
+                  "--backend", "native"])
+    with pytest.raises(SystemExit, match="--check"):
+        cli.main(["decode-video", str(mhtv), str(out), "--frame", "1",
+                  "--check", "--backend", "pallas", "--interpret"])
+
+
+def test_cli_frame_mhts_verifies_record_crc(tmp_path):
+    import zlib
+
+    from metalhuffman_tpu import cli
+
+    frames = _frames(2, 16, 16, seed=4)
+    cfg = CodecConfig(backend="native")
+    streams = frame_stream.encode_frames(frames, cfg)
+    crcs = [zlib.crc32(f.tobytes()) for f in frames]
+    mhts = tmp_path / "v.mhts"
+    mhts.write_bytes(
+        frame_stream.write_stream(streams, 16, 16, cfg, source_crc32s=crcs))
+    out = tmp_path / "f.npy"
+    assert cli.main(["decode-video", str(mhts), str(out), "--frame", "1",
+                     "--backend", "native"]) == 0
+    np.testing.assert_array_equal(np.load(out), frames[1])
+
+    # corrupt frame 1's record -> --frame 1 must fail its CRC
+    bad = frame_stream.write_stream(
+        [streams[0],
+         __import__("dataclasses").replace(
+             streams[1],
+             code_bytes=np.bitwise_xor(streams[1].code_bytes,
+                                       np.uint8(0xFF)))],
+        16, 16, cfg, source_crc32s=crcs)
+    (tmp_path / "bad.mhts").write_bytes(bad)
+    with pytest.raises(SystemExit, match="CRC-32"):
+        cli.main(["decode-video", str(tmp_path / "bad.mhts"), str(out),
+                  "--frame", "1", "--backend", "native"])
