@@ -93,6 +93,28 @@ def test_fuzz_pallas_interpret_roundtrip(seed):
     np.testing.assert_array_equal(out.ravel(), data)
 
 
+@pytest.mark.parametrize("seed", range(4))
+def test_fuzz_delta2d_images_roundtrip(seed):
+    """Random images through the full delta2d pipeline per backend.
+
+    Covers the in-register kernel reconstruction (pallas) and the NumPy
+    post-pass (native) against the same random geometry and statistics."""
+    from metalhuffman_tpu.models import ImageCodec
+    from metalhuffman_tpu.models.image_codec import CodecConfig
+
+    rng = np.random.default_rng(2000 + seed)
+    h = int(rng.integers(9, 120))
+    w = int(rng.integers(9, 200))
+    smooth = np.cumsum(rng.normal(0, 4, (h, w)), axis=1)
+    img = (smooth - smooth.min()).clip(0, 255).astype(np.uint8)
+    for backend in ("native", "pallas"):
+        cfg = CodecConfig(backend=backend, delta2d=True, interpret=True,
+                          zero_init=bool(seed % 2))
+        codec = ImageCodec(cfg)
+        out = np.asarray(codec.decode(codec.encode(img), h, w))
+        np.testing.assert_array_equal(out, img)
+
+
 @pytest.mark.parametrize("seed", range(12))
 def test_fuzz_random_distributions_roundtrip(seed):
     """Random alphabet sizes/skews through encode -> XLA decode, bit-exact."""
