@@ -55,6 +55,10 @@ def trace_block(stream, block_index: int, block_size: int = 64,
 
     ``stream`` is an EncodedStream; returns one SymbolTrace per symbol, the
     debugging view the reference spreads over its golden debug textures.
+    The reported ``value`` honors the stream's full precoder state: the
+    1-D running sum (``delta``), the 2-D predictor when the stream carries
+    ``predictor == "2d"`` (row 0 adds its left neighbor, later rows the
+    value 8 positions back), and any zero-init root byte.
     """
     widths = stream.widths
     sym_plane, w_plane = tables.build_single_table(widths)
@@ -62,6 +66,10 @@ def trace_block(stream, block_index: int, block_size: int = 64,
     bits = int(stream.block_offsets[block_index])
     out: list[SymbolTrace] = []
     prev = 0
+    init = (int(stream.block_init[block_index])
+            if getattr(stream, "block_init", None) is not None else 0)
+    two_d = getattr(stream, "predictor", "left") == "2d"
+    vals: list[int] = []
     buf = stream.code_bytes
     for i in range(block_size):
         window = decode_ref._window16(buf, bits)
@@ -69,7 +77,14 @@ def trace_block(stream, block_index: int, block_size: int = 64,
         w = int(w_plane[window])
         if w == 0:
             raise ValueError(f"invalid code at bit {bits} (corrupt stream)")
-        prev = (prev + sym) & 0xFF if delta else sym
+        if two_d:
+            base = vals[i - 1] if 0 < i < 8 else vals[i - 8] if i >= 8 else 0
+            prev = (sym + base + (init if i == 0 else 0)) & 0xFF
+        elif delta:
+            prev = (prev + sym + (init if i == 0 else 0)) & 0xFF
+        else:
+            prev = sym
+        vals.append(prev)
         out.append(SymbolTrace(
             index=i, bit_offset=bits, width=w,
             pattern=code_bits_as_string(int(codes[sym]), w),

@@ -23,6 +23,32 @@ def test_trace_block_matches_decode():
     assert all(len(t.pattern) == t.width for t in tr)
 
 
+@pytest.mark.parametrize("mode", ["plain", "delta", "zero_init", "delta2d",
+                                  "delta2d_zi"])
+def test_trace_block_values_are_true_pixels(mode):
+    """trace_block honors the full precoder state (1-D/2-D/zero-init):
+    the value column equals the actual decoded pixel for every mode."""
+    from metalhuffman_tpu.models import ImageCodec
+    from metalhuffman_tpu.models.image_codec import CodecConfig
+
+    rng = np.random.default_rng(99)
+    img = np.cumsum(rng.normal(0, 5, (16, 24)), axis=1)
+    img = (img - img.min()).clip(0, 255).astype(np.uint8)
+    cfg = CodecConfig(
+        backend="native",
+        delta=mode != "plain",
+        zero_init=mode in ("zero_init", "delta2d_zi"),
+        delta2d=mode in ("delta2d", "delta2d_zi"),
+    )
+    stream = ImageCodec(cfg).encode(img)
+    bw = 24 // 8
+    for y, x in [(0, 0), (0, 8), (8, 16)]:
+        b = (y // 8) * bw + x // 8
+        tr = debug.trace_block(stream, b, 64, cfg.delta)
+        got = np.array([t.value for t in tr], np.uint8).reshape(8, 8)
+        np.testing.assert_array_equal(got, img[y:y + 8, x:x + 8])
+
+
 def test_dump_table_and_summary():
     rng = np.random.default_rng(1)
     enc = encode_symbols(rng.integers(0, 16, 64 * 4, np.uint8))
