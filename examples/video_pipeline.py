@@ -1,0 +1,69 @@
+"""Video workflow end to end: encode -> stream-decode -> random access -> verify.
+
+    python examples/video_pipeline.py          # on TPU (or CPU via interpret)
+
+Walks the production video surface: shared-table batch encode with the
+delta2d precoder, pipelined streaming decode (staging of batch t+1 overlaps
+decode of t), temporal random access (one frame's blocks only), the
+on-device end-bit integrity check, and the recorded source CRC-32.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+import metalhuffman_tpu as mht
+from metalhuffman_tpu.models import CodecConfig, frame_stream
+from metalhuffman_tpu.utils import fixtures
+
+
+def main():
+    # 1. a short photographic clip (the committed bridge asset, panned)
+    img = fixtures.render_frame("bridge")
+    frames = np.stack([np.roll(img, 16 * t, axis=1) for t in range(6)])
+    t, h, w = frames.shape
+    print(f"clip: {t} frames {h}x{w} ({frames.size/1e6:.1f} MB raw)")
+
+    # 2. encode with the 2-D predictor (5-15% smaller on photos, decoded at
+    #    full speed — the kernel reconstructs it in registers)
+    cfg = CodecConfig(backend="pallas", delta2d=True)  # auto-interprets off-TPU
+    blob = mht.encode_video(frames, cfg)
+    print(f"MHTV: {len(blob)} bytes ({len(blob)/frames.size:.1%} of raw), "
+          f"mode=delta2d, CRC recorded")
+
+    # 3. decode the whole batch (one fused kernel dispatch; decode_video
+    #    verifies the recorded CRC automatically)
+    out = mht.decode_video(blob, cfg)
+    assert np.array_equal(out, frames)
+    print("batch decode: bit-exact, CRC verified")
+
+    # 4. streaming: batches pipeline through the device (t+1 stages while
+    #    t decodes) — the pattern for long clips / MHV2 segments
+    stream, _t, _h, _w, _bd, _delta = frame_stream.read_shared(blob)
+    dec = frame_stream.StreamingDecoder(cfg)
+    handle = dec.submit(stream, t, h, w)
+    assert np.array_equal(dec.result(handle), frames)
+    print("streaming decode: bit-exact")
+
+    # 5. temporal random access: frame 4 alone, 1/T of the work
+    one = frame_stream.decode_frame(stream, 4, h, w, cfg)
+    assert np.array_equal(np.asarray(one), frames[4])
+    print("random-access frame 4: bit-exact")
+
+    # 6. integrity: the kernel emits each block's end-bit position for free;
+    #    a corrupt stream fails here (and the CRC backstops code
+    #    substitutions that preserve block lengths)
+    prep = frame_stream.prepare_shared(stream, t, h, w, cfg, check=True)
+    _, err = frame_stream.decode_shared_step_checked(prep, cfg)
+    assert not err.any()
+    print(f"on-device end-bit check: {err.size} blocks ok")
+    print("video pipeline OK")
+
+
+if __name__ == "__main__":
+    main()

@@ -201,6 +201,27 @@ def cmd_encode_video(args) -> int:
     t, h, w = frames.shape
     cfg = _config(args)
     t0 = time.perf_counter()
+    if getattr(args, "best", False):
+        # measure the precoders on the real payload and keep the smallest
+        # (the video analog of ImageCodec.encode_best; encode is host-cheap)
+        import dataclasses
+
+        candidates = [
+            dataclasses.replace(cfg, delta=False, delta2d=False,
+                                zero_init=False),
+            dataclasses.replace(cfg, delta=True, delta2d=False),
+            dataclasses.replace(cfg, delta=True, delta2d=True),
+        ]
+
+        def total_size(c):
+            return sum(
+                s.compressed_size
+                for s, _ in frame_stream.encode_frames_segmented(frames, c))
+
+        cfg = min(candidates, key=total_size)
+        mode = ("delta2d" if cfg.delta2d else
+                "delta" if cfg.delta else "none")
+        print(f"--best picked precoder: {mode}", file=sys.stderr)
     if args.per_frame_tables:
         streams = frame_stream.encode_frames(frames, cfg)
         blob = frame_stream.write_stream(
@@ -596,6 +617,9 @@ def main(argv=None) -> int:
     p.add_argument("--per-frame-tables", action="store_true",
                    help="MHTS with a canonical table per frame (default: one "
                         "shared table, single fused batch decode)")
+    p.add_argument("--best", action="store_true",
+                   help="measure none/delta/delta2d on the payload and keep "
+                        "the smallest (encode runs once per candidate)")
     _add_codec_flags(p)
     p.set_defaults(fn=cmd_encode_video)
 

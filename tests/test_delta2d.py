@@ -213,6 +213,36 @@ def test_cli_video_delta2d(tmp_path):
     np.testing.assert_array_equal(np.load(out), frames)
 
 
+def test_cli_encode_video_best(tmp_path, capsys):
+    from metalhuffman_tpu import cli
+
+    # real photographic content: delta2d must win (PERF.md predictor study)
+    from PIL import Image
+
+    photo = np.asarray(
+        Image.open("tests/assets/bridge_512x512.png").convert("L"))
+    frames = np.stack([photo[:256, :256], photo[256:, 256:]])
+    src = tmp_path / "f.npy"
+    np.save(src, frames)
+    out = tmp_path / "v.mhtv"
+    assert cli.main(["encode-video", str(src), str(out), "--best",
+                     "--backend", "native"]) == 0
+    assert "--best picked precoder: delta2d" in capsys.readouterr().err
+    stream, *_ = frame_stream.read_shared(out.read_bytes())
+    assert stream.predictor == "2d"
+    np.testing.assert_array_equal(
+        mht.decode_video(out.read_bytes(), CodecConfig(backend="native")),
+        frames)
+
+    # incompressible noise: no precoder helps -> none
+    rng = np.random.default_rng(0)
+    noisy = rng.integers(0, 256, (2, 24, 32), np.uint8)
+    np.save(src, noisy)
+    assert cli.main(["encode-video", str(src), str(out), "--best",
+                     "--backend", "native"]) == 0
+    assert "picked precoder: none" in capsys.readouterr().err
+
+
 def test_color_delta2d():
     from metalhuffman_tpu.models import color
 
