@@ -300,14 +300,20 @@ def _decode_video_frames(data: bytes, cfg, check: bool):
         streams, h, w, bd, delta = frame_stream.read_stream(data)
         cfg = dataclasses.replace(cfg, block_dim=bd, delta=delta,
                                   delta2d=streams[0].predictor == "2d")
+        mixed = len({s.predictor for s in streams}) > 1
+        if mixed and cfg.backend == "xla":
+            # batched decode needs one static predictor; decode per frame
+            cfg = dataclasses.replace(cfg, backend="pallas")
         if check:
             # per-frame checked decode (a one-frame batch is a shared
             # stream); serial — the check's host fetch is a barrier
             frames = []
             for fi, s in enumerate(streams):
-                prep = frame_stream.prepare_shared(s, 1, h, w, cfg,
+                fcfg = dataclasses.replace(cfg,
+                                           delta2d=s.predictor == "2d")
+                prep = frame_stream.prepare_shared(s, 1, h, w, fcfg,
                                                    check=True)
-                img, err = frame_stream.decode_shared_step_checked(prep, cfg)
+                img, err = frame_stream.decode_shared_step_checked(prep, fcfg)
                 if err.any():
                     idx = np.nonzero(err)[0]
                     raise SystemExit(
@@ -325,11 +331,12 @@ def _decode_video_frames(data: bytes, cfg, check: bool):
             # make it ~1000x slower than the Pallas kernel on TPU)
             from .models import ImageCodec
 
-            codec = ImageCodec(cfg)
-            frames = np.stack([
-                np.asarray(codec.decode_step(codec.prepare(s, h, w)))
-                for s in streams
-            ])
+            def one(s):
+                codec = ImageCodec(dataclasses.replace(
+                    cfg, delta2d=s.predictor == "2d"))
+                return np.asarray(codec.decode_step(codec.prepare(s, h, w)))
+
+            frames = np.stack([one(s) for s in streams])
         t = len(streams)
     else:
         raise SystemExit("not an MHTV/MHV2/MHTS container")

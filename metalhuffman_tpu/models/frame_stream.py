@@ -1032,6 +1032,11 @@ def prepare_batch(
     power of two to bound recompiles across batches).
     """
     cfg = config or CodecConfig()
+    if len({s.predictor for s in streams}) > 1:
+        raise ValueError(
+            "batched decode needs one predictor across the batch (the mode "
+            "is a static kernel parameter); decode mixed-predictor frames "
+            "individually (ImageCodec) or regroup by predictor")
     prepared = [decode_xla.prepare_stream(s) for s in streams]
     wpr = max(p[2] for p in prepared)
     prepared = [decode_xla.prepare_stream(s, width=wpr) for s in streams]

@@ -112,3 +112,30 @@ def test_cli_frame_mhts_verifies_record_crc(tmp_path):
     with pytest.raises(SystemExit, match="CRC-32"):
         cli.main(["decode-video", str(tmp_path / "bad.mhts"), str(out),
                   "--frame", "1", "--backend", "native"])
+
+
+def test_mixed_predictor_mhts_decodes_per_frame(tmp_path):
+    """A crafted MHTS with different predictors per frame decodes correctly
+    (the batched path refuses mixed batches; the CLI falls back per frame)."""
+    import dataclasses
+
+    from metalhuffman_tpu import cli
+    from metalhuffman_tpu.models import ImageCodec
+
+    frames = _frames(2, 16, 24, seed=9)
+    s0 = ImageCodec(CodecConfig(backend="native")).encode(frames[0])
+    s1 = ImageCodec(
+        CodecConfig(backend="native", delta2d=True)).encode(frames[1])
+    cfg = CodecConfig(backend="native")
+    blob = frame_stream.write_stream([s0, s1], 16, 24, cfg)
+
+    with pytest.raises(ValueError, match="one predictor"):
+        frame_stream.prepare_batch([s0, s1], 16, 24, cfg)
+
+    mhts = tmp_path / "mixed.mhts"
+    mhts.write_bytes(blob)
+    out = tmp_path / "o.npy"
+    for backend in ("xla", "pallas"):
+        assert cli.main(["decode-video", str(mhts), str(out),
+                         "--backend", backend, "--interpret"]) == 0
+        np.testing.assert_array_equal(np.load(out), frames)
