@@ -463,11 +463,15 @@ def decode_shared_sharded(
     from ..parallel import mesh as mesh_mod, shard_decode
 
     cfg = config or CodecConfig()
-    if stream.block_init is not None or cfg.delta2d:
+    if stream.block_init is not None:
         raise ValueError(
             "sharded decode returns raw strips/packed blocks and cannot fold "
-            "zero-init roots or invert delta2d; apply core.delta helpers "
-            "after reassembly, or use decode_frames_shared")
+            "zero-init roots; apply core.delta.apply_block_init after "
+            "reassembly, or use decode_frames_shared")
+    if cfg.delta2d and cfg.block_dim != 8:
+        raise ValueError("sharded delta2d decode needs 8x8 blocks "
+                         "(the in-kernel reconstruction)")
+    kdelta = cfg.delta and not cfg.delta2d
     if mesh is None:
         mesh = mesh_mod.make_mesh()
     n_shards = mesh.devices.size
@@ -498,14 +502,15 @@ def decode_shared_sharded(
         out = shard_decode.decode_tiles_images_sharded(
             rows, init, pair, mesh=mesh, width=wpr,
             bounds=meta.bounds, adj_inc=meta.adj_inc, h2=plan.h2,
-            delta=cfg.delta, group_tiles=g, interpret=interpret,
+            delta=kdelta, group_tiles=g, interpret=interpret,
+            delta2d=cfg.delta2d,
         )
     else:
         out = shard_decode.decode_tiles_sharded(
             rows, init, pair, mesh=mesh, width=wpr,
             bounds=meta.bounds, adj_inc=meta.adj_inc,
-            num_steps=cfg.block_size, delta=cfg.delta, group_tiles=g,
-            interpret=interpret,
+            num_steps=cfg.block_size, delta=kdelta, group_tiles=g,
+            interpret=interpret, delta2d=cfg.delta2d,
         )
     return out, nb, plan
 

@@ -149,7 +149,8 @@ def decode_frames_sharded(
 @partial(
     jax.jit,
     static_argnames=("mesh", "width", "bounds", "adj_inc", "num_steps",
-                     "delta", "group_tiles", "axis_name", "interpret"),
+                     "delta", "group_tiles", "axis_name", "interpret",
+                     "delta2d"),
 )
 def decode_tiles_sharded(
     rows_tiled,
@@ -165,6 +166,7 @@ def decode_tiles_sharded(
     group_tiles: int = 8,
     axis_name: str = SEQ_AXIS,
     interpret: bool = False,
+    delta2d: bool = False,
 ):
     """Multi-chip Pallas decode: tile ranges sharded over ``axis_name``.
 
@@ -184,7 +186,7 @@ def decode_tiles_sharded(
         return decode_pallas.decode_tiles(
             rows_l, init_l, pair_l, width=width, bounds=bounds,
             adj_inc=adj_inc, num_steps=num_steps, delta=delta,
-            group_tiles=group_tiles, interpret=interpret,
+            group_tiles=group_tiles, interpret=interpret, delta2d=delta2d,
         )
 
     fn = shard_map(
@@ -200,7 +202,7 @@ def decode_tiles_sharded(
 @partial(
     jax.jit,
     static_argnames=("mesh", "width", "bounds", "adj_inc", "h2", "delta",
-                     "group_tiles", "axis_name", "interpret"),
+                     "group_tiles", "axis_name", "interpret", "delta2d"),
 )
 def decode_tiles_images_sharded(
     rows_tiled,
@@ -216,8 +218,12 @@ def decode_tiles_images_sharded(
     group_tiles: int = 8,
     axis_name: str = SEQ_AXIS,
     interpret: bool = False,
+    delta2d: bool = False,
 ):
     """Multi-chip image-layout decode: each chip emits final image rows.
+
+    ``delta2d`` (mode 3) reconstructs in kernel registers per block, so it
+    shards exactly like the 1-D delta — no cross-chip state.
 
     Because programs own contiguous image-row ranges in the strips layout
     (ops.decode_pallas.tile_layout_images), sharding tiles over ``axis_name``
@@ -231,7 +237,7 @@ def decode_tiles_images_sharded(
         return decode_pallas.decode_tiles_images(
             rows_l, init_l, pair_l, width=width, bounds=bounds,
             adj_inc=adj_inc, h2=h2, delta=delta, group_tiles=group_tiles,
-            interpret=interpret,
+            interpret=interpret, delta2d=delta2d,
         )
 
     fn = shard_map(

@@ -54,3 +54,25 @@ def test_pallas_image_strips_sharded():
     img32 = np.asarray(decode_pallas.images_from_strips(strips, 1, 512, 1024))
     out = img32.view(np.uint8).reshape(512, 1024)
     np.testing.assert_array_equal(out, img)
+
+
+def test_pallas_sharded_delta2d():
+    """delta2d under shard_map: in-kernel reconstruction per block needs no
+    cross-chip state, so the mode shards exactly like the 1-D delta."""
+    from metalhuffman_tpu.models import frame_stream
+    from metalhuffman_tpu.models.image_codec import CodecConfig
+
+    rng = np.random.default_rng(2)
+    img = (np.add.outer(np.arange(512), np.arange(1024)) % 233).astype(np.uint8)
+    img = (img + rng.integers(0, 5, img.shape)).astype(np.uint8)
+    frames = img[None]
+
+    cfg = CodecConfig(backend="pallas", interpret=True, delta2d=True)
+    enc = frame_stream.encode_frames_shared(frames, cfg)
+    m = mesh_mod.make_mesh(8)
+    strips, nb, plan = frame_stream.decode_shared_sharded(
+        enc, 1, 512, 1024, mesh=m, config=cfg)
+    assert plan is not None
+    img32 = np.asarray(decode_pallas.images_from_strips(strips, 1, 512, 1024))
+    out = img32.view(np.uint8).reshape(512, 1024)
+    np.testing.assert_array_equal(out, img)
