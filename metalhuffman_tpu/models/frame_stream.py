@@ -62,8 +62,7 @@ def encode_frames_shared(
     for f in frames:
         blk = blocks.image_to_blocks(f, cfg.block_dim).ravel()
         if cfg.delta2d:
-            payloads.append(delta_mod.delta2d_encode_blocks(
-                blk.reshape(-1, cfg.block_size), cfg.block_dim).ravel())
+            payloads.append(native.delta2d_encode(blk, cfg.block_dim))
         elif cfg.delta:
             payloads.append(native.delta_encode(blk, cfg.block_size))
         else:
@@ -680,11 +679,10 @@ def decode_frames_segmented(
 
         outs = []
         for stream, t in segments:
+            # delta2d reconstructs inside the C++ per-block loop (mode 2)
             blk = native.decode_blocks(
                 stream, delta=cfg.delta and not cfg.delta2d,
-                block_size=cfg.block_size)
-            if cfg.delta2d:
-                blk = delta_mod.delta2d_decode_blocks(blk, cfg.block_dim)
+                block_size=cfg.block_size, delta2d=cfg.delta2d)
             if stream.block_init is not None:
                 blk = delta_mod.apply_block_init(blk, stream.block_init)
             bh, bw = blocks.block_grid(height, width, cfg.block_dim)

@@ -94,8 +94,7 @@ class ImageCodec:
         predictor = "left"
         if cfg.delta2d:
             predictor = "2d"
-            payload = delta_mod.delta2d_encode_blocks(
-                blk.reshape(-1, cfg.block_size), cfg.block_dim).ravel()
+            payload = native.delta2d_encode(blk, cfg.block_dim)
         else:
             payload = native.delta_encode(blk, cfg.block_size)
         if not cfg.zero_init:
@@ -134,8 +133,7 @@ class ImageCodec:
         )
         d2 = dc_replace(
             native.encode_symbols(
-                delta_mod.delta2d_encode_blocks(
-                    blk.reshape(-1, cfg.block_size), cfg.block_dim).ravel(),
+                native.delta2d_encode(blk, cfg.block_dim),
                 block_size=cfg.block_size),
             predictor="2d")
         best = min((plain, deltas, d2), key=lambda s: s.compressed_size)
@@ -218,14 +216,11 @@ class ImageCodec:
         if cfg.backend == "native":
             from ..core import delta as delta_mod
 
-            # delta2d: the serial decoders emit raw residuals (delta=False)
-            # and the 2-D reconstruction runs as a vectorized post-pass
+            # delta2d reconstructs inside the C++ per-block loop (mode 2)
             blk = native.decode_blocks(
                 prep.stream, delta=cfg.delta and not cfg.delta2d,
-                block_size=cfg.block_size
+                block_size=cfg.block_size, delta2d=cfg.delta2d,
             )
-            if cfg.delta2d:
-                blk = delta_mod.delta2d_decode_blocks(blk, cfg.block_dim)
             if init is not None:
                 blk = delta_mod.apply_block_init(blk, init)
             return blocks.blocks_to_image(

@@ -69,6 +69,8 @@ def _build() -> ctypes.CDLL | None:
     lib.mht_decode_serial.argtypes = [u8p, i64, u8p, i64, i64, u8p]
     lib.mht_delta_encode.argtypes = [u8p, i64, i64, u8p]
     lib.mht_delta_decode.argtypes = [u8p, i64, i64, u8p]
+    lib.mht_delta2d_encode.argtypes = [u8p, i64, i64, u8p]
+    lib.mht_delta2d_decode.argtypes = [u8p, i64, i64, u8p]
     lib.mht_encode_mt.argtypes = [
         u8p, i64, i64, u8p, u8p, i64, ctypes.POINTER(i64),
         ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(i64), ctypes.c_int,
@@ -95,6 +97,7 @@ def _build() -> ctypes.CDLL | None:
     for fn in (
         lib.mht_code_lengths, lib.mht_canonical_codes, lib.mht_encode,
         lib.mht_decode_serial, lib.mht_delta_encode, lib.mht_delta_decode,
+        lib.mht_delta2d_encode, lib.mht_delta2d_decode,
         lib.mht_encode_mt, lib.mht_decode_blocks, lib.mht_build_split_tables,
         lib.mht_decode_serial_split, lib.mht_symbol_bit_offsets,
         lib.mht_merge_rows,
@@ -208,16 +211,19 @@ def encode_symbols(data: np.ndarray, block_size: int = 64,
 
 
 def decode_blocks(stream, *, delta: bool = True, block_size: int = 64,
-                  n_threads: int = 0) -> np.ndarray:
+                  n_threads: int = 0, delta2d: bool = False) -> np.ndarray:
     """Parallel host decode of an EncodedStream -> (n_blocks, block_size).
 
     The CPU counterpart of the device kernels (threads over block ranges via
-    the bit-offset index). NumPy-oracle fallback when the library is absent.
+    the bit-offset index). ``delta2d`` inverts the 2-D within-block
+    predictor (mode 3) in the same per-block C++ loop — no separate host
+    post-pass. NumPy-oracle fallback when the library is absent.
     """
     lib = _lib()
     nb = int(stream.block_offsets.size)
     if nb == 0:  # stream shorter than one block: no decodable block units
         return np.zeros((0, block_size), dtype=np.uint8)
+    mode = 2 if delta2d else int(delta)
     if lib is None:
         from ..core import decode_ref, delta as delta_mod, tables
 
@@ -228,6 +234,11 @@ def decode_blocks(stream, *, delta: bool = True, block_size: int = 64,
                 start_bit=int(stream.block_offsets[b]))
             for b in range(nb)
         ])
+        if mode == 2:
+            bd = 1
+            while bd * bd < block_size:
+                bd += 1
+            return delta_mod.delta2d_decode_blocks(out, bd)
         return delta_mod.delta_decode_blocks(out) if delta else out
 
     code_bytes = np.ascontiguousarray(stream.code_bytes, dtype=np.uint8)
@@ -237,7 +248,7 @@ def decode_blocks(stream, *, delta: bool = True, block_size: int = 64,
     rc = lib.mht_decode_blocks(
         _u8p(code_bytes), code_bytes.size, _u8p(widths),
         offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
-        nb, block_size, int(delta), _u8p(out), n_threads,
+        nb, block_size, mode, _u8p(out), n_threads,
     )
     if rc:
         raise RuntimeError(f"mht_decode_blocks failed: {rc}")
@@ -432,4 +443,36 @@ def delta_decode(deltas: np.ndarray, block_size: int = 64) -> np.ndarray:
         return delta.delta_decode_blocks(padded).ravel()[:n]
     out = np.zeros_like(deltas)
     lib.mht_delta_decode(_u8p(deltas), deltas.size, block_size, _u8p(out))
+    return out
+
+
+def delta2d_encode(data: np.ndarray, block_dim: int = 8) -> np.ndarray:
+    """2-D within-block predictor (container mode 3/4); whole blocks only."""
+    lib = _lib()
+    data = np.ascontiguousarray(data, dtype=np.uint8).ravel()
+    if lib is None:
+        from ..core import delta
+
+        return delta.delta2d_encode_blocks(
+            data.reshape(-1, block_dim * block_dim), block_dim).ravel()
+    out = np.zeros_like(data)
+    rc = lib.mht_delta2d_encode(_u8p(data), data.size, block_dim, _u8p(out))
+    if rc:
+        raise ValueError("delta2d needs a whole number of blocks")
+    return out
+
+
+def delta2d_decode(res: np.ndarray, block_dim: int = 8) -> np.ndarray:
+    """Inverse of :func:`delta2d_encode`."""
+    lib = _lib()
+    res = np.ascontiguousarray(res, dtype=np.uint8).ravel()
+    if lib is None:
+        from ..core import delta
+
+        return delta.delta2d_decode_blocks(
+            res.reshape(-1, block_dim * block_dim), block_dim).ravel()
+    out = np.zeros_like(res)
+    rc = lib.mht_delta2d_decode(_u8p(res), res.size, block_dim, _u8p(out))
+    if rc:
+        raise ValueError("delta2d needs a whole number of blocks")
     return out

@@ -278,6 +278,41 @@ int mht_delta_decode(const uint8_t* deltas, int64_t n, int64_t block_size,
   return 0;
 }
 
+// 2-D within-block predictor (container mode 3/4; core/delta.py mirror):
+// row 0 is delta-left, rows below are delta-up, all wrapping mod 256.
+// n must be a whole number of block_dim*block_dim blocks.
+int mht_delta2d_encode(const uint8_t* data, int64_t n, int64_t block_dim,
+                       uint8_t* out) {
+  const int64_t bs = block_dim * block_dim;
+  if (block_dim <= 0 || n % bs) return -1;
+  for (int64_t b = 0; b < n; b += bs) {
+    const uint8_t* p = data + b;
+    uint8_t* o = out + b;
+    o[0] = p[0];
+    for (int64_t x = 1; x < block_dim; ++x)
+      o[x] = static_cast<uint8_t>(p[x] - p[x - 1]);
+    for (int64_t i = block_dim; i < bs; ++i)
+      o[i] = static_cast<uint8_t>(p[i] - p[i - block_dim]);
+  }
+  return 0;
+}
+
+int mht_delta2d_decode(const uint8_t* res, int64_t n, int64_t block_dim,
+                       uint8_t* out) {
+  const int64_t bs = block_dim * block_dim;
+  if (block_dim <= 0 || n % bs) return -1;
+  for (int64_t b = 0; b < n; b += bs) {
+    const uint8_t* p = res + b;
+    uint8_t* o = out + b;
+    o[0] = p[0];
+    for (int64_t x = 1; x < block_dim; ++x)
+      o[x] = static_cast<uint8_t>(o[x - 1] + p[x]);
+    for (int64_t i = block_dim; i < bs; ++i)
+      o[i] = static_cast<uint8_t>(o[i - block_dim] + p[i]);
+  }
+  return 0;
+}
+
 // Multithreaded encode. Two passes: (1) parallel per-chunk bit counts ->
 // serial prefix -> absolute chunk start bits; (2) each thread packs its
 // chunk into its own byte range of the shared zero-initialized buffer.
@@ -410,10 +445,19 @@ int mht_encode_mt(const uint8_t* data, int64_t n, int64_t block_size,
 // The CPU analog of the device kernels (and the proof that the reference's
 // "CPU is too slow" premise is about SERIAL decode — the block-offset index
 // parallelizes hosts too).
+// ``delta`` is a MODE: 0 = raw symbols, 1 = per-block 1-D running sum,
+// 2 = delta2d (2-D within-block predictor, reconstructed after each
+// block's symbol loop; block_size must be a perfect square).
 int mht_decode_blocks(const uint8_t* code_bytes, int64_t n_code_bytes,
                       const uint8_t* widths, const uint32_t* block_offsets,
                       int64_t n_blocks, int64_t block_size, int delta,
                       uint8_t* out, int n_threads) {
+  int64_t bd = 0;
+  if (delta == 2) {
+    bd = 1;
+    while (bd * bd < block_size) ++bd;
+    if (bd * bd != block_size) return -8;
+  }
   uint16_t codes[kNumSymbols];
   canonical_codes_impl(widths, codes);
   std::vector<uint8_t> sym_plane(1 << 16, 0), w_plane(1 << 16, 0);
@@ -452,9 +496,15 @@ int mht_decode_blocks(const uint8_t* code_bytes, int64_t n_code_bytes,
           const int w = w_plane[window];
           if (w == 0) { rcs[t] = -6; return; }
           const uint8_t sym = sym_plane[window];
-          prev = delta ? static_cast<uint8_t>(prev + sym) : sym;
+          prev = delta == 1 ? static_cast<uint8_t>(prev + sym) : sym;
           o[i] = prev;
           bits += w;
+        }
+        if (delta == 2) {  // invert the 2-D predictor in place
+          for (int64_t x = 1; x < bd; ++x)
+            o[x] = static_cast<uint8_t>(o[x] + o[x - 1]);
+          for (int64_t i = bd; i < block_size; ++i)
+            o[i] = static_cast<uint8_t>(o[i] + o[i - bd]);
         }
       }
     });
@@ -715,6 +765,6 @@ int mht_merge_rows(const uint32_t* rows, const uint32_t* block_bits,
   return 0;
 }
 
-int mht_abi_version() { return 4; }
+int mht_abi_version() { return 5; }
 
 }  // extern "C"

@@ -188,3 +188,45 @@ def test_encode_speed_sanity():
     native.encode_symbols(data, block_size=64)
     dt = time.perf_counter() - t0
     assert dt < 2.0, f"native encode too slow: {dt:.2f}s"
+
+
+def test_delta2d_transform_matches_numpy():
+    # native mirror of core.delta.delta2d_* (container modes 3/4)
+    rng = np.random.default_rng(21)
+    for bd in (4, 8, 16):
+        data = rng.integers(0, 256, bd * bd * 37, np.uint8)
+        enc_cc = native.delta2d_encode(data, bd)
+        enc_np = delta.delta2d_encode_blocks(
+            data.reshape(-1, bd * bd), bd).ravel()
+        np.testing.assert_array_equal(enc_cc, enc_np)
+        np.testing.assert_array_equal(native.delta2d_decode(enc_cc, bd), data)
+    with pytest.raises(ValueError):
+        native.delta2d_encode(np.zeros(63, np.uint8), 8)
+
+
+def test_decode_blocks_delta2d_mode():
+    # mode 2: the 2-D reconstruction runs inside the C++ per-block loop
+    rng = np.random.default_rng(22)
+    img = np.cumsum(rng.normal(0, 6, (40, 48)), axis=0)
+    img = (img - img.min()).clip(0, 255).astype(np.uint8)
+    from metalhuffman_tpu.core import blocks as blocks_mod
+
+    blk = blocks_mod.image_to_blocks(img)
+    enc = native.encode_symbols(native.delta2d_encode(blk.ravel(), 8),
+                                block_size=64)
+    out = native.decode_blocks(enc, delta=False, delta2d=True)
+    np.testing.assert_array_equal(out, blk)
+    # non-square block_size must fail loudly
+    enc36 = native.encode_symbols(
+        rng.integers(0, 8, 36 * 4, np.uint8), block_size=36)
+    try:
+        got = native.decode_blocks(enc36, delta=False, delta2d=True,
+                                   block_size=36)
+        np.testing.assert_array_equal(  # 36 = 6x6 IS square — decodes fine
+            got.shape, (4, 36))
+    except RuntimeError:
+        pytest.fail("6x6 blocks are square; mode 2 should decode")
+    enc48 = native.encode_symbols(
+        rng.integers(0, 8, 48 * 4, np.uint8), block_size=48)
+    with pytest.raises(RuntimeError):
+        native.decode_blocks(enc48, delta=False, delta2d=True, block_size=48)
