@@ -28,6 +28,34 @@ def decode_image(blob: bytes, config=None):
     return ImageCodec(config).decode(blob)
 
 
+def encode_color_image(img, config=None) -> bytes:
+    """Convenience: (H, W, C) uint8 -> MHTC color container bytes."""
+    from .models import color
+
+    return color.encode_color_to_bytes(img, config)
+
+
+def decode_color_image(blob: bytes, config=None):
+    """Convenience: MHTC color container -> (H, W, C) uint8 (CRC-checked)."""
+    from .models import color
+
+    return color.decode_color_from_bytes(blob, config)
+
+
+def encode_color_video(frames, config=None) -> bytes:
+    """Convenience: (T, H, W, C) uint8 -> MHTC color video container."""
+    from .models import color
+
+    return color.encode_color_video_to_bytes(frames, config)
+
+
+def decode_color_video(blob: bytes, config=None):
+    """Convenience: MHTC color video container -> (T, H, W, C) uint8."""
+    from .models import color
+
+    return color.decode_color_video_from_bytes(blob, config)
+
+
 def encode_video(frames, config=None) -> bytes:
     """Convenience: (T, H, W) uint8 frames -> MHTV container, auto-upgrading
     to segmented MHV2 when the stream could overflow u32 block offsets.

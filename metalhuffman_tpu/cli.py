@@ -58,43 +58,85 @@ def _config(args):
 
 
 def cmd_encode(args) -> int:
-    from .models import ImageCodec
+    from .models import ImageCodec, color
     from .utils import imageio
 
-    img = imageio.load_grayscale(args.input)
-    codec = ImageCodec(_config(args))
     t0 = time.perf_counter()
-    blob = codec.encode_to_bytes(img)
+    if getattr(args, "gray16", False):
+        img = imageio.load_gray16(args.input)
+        blob = color.encode_gray16_to_bytes(img, _config(args))
+        kind = f"{img.shape[0]}x{img.shape[1]} u16"
+        raw = img.size * 2
+    elif getattr(args, "color", False):
+        img = imageio.load_color(args.input)
+        blob = color.encode_color_to_bytes(img, _config(args))
+        kind = f"{img.shape[0]}x{img.shape[1]}x{img.shape[2]}"
+        raw = img.size
+    else:
+        img = imageio.load_grayscale(args.input)
+        blob = ImageCodec(_config(args)).encode_to_bytes(img)
+        kind = f"{img.shape[0]}x{img.shape[1]}"
+        raw = img.size
     dt = time.perf_counter() - t0
     Path(args.output).write_bytes(blob)
     print(
-        f"{args.input}: {img.shape[0]}x{img.shape[1]} -> {len(blob)} bytes "
-        f"({len(blob)/img.size:.1%}) in {dt*1e3:.1f} ms"
+        f"{args.input}: {kind} -> {len(blob)} bytes "
+        f"({len(blob)/raw:.1%}) in {dt*1e3:.1f} ms"
     )
     return 0
 
 
 def cmd_decode(args) -> int:
-    from .models import ImageCodec
+    from .models import ImageCodec, color
     from .utils import imageio
 
     blob = Path(args.input).read_bytes()
-    codec = ImageCodec(_config(args))
+    cfg = _config(args)
     t0 = time.perf_counter()
-    img = codec.decode(blob)
-    dt = time.perf_counter() - t0
-    imageio.save_grayscale(img, args.output)
+    if blob[:4] == color.COLOR_MAGIC:
+        _, _c, layout, kind = color.unwrap(blob)
+        if layout == color.LAYOUT_VIDEO:
+            raise SystemExit(
+                f"{args.input} is an MHTC video container — use decode-video")
+        if kind == color.KIND_U16:
+            img = color.decode_gray16_from_bytes(blob, cfg)
+            dt = time.perf_counter() - t0
+            imageio.save_gray16(img, args.output)
+            shape = f"{img.shape[0]}x{img.shape[1]} u16"
+        else:
+            img = color.decode_color_from_bytes(blob, cfg)
+            dt = time.perf_counter() - t0
+            imageio.save_color(img, args.output)
+            shape = f"{img.shape[0]}x{img.shape[1]}x{img.shape[2]}"
+    else:
+        img = ImageCodec(cfg).decode(blob)
+        dt = time.perf_counter() - t0
+        imageio.save_grayscale(img, args.output)
+        shape = f"{img.shape[0]}x{img.shape[1]}"
     print(
-        f"{args.input}: decoded {img.shape[0]}x{img.shape[1]} "
+        f"{args.input}: decoded {shape} "
         f"({args.backend}) in {dt*1e3:.1f} ms -> {args.output}"
     )
     return 0
 
 
 def cmd_roundtrip(args) -> int:
-    from .models import ImageCodec
+    from .models import ImageCodec, color
     from .utils import imageio
 
+    if getattr(args, "color", False):
+        img = imageio.load_color(args.input)
+        cfg = _config(args)
+        blob = color.encode_color_to_bytes(img, cfg)
+        out = color.decode_color_from_bytes(blob, cfg)
+        if not np.array_equal(out, img):
+            raise SystemExit(f"{args.input}: color roundtrip MISMATCH")
+        print(
+            f"{args.input}: {img.shape[0]}x{img.shape[1]}x{img.shape[2]} "
+            f"bit-exact on {args.backend}; {len(blob)} bytes "
+            f"({len(blob)/img.size:.1%})"
+        )
+        return 0
     img = imageio.load_grayscale(args.input)
     codec = ImageCodec(_config(args))
     stream = codec.roundtrip_verify(img)
@@ -109,9 +151,13 @@ def cmd_roundtrip(args) -> int:
 
 def cmd_info(args) -> int:
     from .core import container
-    from .models import frame_stream
+    from .models import color, frame_stream
 
     data = Path(args.input).read_bytes()
+    if data[:4] == color.COLOR_MAGIC:
+        # describe the wrapper, then the inner plane stream on a second line
+        print(color.describe(data))
+        data = color.unwrap(data)[0]
 
     def pct(total: int, raw: int) -> str:
         return f" ({total/raw:.1%})" if raw else ""
@@ -175,8 +221,9 @@ def cmd_info(args) -> int:
     return 0
 
 
-def _load_frames(path: str) -> np.ndarray:
-    """(T, H, W) uint8 from a .npy stack or a directory of image files."""
+def _load_frames(path: str, color: bool = False) -> np.ndarray:
+    """(T, H, W) uint8 frames — or (T, H, W, C) with ``color`` — from a .npy
+    stack or a directory of image files."""
     from .utils import imageio
 
     p = Path(path)
@@ -187,41 +234,88 @@ def _load_frames(path: str) -> np.ndarray:
         )
         if not files:
             raise SystemExit(f"no image files in {path}")
-        return np.stack([imageio.load_grayscale(f) for f in files])
+        load = imageio.load_color if color else imageio.load_grayscale
+        return np.stack([load(f) for f in files])
     frames = np.load(p)
-    if frames.ndim != 3 or frames.dtype != np.uint8:
-        raise SystemExit(".npy input must be a (T, H, W) uint8 array")
+    want = 4 if color else 3
+    if frames.ndim != want or frames.dtype != np.uint8:
+        shape = "(T, H, W, C)" if color else "(T, H, W)"
+        raise SystemExit(f".npy input must be a {shape} uint8 array")
     return frames
+
+
+def _pick_best_precoder(frames: np.ndarray, cfg):
+    """Measure none/delta/delta2d on the real payload; keep the smallest.
+
+    The video analog of ``ImageCodec.encode_best``; encode is host-cheap.
+    """
+    import dataclasses
+
+    from .models import frame_stream
+
+    candidates = [
+        dataclasses.replace(cfg, delta=False, delta2d=False, zero_init=False),
+        dataclasses.replace(cfg, delta=True, delta2d=False),
+        dataclasses.replace(cfg, delta=True, delta2d=True),
+    ]
+
+    def total_size(c):
+        return sum(
+            s.compressed_size
+            for s, _ in frame_stream.encode_frames_segmented(frames, c))
+
+    best = min(candidates, key=total_size)
+    mode = "delta2d" if best.delta2d else "delta" if best.delta else "none"
+    print(f"--best picked precoder: {mode}", file=sys.stderr)
+    return best
 
 
 def cmd_encode_video(args) -> int:
     from .models import frame_stream
 
+    if getattr(args, "gray16", False):
+        from .models import color as color_mod
+
+        frames = np.load(Path(args.input))
+        if frames.ndim != 3 or frames.dtype != np.uint16:
+            raise SystemExit(
+                "--gray16 video input must be a (T, H, W) uint16 .npy stack")
+        t, h, w = frames.shape
+        t0 = time.perf_counter()
+        blob = color_mod.encode_gray16_to_bytes(frames, _config(args))
+        dt = time.perf_counter() - t0
+        Path(args.output).write_bytes(blob)
+        print(
+            f"{args.input}: {t} frames {h}x{w} u16 -> MHTC {len(blob)} bytes "
+            f"({len(blob)/(frames.size*2):.1%}) in {dt:.2f} s"
+        )
+        return 0
+    if getattr(args, "color", False):
+        from .models import color as color_mod
+
+        frames = _load_frames(args.input, color=True)
+        t, h, w, c = frames.shape
+        t0 = time.perf_counter()
+        cfg = _config(args)
+        if getattr(args, "best", False):
+            # precoder selection runs on the actual plane stack (the payload
+            # the inner container carries)
+            planes = frames.transpose(0, 3, 1, 2).reshape(t * c, h, w)
+            cfg = _pick_best_precoder(planes, cfg)
+        blob = color_mod.encode_color_video_to_bytes(frames, cfg)
+        dt = time.perf_counter() - t0
+        Path(args.output).write_bytes(blob)
+        print(
+            f"{args.input}: {t} frames {h}x{w}x{c} -> MHTC {len(blob)} bytes "
+            f"({len(blob)/frames.size:.1%}) in {dt:.2f} s"
+        )
+        return 0
     frames = _load_frames(args.input)
     t, h, w = frames.shape
     cfg = _config(args)
     t0 = time.perf_counter()
     if getattr(args, "best", False):
-        # measure the precoders on the real payload and keep the smallest
-        # (the video analog of ImageCodec.encode_best; encode is host-cheap)
-        import dataclasses
-
-        candidates = [
-            dataclasses.replace(cfg, delta=False, delta2d=False,
-                                zero_init=False),
-            dataclasses.replace(cfg, delta=True, delta2d=False),
-            dataclasses.replace(cfg, delta=True, delta2d=True),
-        ]
-
-        def total_size(c):
-            return sum(
-                s.compressed_size
-                for s, _ in frame_stream.encode_frames_segmented(frames, c))
-
-        cfg = min(candidates, key=total_size)
-        mode = ("delta2d" if cfg.delta2d else
-                "delta" if cfg.delta else "none")
-        print(f"--best picked precoder: {mode}", file=sys.stderr)
+        cfg = _pick_best_precoder(frames, cfg)
     if args.per_frame_tables:
         streams = frame_stream.encode_frames(frames, cfg)
         blob = frame_stream.write_stream(
@@ -418,11 +512,14 @@ def _decode_one_frame(data: bytes, cfg, n: int):
 
 
 def cmd_decode_video(args) -> int:
+    from .models import color
     from .utils import imageio
 
     data = Path(args.input).read_bytes()
     cfg = _config(args)
     check = getattr(args, "check", False)
+    if data[:4] == color.COLOR_MAGIC:
+        return _cmd_decode_video_color(args, data, cfg, check)
     if check and args.backend != "pallas":
         # the integrity check is an output of the Pallas kernel (the decode
         # carry); other backends never compute it — refuse loudly rather
@@ -463,6 +560,72 @@ def cmd_decode_video(args) -> int:
     return 0
 
 
+def _cmd_decode_video_color(args, data: bytes, cfg, check: bool) -> int:
+    """decode-video on an MHTC container: full decode, --frame, --check.
+
+    The wrapper delegates to the grayscale machinery on the inner MHTV/MHV2
+    plane stream (so the on-device integrity check and CRC verification run
+    unchanged), then folds planes back to (T, H, W, C) / uint16.
+    """
+    from .models import color
+    from .utils import imageio
+
+    inner, channels, layout, kind = color.unwrap(data)
+    if layout != color.LAYOUT_VIDEO:
+        raise SystemExit(
+            f"{args.input} is an MHTC image container — use decode")
+    if check and args.backend != "pallas":
+        raise SystemExit(
+            "--check requires --backend pallas (the on-device integrity "
+            "check is emitted by the TPU decode kernel)")
+    if getattr(args, "frame", None) is not None:
+        if check:
+            raise SystemExit(
+                "--check verifies whole streams; drop it for --frame "
+                "random access (or run `verify` on the container)")
+        t0 = time.perf_counter()
+        try:
+            img = color.decode_color_frame(data, args.frame, cfg)
+        except ValueError as e:
+            raise SystemExit(str(e))
+        dt = time.perf_counter() - t0
+        out = Path(args.output)
+        if out.suffix == ".npy":
+            np.save(out, img)
+        elif kind == color.KIND_U16:
+            imageio.save_gray16(img, out)
+        else:
+            imageio.save_color(img, out)
+        h, w = img.shape[:2]
+        print(f"{args.input}: decoded frame {args.frame} ({h}x{w}) "
+              f"in {dt:.3f} s -> {args.output}")
+        return 0
+    t0 = time.perf_counter()
+    planes, n, h, w = _decode_video_frames(inner, cfg, check)
+    _verify_video_crc(inner, planes)
+    planes = np.asarray(planes)
+    if kind == color.KIND_U16:
+        pairs = planes.reshape(n // 2, 2, h, w).astype(np.uint16)
+        frames = (pairs[:, 0] << 8) | pairs[:, 1]
+    else:
+        frames = planes.reshape(
+            n // channels, channels, h, w).transpose(0, 2, 3, 1)
+    t = frames.shape[0]
+    dt = time.perf_counter() - t0
+    out = Path(args.output)
+    if out.suffix == ".npy":
+        np.save(out, frames)
+    else:
+        out.mkdir(parents=True, exist_ok=True)
+        save = (imageio.save_gray16 if kind == color.KIND_U16
+                else imageio.save_color)
+        for i, f in enumerate(frames):
+            save(f, out / f"frame_{i:05d}.png")
+    print(f"{args.input}: decoded {t} frames {h}x{w} in {dt:.2f} s "
+          f"-> {args.output}")
+    return 0
+
+
 def cmd_verify(args) -> int:
     """Decode a container with every applicable integrity check and report.
 
@@ -475,7 +638,7 @@ def cmd_verify(args) -> int:
     import dataclasses
 
     from .core import container
-    from .models import frame_stream
+    from .models import color, frame_stream
 
     data = Path(args.input).read_bytes()
     cfg = _config(args)
@@ -484,6 +647,16 @@ def cmd_verify(args) -> int:
 
     def report(name: str, status: str) -> None:
         lines.append(f"  {name:<14} {status}")
+
+    wrapper = ""
+    if data[:4] == color.COLOR_MAGIC:
+        # verify the inner plane stream; every check (end-bit, CRC) applies
+        # to the planes exactly as to grayscale frames
+        try:
+            wrapper = color.describe(data) + " wrapping "
+            data = color.unwrap(data)[0]
+        except ValueError as e:
+            raise SystemExit(str(e))
 
     try:
         if data[:4] == container.DISK_MAGIC:
@@ -536,7 +709,7 @@ def cmd_verify(args) -> int:
             raise SystemExit("not an MHT1/MHTS/MHTV/MHV2 container")
     except ValueError as e:
         raise SystemExit(str(e))
-    print(head)
+    print(wrapper + head)
     for ln in lines:
         print(ln)
     print("PASS")
@@ -546,10 +719,13 @@ def cmd_verify(args) -> int:
 def cmd_inspect(args) -> int:
     """Debug view of an MHT1/MHTV stream (table dump / per-block symbol trace)."""
     from .core import container
-    from .models import frame_stream
+    from .models import color, frame_stream
     from .utils import debug
 
     data = Path(args.input).read_bytes()
+    if data[:4] == color.COLOR_MAGIC:
+        print(color.describe(data))
+        data = color.unwrap(data)[0]  # inspect the inner plane stream
     if data[:4] == frame_stream.SHARED_MAGIC:
         stream, _t, h, w, bd, delta = frame_stream.read_shared(data)
     else:
@@ -601,13 +777,23 @@ def main(argv=None) -> int:
                     version=f"metalhuffman-tpu {__version__}")
     sub = ap.add_subparsers(dest="cmd", required=True)
 
-    p = sub.add_parser("encode", help="image file -> MHT1 container")
+    p = sub.add_parser("encode",
+                       help="image file -> MHT1 (or MHTC color) container")
     p.add_argument("input")
     p.add_argument("output")
+    p.add_argument("--color", action="store_true",
+                   help="keep color: planar RGB(A) channels in an MHTC "
+                        "container (default converts to grayscale like the "
+                        "reference's CoreGraphics path)")
+    p.add_argument("--gray16", action="store_true",
+                   help="16-bit grayscale (uint16 .npy or 16-bit PNG) as "
+                        "hi/lo byte planes in an MHTC container")
     _add_codec_flags(p)
     p.set_defaults(fn=cmd_encode)
 
-    p = sub.add_parser("decode", help="MHT1 container -> image file")
+    p = sub.add_parser("decode",
+                       help="MHT1/MHTC container -> image file (auto-detects "
+                            "color / 16-bit wrappers)")
     p.add_argument("input")
     p.add_argument("output")
     _add_codec_flags(p)
@@ -615,6 +801,8 @@ def main(argv=None) -> int:
 
     p = sub.add_parser("roundtrip", help="encode+decode+verify bit-exact")
     p.add_argument("input")
+    p.add_argument("--color", action="store_true",
+                   help="roundtrip in color (MHTC planar channels)")
     _add_codec_flags(p)
     p.set_defaults(fn=cmd_roundtrip)
 
@@ -627,10 +815,17 @@ def main(argv=None) -> int:
     p.add_argument("--best", action="store_true",
                    help="measure none/delta/delta2d on the payload and keep "
                         "the smallest (encode runs once per candidate)")
+    p.add_argument("--color", action="store_true",
+                   help="color video: (T,H,W,C) uint8 .npy or a directory "
+                        "of color images -> MHTC container")
+    p.add_argument("--gray16", action="store_true",
+                   help="16-bit video: (T,H,W) uint16 .npy stack -> MHTC "
+                        "container (hi/lo byte planes)")
     _add_codec_flags(p)
     p.set_defaults(fn=cmd_encode_video)
 
-    p = sub.add_parser("decode-video", help="MHTV/MHTS -> .npy or image dir")
+    p = sub.add_parser("decode-video",
+                       help="MHTV/MHV2/MHTS/MHTC -> .npy or image dir")
     p.add_argument("input")
     p.add_argument("output", help=".npy path or output directory for PNGs")
     p.add_argument("--check", action="store_true",

@@ -1,21 +1,67 @@
-"""Multi-channel (color) image codec: planar channels over the video path.
+"""Multi-channel (color / deep) image and video codec: planar channels over
+the shared-table video pipeline.
 
 The reference is strictly 8-bit grayscale (it converts its RGB assets through
 CoreGraphics, ``HuffRenderFrame.m:93-127``). Color support here is planar:
 each channel is a grayscale plane, and the planes ride the shared-table batch
 pipeline (one canonical table + one kernel dispatch for all channels —
-``frame_stream``). Works for RGB, RGBA, YCbCr or any (H, W, C) uint8 stack.
+``frame_stream``). Works for RGB, RGBA, YCbCr or any (H, W, C) uint8 stack,
+and for 16-bit grayscale (depth maps) as hi/lo byte planes.
+
+On disk the MHTC container is a thin typed wrapper over the video containers:
+
+    "MHTC" | u8 channels | u8 layout | u8 kind | u8 reserved | inner blob
+
+- ``layout``: 0 = single image (inner frames = C planes), 1 = video (inner
+  frames = T*C planes, frame-major: frame t's planes are contiguous).
+- ``kind``: 0 = uint8 channels (RGB/RGBA/arbitrary), 1 = uint16 grayscale
+  bit-split into (hi, lo) byte planes (``channels`` is 2).
+- ``inner``: any video container (MHTV, or segmented MHV2 when the plane
+  stream would overflow u32 block offsets) — so color inherits the whole
+  decode stack: Pallas batch kernel, integrity checks, source CRC-32,
+  segmenting, temporal random access.
 """
 
 from __future__ import annotations
 
-import zlib
+import dataclasses
+import struct
 
 import numpy as np
 
 from ..core import container
 from .image_codec import CodecConfig
 from . import frame_stream
+
+COLOR_MAGIC = b"MHTC"
+
+LAYOUT_IMAGE = 0
+LAYOUT_VIDEO = 1
+
+KIND_U8 = 0
+KIND_U16 = 1
+
+
+def wrap(inner: bytes, channels: int, layout: int, kind: int = KIND_U8) -> bytes:
+    """Wrap an inner video container blob in the MHTC header."""
+    if not 1 <= channels <= 255:
+        raise ValueError("channels must be in 1..255")
+    return COLOR_MAGIC + struct.pack("<BBBB", channels, layout, kind, 0) + inner
+
+
+def unwrap(blob: bytes):
+    """MHTC blob -> (inner_bytes, channels, layout, kind)."""
+    if blob[:4] != COLOR_MAGIC:
+        raise ValueError("not an MHTC container")
+    channels, layout, kind, _ = struct.unpack_from("<BBBB", blob, 4)
+    if layout not in (LAYOUT_IMAGE, LAYOUT_VIDEO):
+        raise ValueError(f"unknown MHTC layout {layout}")
+    if kind not in (KIND_U8, KIND_U16):
+        raise ValueError(f"unknown MHTC kind {kind}")
+    return blob[8:], channels, layout, kind
+
+
+# -- stream-level API (no container) ------------------------------------------
 
 
 def encode_color(img: np.ndarray, config: CodecConfig | None = None):
@@ -41,29 +87,177 @@ def decode_color(
     return np.moveaxis(planes, 0, -1)
 
 
+# -- container-level API -------------------------------------------------------
+
+
+def _encode_planes(planes: np.ndarray, config) -> bytes:
+    """(N, H, W) uint8 planes -> MHTV/MHV2 inner blob with source CRC-32."""
+    from .. import encode_video
+
+    return encode_video(np.ascontiguousarray(planes), config)
+
+
+def _decode_planes(inner: bytes, config) -> np.ndarray:
+    """Inner MHTV/MHV2 blob -> (N, H, W) uint8 planes, CRC-verified.
+
+    The inner container's recorded block_dim/mode are authoritative (as in
+    ``decode_video``); config chooses the backend only.
+    """
+    from .. import decode_video
+
+    return decode_video(inner, config)
+
+
 def encode_color_to_bytes(img: np.ndarray, config: CodecConfig | None = None) -> bytes:
-    """(H, W, C) -> MHTV container (channels as frames, planes CRC recorded)."""
-    stream, c = encode_color(img, config)
-    h, w = img.shape[:2]
-    planes = np.ascontiguousarray(np.moveaxis(np.asarray(img), -1, 0))
-    return frame_stream.write_shared(
-        stream, c, h, w, config, source_crc32=zlib.crc32(planes.tobytes()))
+    """(H, W, C) uint8 -> MHTC container (planes as inner frames)."""
+    img = np.asarray(img)
+    if img.ndim != 3 or img.dtype != np.uint8:
+        raise ValueError("expected (H, W, C) uint8")
+    planes = np.moveaxis(img, -1, 0)
+    return wrap(_encode_planes(planes, config), img.shape[2], LAYOUT_IMAGE)
 
 
 def decode_color_from_bytes(blob: bytes, config: CodecConfig | None = None) -> np.ndarray:
-    """MHTV container -> (H, W, C); verifies the recorded planes CRC.
+    """MHTC (or legacy bare MHTV) container -> (H, W, C) uint8, CRC-verified."""
+    if blob[:4] == COLOR_MAGIC:
+        inner, channels, layout, kind = unwrap(blob)
+        if layout != LAYOUT_IMAGE or kind != KIND_U8:
+            raise ValueError(
+                "MHTC blob is not a u8 color image (use the video/gray16 "
+                "decoder matching its layout/kind)")
+        planes = _decode_planes(inner, config)
+        if planes.shape[0] != channels:
+            raise ValueError("MHTC channel count disagrees with inner frames")
+    else:
+        # legacy: encode_color_to_bytes once wrote a bare MHTV whose frame
+        # count was the channel count
+        planes = _decode_planes(blob, config)
+    return np.moveaxis(planes, 0, -1)
 
-    The container's recorded block_dim/mode are authoritative (as in
-    ``decode_video``); config chooses the backend only.
+
+def encode_color_video_to_bytes(
+    frames: np.ndarray, config: CodecConfig | None = None
+) -> bytes:
+    """(T, H, W, C) uint8 -> MHTC video container (T*C planes, frame-major)."""
+    frames = np.asarray(frames)
+    if frames.ndim != 4 or frames.dtype != np.uint8:
+        raise ValueError("expected (T, H, W, C) uint8")
+    t, h, w, c = frames.shape
+    planes = frames.transpose(0, 3, 1, 2).reshape(t * c, h, w)
+    return wrap(_encode_planes(planes, config), c, LAYOUT_VIDEO)
+
+
+def decode_color_video_from_bytes(
+    blob: bytes, config: CodecConfig | None = None
+) -> np.ndarray:
+    """MHTC video container -> (T, H, W, C) uint8, CRC-verified."""
+    inner, channels, layout, kind = unwrap(blob)
+    if layout != LAYOUT_VIDEO or kind != KIND_U8:
+        raise ValueError("MHTC blob is not a u8 color video")
+    planes = _decode_planes(inner, config)
+    n, h, w = planes.shape
+    if n % channels:
+        raise ValueError("MHTC inner frame count is not a channel multiple")
+    return planes.reshape(n // channels, channels, h, w).transpose(0, 2, 3, 1)
+
+
+# -- 16-bit grayscale (depth maps) as hi/lo byte planes ------------------------
+#
+# A uint16 image splits into (hi, lo) uint8 planes that ride the same planar
+# pipeline. The hi plane of natural depth content is extremely low-entropy
+# (near-constant), so it compresses to almost nothing; the pair shares one
+# canonical table. This has no reference counterpart (8-bit only).
+
+
+def encode_gray16_to_bytes(img: np.ndarray, config: CodecConfig | None = None) -> bytes:
+    """(H, W) or (T, H, W) uint16 -> MHTC kind=1 container."""
+    img = np.asarray(img)
+    if img.dtype != np.uint16 or img.ndim not in (2, 3):
+        raise ValueError("expected (H, W) or (T, H, W) uint16")
+    video = img.ndim == 3
+    stack = img if video else img[None]
+    hi = (stack >> 8).astype(np.uint8)
+    lo = (stack & 0xFF).astype(np.uint8)
+    t, h, w = stack.shape
+    planes = np.stack([hi, lo], axis=1).reshape(t * 2, h, w)
+    return wrap(_encode_planes(planes, config), 2,
+                LAYOUT_VIDEO if video else LAYOUT_IMAGE, KIND_U16)
+
+
+def decode_gray16_from_bytes(blob: bytes, config: CodecConfig | None = None) -> np.ndarray:
+    """MHTC kind=1 container -> (H, W) or (T, H, W) uint16, CRC-verified."""
+    inner, channels, layout, kind = unwrap(blob)
+    if kind != KIND_U16 or channels != 2:
+        raise ValueError("MHTC blob is not a 16-bit grayscale container")
+    planes = _decode_planes(inner, config)
+    n, h, w = planes.shape
+    pairs = planes.reshape(n // 2, 2, h, w).astype(np.uint16)
+    out = (pairs[:, 0] << 8) | pairs[:, 1]
+    return out if layout == LAYOUT_VIDEO else out[0]
+
+
+# -- temporal random access ----------------------------------------------------
+
+
+def _decode_inner_range(inner: bytes, a: int, b: int, config) -> np.ndarray:
+    """Decode inner frames [a, b) of an MHTV/MHV2 blob -> (b-a, H, W).
+
+    Only those planes' blocks are decoded (per-block offset index random
+    access, ``frame_stream.frame_slice``); an MHV2 range may straddle
+    segment boundaries. No CRC check — the recorded CRC covers the whole
+    payload, as with grayscale ``--frame`` access.
     """
-    import dataclasses
+    cfg = config or CodecConfig()
+    if inner[:4] == frame_stream.SHARED_MAGIC:
+        stream, t, h, w, bd, delta = frame_stream.read_shared(inner)
+        if not 0 <= a < b <= t:
+            raise ValueError(f"planes [{a}, {b}) out of range ({t} planes)")
+        cfg = dataclasses.replace(cfg, block_dim=bd, delta=delta,
+                                  delta2d=stream.predictor == "2d")
+        view = frame_stream.frame_slice(stream, a, b - a, h, w, cfg)
+        return np.asarray(
+            frame_stream.decode_frames_shared(view, b - a, h, w, cfg))
+    if inner[:4] == frame_stream.SEGMENTED_MAGIC:
+        segs, t, h, w, bd, delta = frame_stream.read_segmented(inner)
+        if not 0 <= a < b <= t:
+            raise ValueError(f"planes [{a}, {b}) out of range ({t} planes)")
+        cfg = dataclasses.replace(
+            cfg, block_dim=bd, delta=delta,
+            delta2d=bool(segs) and segs[0][0].predictor == "2d")
+        outs, base = [], 0
+        for stream, ft in segs:  # a range may straddle segments
+            lo, hi = max(a, base), min(b, base + ft)
+            if lo < hi:
+                view = frame_stream.frame_slice(
+                    stream, lo - base, hi - lo, h, w, cfg)
+                outs.append(np.asarray(frame_stream.decode_frames_shared(
+                    view, hi - lo, h, w, cfg)))
+            base += ft
+        return np.concatenate(outs)
+    raise ValueError("MHTC inner blob is not an MHTV/MHV2 container")
 
-    stream, c, h, w, bd, delta = frame_stream.read_shared(blob)
-    cfg = dataclasses.replace(
-        config or CodecConfig(), block_dim=bd, delta=delta,
-        delta2d=stream.predictor == "2d")
-    out = decode_color(stream, h, w, c, cfg)
-    frame_stream.verify_source_crc32(
-        np.ascontiguousarray(np.moveaxis(out, -1, 0)),
-        frame_stream.source_crc32(blob))
-    return out
+
+def decode_color_frame(blob: bytes, n: int, config: CodecConfig | None = None) -> np.ndarray:
+    """Random access: decode frame ``n`` of an MHTC video -> (H, W, C).
+
+    Decodes only that frame's C planes (1/T of the batch work); kind=1
+    containers return (H, W) uint16 instead.
+    """
+    inner, channels, layout, kind = unwrap(blob)
+    if layout != LAYOUT_VIDEO:
+        raise ValueError("MHTC blob is a single image (no frame axis)")
+    planes = _decode_inner_range(
+        inner, n * channels, (n + 1) * channels, config)
+    if kind == KIND_U16:
+        p = planes.astype(np.uint16)
+        return (p[0] << 8) | p[1]
+    return np.moveaxis(planes, 0, -1)
+
+
+def describe(blob: bytes) -> str:
+    """One-line human description of the MHTC wrapper (for CLI ``info``)."""
+    _, channels, layout, kind = unwrap(blob)
+    what = "u16 grayscale (hi/lo planes)" if kind == KIND_U16 else \
+        f"{channels}-channel u8"
+    shape = "video" if layout == LAYOUT_VIDEO else "image"
+    return f"MHTC: {what} {shape}"

@@ -39,6 +39,72 @@ def save_grayscale(img: np.ndarray, path: str | Path) -> None:
     Image.fromarray(img, mode="L").save(path)
 
 
+def load_color(path: str | Path) -> np.ndarray:
+    """Load an image keeping color: (H, W, 3) RGB or (H, W, 4) RGBA uint8.
+
+    Unlike the reference (which throws color away through its CoreGraphics
+    gray conversion, ``HuffRenderFrame.m:93-127``), the color pipeline keeps
+    every channel; alpha is preserved only when the file actually carries it.
+    Grayscale files come back as (H, W, 3) via channel replication.
+    """
+    path = Path(path)
+    if path.suffix == ".gray":
+        g = load_raw_gray(path)
+        return np.repeat(g[..., None], 3, axis=-1)
+    if path.suffix.lower() == ".tga":
+        img = load_tga(path)
+        if img.ndim == 2:
+            return np.repeat(img[..., None], 3, axis=-1)
+        return img[..., ::-1].copy()  # BGR -> RGB
+    from PIL import Image
+
+    im = Image.open(path)
+    mode = "RGBA" if im.mode in ("RGBA", "LA", "PA") else "RGB"
+    return np.asarray(im.convert(mode))
+
+
+def save_color(img: np.ndarray, path: str | Path) -> None:
+    """Save (H, W, 3) RGB / (H, W, 4) RGBA uint8 to any PIL-supported format."""
+    from PIL import Image
+
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim != 3 or img.shape[2] not in (3, 4):
+        raise ValueError("expected (H, W, 3) or (H, W, 4) uint8")
+    mode = "RGBA" if img.shape[2] == 4 else "RGB"
+    Image.fromarray(img, mode=mode).save(path)
+
+
+def load_gray16(path: str | Path) -> np.ndarray:
+    """Load a 16-bit grayscale image: .npy (uint16) or 16-bit PNG/TIFF."""
+    path = Path(path)
+    if path.suffix == ".npy":
+        arr = np.load(path)
+        if arr.dtype != np.uint16:
+            raise ValueError("expected a uint16 .npy array")
+        return arr
+    from PIL import Image
+
+    im = Image.open(path)
+    arr = np.asarray(im)
+    if arr.dtype == np.uint16:
+        return arr
+    if arr.dtype == np.int32:  # PIL mode "I" for 16-bit PNGs
+        return arr.astype(np.uint16)
+    raise ValueError(f"{path} is not a 16-bit grayscale image ({arr.dtype})")
+
+
+def save_gray16(img: np.ndarray, path: str | Path) -> None:
+    """Save (H, W) uint16 as .npy or a 16-bit PNG."""
+    path = Path(path)
+    img = np.asarray(img, dtype=np.uint16)
+    if path.suffix == ".npy":
+        np.save(path, img)
+        return
+    from PIL import Image
+
+    Image.fromarray(img, mode="I;16").save(path)
+
+
 # -- raw .gray: trivial dependency-free container -----------------------------
 
 _GRAY_MAGIC = b"GRY1"

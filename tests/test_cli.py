@@ -121,3 +121,102 @@ def test_video_zero_init_cli(tmp_path):
     assert cli.main(["decode-video", str(mhtv), str(out),
                      "--backend", "pallas", "--interpret"]) == 0
     np.testing.assert_array_equal(np.load(out), frames)
+
+
+def _rgb_img(h, w, seed=0):
+    rng = np.random.default_rng(seed)
+    yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    r = np.clip(120 + 80 * np.sin(xx / 9.0), 0, 255)
+    g = np.clip(100 + 80 * np.cos(yy / 7.0), 0, 255)
+    b = np.clip(90 + rng.normal(0, 12, (h, w)), 0, 255)
+    return np.stack([r, g, b], axis=-1).astype(np.uint8)
+
+
+def test_color_image_cli(tmp_path, capsys):
+    from metalhuffman_tpu.utils import imageio
+
+    img = _rgb_img(24, 32)
+    src = tmp_path / "in.png"
+    imageio.save_color(img, src)
+    mhtc = tmp_path / "out.mhtc"
+    out = tmp_path / "restored.png"
+    assert cli.main(["encode", str(src), str(mhtc), "--color",
+                     "--backend", "pallas", "--interpret"]) == 0
+    assert cli.main(["info", str(mhtc)]) == 0
+    assert "MHTC" in capsys.readouterr().out
+    assert cli.main(["decode", str(mhtc), str(out),
+                     "--backend", "pallas", "--interpret"]) == 0
+    np.testing.assert_array_equal(imageio.load_color(out), img)
+    assert cli.main(["verify", str(mhtc),
+                     "--backend", "pallas", "--interpret"]) == 0
+    assert "PASS" in capsys.readouterr().out
+    assert cli.main(["roundtrip", str(src), "--color",
+                     "--backend", "pallas", "--interpret"]) == 0
+    assert "bit-exact" in capsys.readouterr().out
+
+
+def test_color_video_cli(tmp_path, capsys):
+    from metalhuffman_tpu.utils import imageio
+
+    frames = np.stack([_rgb_img(16, 24, seed=i) for i in range(3)])
+    src = tmp_path / "frames.npy"
+    np.save(src, frames)
+    mhtc = tmp_path / "out.mhtc"
+    out = tmp_path / "decoded.npy"
+    assert cli.main(["encode-video", str(src), str(mhtc), "--color",
+                     "--backend", "pallas", "--interpret"]) == 0
+    assert cli.main(["decode-video", str(mhtc), str(out),
+                     "--backend", "pallas", "--interpret"]) == 0
+    np.testing.assert_array_equal(np.load(out), frames)
+    # temporal random access on the color container
+    one = tmp_path / "frame1.png"
+    assert cli.main(["decode-video", str(mhtc), str(one), "--frame", "1",
+                     "--backend", "pallas", "--interpret"]) == 0
+    np.testing.assert_array_equal(imageio.load_color(one), frames[1])
+    # on-device end-bit integrity check rides the inner plane stream
+    assert cli.main(["decode-video", str(mhtc), str(out), "--check",
+                     "--backend", "pallas", "--interpret"]) == 0
+    np.testing.assert_array_equal(np.load(out), frames)
+    capsys.readouterr()
+    assert cli.main(["verify", str(mhtc),
+                     "--backend", "pallas", "--interpret"]) == 0
+    assert "PASS" in capsys.readouterr().out
+    # an MHTC video refuses the single-image decoder
+    with pytest.raises(SystemExit, match="decode-video"):
+        cli.main(["decode", str(mhtc), str(tmp_path / "x.png")])
+
+
+def test_gray16_cli(tmp_path):
+    rng = np.random.default_rng(3)
+    img = (rng.integers(0, 1 << 16, (24, 32))).astype(np.uint16)
+    src = tmp_path / "depth.npy"
+    np.save(src, img)
+    mhtc = tmp_path / "out.mhtc"
+    out = tmp_path / "restored.npy"
+    assert cli.main(["encode", str(src), str(mhtc), "--gray16",
+                     "--backend", "pallas", "--interpret"]) == 0
+    assert cli.main(["decode", str(mhtc), str(out),
+                     "--backend", "pallas", "--interpret"]) == 0
+    restored = np.load(out)
+    assert restored.dtype == np.uint16
+    np.testing.assert_array_equal(restored, img)
+
+
+def test_gray16_video_cli(tmp_path):
+    rng = np.random.default_rng(9)
+    frames = rng.integers(0, 1 << 16, (2, 16, 24)).astype(np.uint16)
+    src = tmp_path / "depth.npy"
+    np.save(src, frames)
+    mhtc = tmp_path / "out.mhtc"
+    out = tmp_path / "restored.npy"
+    assert cli.main(["encode-video", str(src), str(mhtc), "--gray16",
+                     "--backend", "pallas", "--interpret"]) == 0
+    assert cli.main(["decode-video", str(mhtc), str(out),
+                     "--backend", "pallas", "--interpret"]) == 0
+    restored = np.load(out)
+    assert restored.dtype == np.uint16
+    np.testing.assert_array_equal(restored, frames)
+    one = tmp_path / "f1.npy"
+    assert cli.main(["decode-video", str(mhtc), str(one), "--frame", "1",
+                     "--backend", "pallas", "--interpret"]) == 0
+    np.testing.assert_array_equal(np.load(one), frames[1])
