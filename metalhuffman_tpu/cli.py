@@ -69,7 +69,13 @@ def cmd_encode(args) -> int:
         raw = img.size * 2
     elif getattr(args, "color", False):
         img = imageio.load_color(args.input)
-        blob = color.encode_color_to_bytes(img, _config(args))
+        if getattr(args, "best", False):
+            blob = color.encode_color_best(img, _config(args))
+        else:
+            cs = (color.CS_SUBGREEN if getattr(args, "subgreen", False)
+                  else color.CS_IDENTITY)
+            blob = color.encode_color_to_bytes(img, _config(args),
+                                               colorspace=cs)
         kind = f"{img.shape[0]}x{img.shape[1]}x{img.shape[2]}"
         raw = img.size
     else:
@@ -94,7 +100,7 @@ def cmd_decode(args) -> int:
     cfg = _config(args)
     t0 = time.perf_counter()
     if blob[:4] == color.COLOR_MAGIC:
-        _, _c, layout, kind = color.unwrap(blob)
+        _, _c, layout, kind, _cs = color.unwrap(blob)
         if layout == color.LAYOUT_VIDEO:
             raise SystemExit(
                 f"{args.input} is an MHTC video container — use decode-video")
@@ -297,12 +303,16 @@ def cmd_encode_video(args) -> int:
         t, h, w, c = frames.shape
         t0 = time.perf_counter()
         cfg = _config(args)
+        cs = (color_mod.CS_SUBGREEN if getattr(args, "subgreen", False)
+              else color_mod.CS_IDENTITY)
         if getattr(args, "best", False):
             # precoder selection runs on the actual plane stack (the payload
-            # the inner container carries)
-            planes = frames.transpose(0, 3, 1, 2).reshape(t * c, h, w)
+            # the inner container carries, after any colorspace transform)
+            src = color_mod.to_subgreen(frames) if cs else frames
+            planes = src.transpose(0, 3, 1, 2).reshape(t * c, h, w)
             cfg = _pick_best_precoder(planes, cfg)
-        blob = color_mod.encode_color_video_to_bytes(frames, cfg)
+        blob = color_mod.encode_color_video_to_bytes(frames, cfg,
+                                                     colorspace=cs)
         dt = time.perf_counter() - t0
         Path(args.output).write_bytes(blob)
         print(
@@ -570,7 +580,7 @@ def _cmd_decode_video_color(args, data: bytes, cfg, check: bool) -> int:
     from .models import color
     from .utils import imageio
 
-    inner, channels, layout, kind = color.unwrap(data)
+    inner, channels, layout, kind, cs = color.unwrap(data)
     if layout != color.LAYOUT_VIDEO:
         raise SystemExit(
             f"{args.input} is an MHTC image container — use decode")
@@ -608,8 +618,8 @@ def _cmd_decode_video_color(args, data: bytes, cfg, check: bool) -> int:
         pairs = planes.reshape(n // 2, 2, h, w).astype(np.uint16)
         frames = (pairs[:, 0] << 8) | pairs[:, 1]
     else:
-        frames = planes.reshape(
-            n // channels, channels, h, w).transpose(0, 2, 3, 1)
+        frames = color._invert_cs(planes.reshape(
+            n // channels, channels, h, w).transpose(0, 2, 3, 1), cs)
     t = frames.shape[0]
     dt = time.perf_counter() - t0
     out = Path(args.output)
@@ -788,6 +798,12 @@ def main(argv=None) -> int:
     p.add_argument("--gray16", action="store_true",
                    help="16-bit grayscale (uint16 .npy or 16-bit PNG) as "
                         "hi/lo byte planes in an MHTC container")
+    p.add_argument("--subgreen", action="store_true",
+                   help="with --color: store sub-green planes (R-G, G, B-G "
+                        "mod 256) — smaller on natural photos")
+    p.add_argument("--best", action="store_true",
+                   help="with --color: measure colorspace x precoder on the "
+                        "payload and keep the smallest (6 host encodes)")
     _add_codec_flags(p)
     p.set_defaults(fn=cmd_encode)
 
@@ -821,6 +837,9 @@ def main(argv=None) -> int:
     p.add_argument("--gray16", action="store_true",
                    help="16-bit video: (T,H,W) uint16 .npy stack -> MHTC "
                         "container (hi/lo byte planes)")
+    p.add_argument("--subgreen", action="store_true",
+                   help="with --color: store sub-green planes (R-G, G, B-G "
+                        "mod 256) — smaller on natural photos")
     _add_codec_flags(p)
     p.set_defaults(fn=cmd_encode_video)
 

@@ -10,12 +10,16 @@ and for 16-bit grayscale (depth maps) as hi/lo byte planes.
 
 On disk the MHTC container is a thin typed wrapper over the video containers:
 
-    "MHTC" | u8 channels | u8 layout | u8 kind | u8 reserved | inner blob
+    "MHTC" | u8 channels | u8 layout | u8 kind | u8 colorspace | inner blob
 
 - ``layout``: 0 = single image (inner frames = C planes), 1 = video (inner
   frames = T*C planes, frame-major: frame t's planes are contiguous).
 - ``kind``: 0 = uint8 channels (RGB/RGBA/arbitrary), 1 = uint16 grayscale
   bit-split into (hi, lo) byte planes (``channels`` is 2).
+- ``colorspace``: 0 = identity, 1 = sub-green (planes carry R-G, G, B-G
+  mod 256; alpha untouched) — a reversible byte-preserving decorrelation
+  that pays on natural-color photos (chroma residuals are near-zero) and
+  hurts on rendered content, so ``encode --color --best`` measures both.
 - ``inner``: any video container (MHTV, or segmented MHV2 when the plane
   stream would overflow u32 block offsets) — so color inherits the whole
   decode stack: Pallas batch kernel, integrity checks, source CRC-32,
@@ -41,24 +45,65 @@ LAYOUT_VIDEO = 1
 KIND_U8 = 0
 KIND_U16 = 1
 
+CS_IDENTITY = 0
+CS_SUBGREEN = 1
 
-def wrap(inner: bytes, channels: int, layout: int, kind: int = KIND_U8) -> bytes:
+
+def wrap(inner: bytes, channels: int, layout: int, kind: int = KIND_U8,
+         colorspace: int = CS_IDENTITY) -> bytes:
     """Wrap an inner video container blob in the MHTC header."""
     if not 1 <= channels <= 255:
         raise ValueError("channels must be in 1..255")
-    return COLOR_MAGIC + struct.pack("<BBBB", channels, layout, kind, 0) + inner
+    return (COLOR_MAGIC
+            + struct.pack("<BBBB", channels, layout, kind, colorspace)
+            + inner)
 
 
 def unwrap(blob: bytes):
-    """MHTC blob -> (inner_bytes, channels, layout, kind)."""
+    """MHTC blob -> (inner_bytes, channels, layout, kind, colorspace)."""
     if blob[:4] != COLOR_MAGIC:
         raise ValueError("not an MHTC container")
-    channels, layout, kind, _ = struct.unpack_from("<BBBB", blob, 4)
+    channels, layout, kind, colorspace = struct.unpack_from("<BBBB", blob, 4)
     if layout not in (LAYOUT_IMAGE, LAYOUT_VIDEO):
         raise ValueError(f"unknown MHTC layout {layout}")
     if kind not in (KIND_U8, KIND_U16):
         raise ValueError(f"unknown MHTC kind {kind}")
-    return blob[8:], channels, layout, kind
+    if colorspace not in (CS_IDENTITY, CS_SUBGREEN):
+        raise ValueError(f"unknown MHTC colorspace {colorspace}")
+    return blob[8:], channels, layout, kind, colorspace
+
+
+def to_subgreen(img: np.ndarray) -> np.ndarray:
+    """(..., C>=3) uint8 -> sub-green: (R-G, G, B-G) mod 256, alpha untouched.
+
+    Reversible and byte-preserving (mod-256 wraparound), so the planes stay
+    valid 8-bit Huffman symbols; on natural-color photos the chroma planes
+    become near-zero residuals (see PERF.md predictor study).
+    """
+    out = img.copy()
+    out[..., 0] = img[..., 0] - img[..., 1]  # uint8 wraps mod 256
+    out[..., 2] = img[..., 2] - img[..., 1]
+    return out
+
+
+def from_subgreen(img: np.ndarray) -> np.ndarray:
+    """Inverse of :func:`to_subgreen`."""
+    out = img.copy()
+    out[..., 0] = img[..., 0] + img[..., 1]
+    out[..., 2] = img[..., 2] + img[..., 1]
+    return out
+
+
+def _apply_cs(img: np.ndarray, colorspace: int) -> np.ndarray:
+    if colorspace == CS_SUBGREEN:
+        if img.shape[-1] < 3:
+            raise ValueError("sub-green needs at least 3 channels")
+        return to_subgreen(img)
+    return img
+
+
+def _invert_cs(img: np.ndarray, colorspace: int) -> np.ndarray:
+    return from_subgreen(img) if colorspace == CS_SUBGREEN else img
 
 
 # -- stream-level API (no container) ------------------------------------------
@@ -108,19 +153,25 @@ def _decode_planes(inner: bytes, config) -> np.ndarray:
     return decode_video(inner, config)
 
 
-def encode_color_to_bytes(img: np.ndarray, config: CodecConfig | None = None) -> bytes:
-    """(H, W, C) uint8 -> MHTC container (planes as inner frames)."""
+def encode_color_to_bytes(img: np.ndarray, config: CodecConfig | None = None,
+                          colorspace: int = CS_IDENTITY) -> bytes:
+    """(H, W, C) uint8 -> MHTC container (planes as inner frames).
+
+    ``colorspace=CS_SUBGREEN`` stores (R-G, G, B-G) planes — smaller on
+    natural photos; :func:`encode_color_best` measures and picks.
+    """
     img = np.asarray(img)
     if img.ndim != 3 or img.dtype != np.uint8:
         raise ValueError("expected (H, W, C) uint8")
-    planes = np.moveaxis(img, -1, 0)
-    return wrap(_encode_planes(planes, config), img.shape[2], LAYOUT_IMAGE)
+    planes = np.moveaxis(_apply_cs(img, colorspace), -1, 0)
+    return wrap(_encode_planes(planes, config), img.shape[2], LAYOUT_IMAGE,
+                colorspace=colorspace)
 
 
 def decode_color_from_bytes(blob: bytes, config: CodecConfig | None = None) -> np.ndarray:
     """MHTC (or legacy bare MHTV) container -> (H, W, C) uint8, CRC-verified."""
     if blob[:4] == COLOR_MAGIC:
-        inner, channels, layout, kind = unwrap(blob)
+        inner, channels, layout, kind, cs = unwrap(blob)
         if layout != LAYOUT_IMAGE or kind != KIND_U8:
             raise ValueError(
                 "MHTC blob is not a u8 color image (use the video/gray16 "
@@ -131,34 +182,68 @@ def decode_color_from_bytes(blob: bytes, config: CodecConfig | None = None) -> n
     else:
         # legacy: encode_color_to_bytes once wrote a bare MHTV whose frame
         # count was the channel count
-        planes = _decode_planes(blob, config)
-    return np.moveaxis(planes, 0, -1)
+        planes, cs = _decode_planes(blob, config), CS_IDENTITY
+    return _invert_cs(np.moveaxis(planes, 0, -1), cs)
+
+
+def encode_color_best(img: np.ndarray, config: CodecConfig | None = None,
+                      search_precoders: bool = True) -> bytes:
+    """Measure colorspace (and precoder) choices on the real payload; keep
+    the smallest container.
+
+    The color analog of ``ImageCodec.encode_best``: channel decorrelation
+    pays on natural-color photos and hurts on rendered content (PERF.md),
+    so measuring is the only safe policy. With ``search_precoders`` the
+    none/delta/delta2d axis is searched too (2x3 = 6 host encodes).
+    """
+    img = np.asarray(img)
+    cfg = config or CodecConfig()
+    spaces = [CS_IDENTITY]
+    if img.ndim == 3 and img.shape[-1] >= 3:
+        spaces.append(CS_SUBGREEN)
+    if search_precoders:
+        configs = [
+            dataclasses.replace(cfg, delta=False, delta2d=False,
+                                zero_init=False),
+            dataclasses.replace(cfg, delta=True, delta2d=False),
+            dataclasses.replace(cfg, delta=True, delta2d=True),
+        ]
+    else:
+        configs = [cfg]
+    return min(
+        (encode_color_to_bytes(img, c, colorspace=cs)
+         for cs in spaces for c in configs),
+        key=len)
 
 
 def encode_color_video_to_bytes(
-    frames: np.ndarray, config: CodecConfig | None = None
+    frames: np.ndarray, config: CodecConfig | None = None,
+    colorspace: int = CS_IDENTITY,
 ) -> bytes:
     """(T, H, W, C) uint8 -> MHTC video container (T*C planes, frame-major)."""
     frames = np.asarray(frames)
     if frames.ndim != 4 or frames.dtype != np.uint8:
         raise ValueError("expected (T, H, W, C) uint8")
     t, h, w, c = frames.shape
-    planes = frames.transpose(0, 3, 1, 2).reshape(t * c, h, w)
-    return wrap(_encode_planes(planes, config), c, LAYOUT_VIDEO)
+    planes = _apply_cs(frames, colorspace).transpose(0, 3, 1, 2).reshape(
+        t * c, h, w)
+    return wrap(_encode_planes(planes, config), c, LAYOUT_VIDEO,
+                colorspace=colorspace)
 
 
 def decode_color_video_from_bytes(
     blob: bytes, config: CodecConfig | None = None
 ) -> np.ndarray:
     """MHTC video container -> (T, H, W, C) uint8, CRC-verified."""
-    inner, channels, layout, kind = unwrap(blob)
+    inner, channels, layout, kind, cs = unwrap(blob)
     if layout != LAYOUT_VIDEO or kind != KIND_U8:
         raise ValueError("MHTC blob is not a u8 color video")
     planes = _decode_planes(inner, config)
     n, h, w = planes.shape
     if n % channels:
         raise ValueError("MHTC inner frame count is not a channel multiple")
-    return planes.reshape(n // channels, channels, h, w).transpose(0, 2, 3, 1)
+    out = planes.reshape(n // channels, channels, h, w).transpose(0, 2, 3, 1)
+    return _invert_cs(out, cs)
 
 
 # -- 16-bit grayscale (depth maps) as hi/lo byte planes ------------------------
@@ -186,7 +271,7 @@ def encode_gray16_to_bytes(img: np.ndarray, config: CodecConfig | None = None) -
 
 def decode_gray16_from_bytes(blob: bytes, config: CodecConfig | None = None) -> np.ndarray:
     """MHTC kind=1 container -> (H, W) or (T, H, W) uint16, CRC-verified."""
-    inner, channels, layout, kind = unwrap(blob)
+    inner, channels, layout, kind, _cs = unwrap(blob)
     if kind != KIND_U16 or channels != 2:
         raise ValueError("MHTC blob is not a 16-bit grayscale container")
     planes = _decode_planes(inner, config)
@@ -243,7 +328,7 @@ def decode_color_frame(blob: bytes, n: int, config: CodecConfig | None = None) -
     Decodes only that frame's C planes (1/T of the batch work); kind=1
     containers return (H, W) uint16 instead.
     """
-    inner, channels, layout, kind = unwrap(blob)
+    inner, channels, layout, kind, cs = unwrap(blob)
     if layout != LAYOUT_VIDEO:
         raise ValueError("MHTC blob is a single image (no frame axis)")
     planes = _decode_inner_range(
@@ -251,13 +336,14 @@ def decode_color_frame(blob: bytes, n: int, config: CodecConfig | None = None) -
     if kind == KIND_U16:
         p = planes.astype(np.uint16)
         return (p[0] << 8) | p[1]
-    return np.moveaxis(planes, 0, -1)
+    return _invert_cs(np.moveaxis(planes, 0, -1), cs)
 
 
 def describe(blob: bytes) -> str:
     """One-line human description of the MHTC wrapper (for CLI ``info``)."""
-    _, channels, layout, kind = unwrap(blob)
+    _, channels, layout, kind, cs = unwrap(blob)
     what = "u16 grayscale (hi/lo planes)" if kind == KIND_U16 else \
         f"{channels}-channel u8"
     shape = "video" if layout == LAYOUT_VIDEO else "image"
-    return f"MHTC: {what} {shape}"
+    space = ", sub-green" if cs == CS_SUBGREEN else ""
+    return f"MHTC: {what} {shape}{space}"

@@ -220,3 +220,54 @@ def test_gray16_video_cli(tmp_path):
     assert cli.main(["decode-video", str(mhtc), str(one), "--frame", "1",
                      "--backend", "pallas", "--interpret"]) == 0
     np.testing.assert_array_equal(np.load(one), frames[1])
+
+
+def test_color_subgreen_and_best_cli(tmp_path, capsys):
+    from metalhuffman_tpu.utils import imageio
+
+    # luma-shared channels: sub-green should win and --best should find it
+    rng = np.random.default_rng(17)
+    luma = (np.cumsum(rng.integers(-4, 5, (32, 40)), axis=1) + 128)
+    img = np.stack([np.clip(luma + rng.integers(-3, 4, luma.shape), 0, 255),
+                    np.clip(luma, 0, 255),
+                    np.clip(luma + rng.integers(-3, 4, luma.shape), 0, 255)],
+                   axis=-1).astype(np.uint8)
+    src = tmp_path / "in.png"
+    imageio.save_color(img, src)
+    sub = tmp_path / "sub.mhtc"
+    best = tmp_path / "best.mhtc"
+    ident = tmp_path / "ident.mhtc"
+    out = tmp_path / "restored.png"
+    for flags, path in ([["--subgreen"], sub], [["--best"], best], [[], ident]):
+        assert cli.main(["encode", str(src), str(path), "--color", *flags,
+                         "--backend", "pallas", "--interpret"]) == 0
+    assert sub.stat().st_size < ident.stat().st_size
+    assert best.stat().st_size <= sub.stat().st_size
+    for path in (sub, best):
+        assert cli.main(["decode", str(path), str(out),
+                         "--backend", "pallas", "--interpret"]) == 0
+        np.testing.assert_array_equal(imageio.load_color(out), img)
+    capsys.readouterr()
+    assert cli.main(["info", str(sub)]) == 0
+    assert "sub-green" in capsys.readouterr().out
+
+
+def test_color_video_subgreen_cli(tmp_path):
+    from metalhuffman_tpu.models import color as color_mod
+    from metalhuffman_tpu.utils import imageio
+
+    frames = np.stack([_rgb_img(16, 24, seed=i) for i in range(2)])
+    src = tmp_path / "frames.npy"
+    np.save(src, frames)
+    mhtc = tmp_path / "out.mhtc"
+    out = tmp_path / "decoded.npy"
+    assert cli.main(["encode-video", str(src), str(mhtc), "--color",
+                     "--subgreen", "--backend", "pallas", "--interpret"]) == 0
+    assert color_mod.unwrap(mhtc.read_bytes())[4] == color_mod.CS_SUBGREEN
+    assert cli.main(["decode-video", str(mhtc), str(out),
+                     "--backend", "pallas", "--interpret"]) == 0
+    np.testing.assert_array_equal(np.load(out), frames)
+    one = tmp_path / "f1.png"
+    assert cli.main(["decode-video", str(mhtc), str(one), "--frame", "1",
+                     "--backend", "pallas", "--interpret"]) == 0
+    np.testing.assert_array_equal(imageio.load_color(one), frames[1])

@@ -139,3 +139,55 @@ def test_describe():
     g16 = color.encode_gray16_to_bytes(
         np.zeros((8, 8), np.uint16), cfg)
     assert "u16" in color.describe(g16)
+
+
+def test_subgreen_transform_inverts():
+    rng = np.random.default_rng(21)
+    img = rng.integers(0, 256, (16, 16, 4), np.uint8)  # incl. wraparound
+    t = color.to_subgreen(img)
+    np.testing.assert_array_equal(color.from_subgreen(t), img)
+    np.testing.assert_array_equal(t[..., 1], img[..., 1])  # G untouched
+    np.testing.assert_array_equal(t[..., 3], img[..., 3])  # alpha untouched
+
+
+def _photo_like_rgb(h, w, seed=0):
+    """Channels dominated by shared luma (natural-photo statistics)."""
+    rng = np.random.default_rng(seed)
+    luma = np.cumsum(rng.integers(-4, 5, (h, w)), axis=1) + 128
+    img = np.stack([
+        np.clip(luma + rng.integers(-3, 4, (h, w)), 0, 255),
+        np.clip(luma, 0, 255),
+        np.clip(luma + rng.integers(-3, 4, (h, w)), 0, 255),
+    ], axis=-1)
+    return img.astype(np.uint8)
+
+
+def test_subgreen_image_roundtrip_and_wins_on_photo():
+    img = _photo_like_rgb(48, 64)
+    cfg = CodecConfig(interpret=True)
+    ident = color.encode_color_to_bytes(img, cfg)
+    sub = color.encode_color_to_bytes(img, cfg, colorspace=color.CS_SUBGREEN)
+    np.testing.assert_array_equal(color.decode_color_from_bytes(sub, cfg), img)
+    assert len(sub) < len(ident)  # decorrelation pays on luma-shared content
+    assert "sub-green" in color.describe(sub)
+    best = color.encode_color_best(img, cfg, search_precoders=False)
+    assert len(best) == len(sub)
+    np.testing.assert_array_equal(color.decode_color_from_bytes(best, cfg), img)
+
+
+def test_subgreen_video_roundtrip_and_frame_access():
+    frames = np.stack([_photo_like_rgb(24, 32, seed=i) for i in range(3)])
+    cfg = CodecConfig(interpret=True)
+    blob = color.encode_color_video_to_bytes(
+        frames, cfg, colorspace=color.CS_SUBGREEN)
+    np.testing.assert_array_equal(
+        color.decode_color_video_from_bytes(blob, cfg), frames)
+    np.testing.assert_array_equal(
+        color.decode_color_frame(blob, 2, cfg), frames[2])
+
+
+def test_encode_color_best_full_search_decodes():
+    img = _photo_like_rgb(32, 32, seed=9)
+    cfg = CodecConfig(interpret=True)
+    blob = color.encode_color_best(img, cfg)
+    np.testing.assert_array_equal(color.decode_color_from_bytes(blob, cfg), img)
