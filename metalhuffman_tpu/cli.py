@@ -61,9 +61,18 @@ def cmd_encode(args) -> int:
     from .models import ImageCodec, color
     from .utils import imageio
 
+    if getattr(args, "gray16", False) and getattr(args, "color", False):
+        raise SystemExit("--gray16 and --color are mutually exclusive")
     t0 = time.perf_counter()
     if getattr(args, "gray16", False):
+        if getattr(args, "best", False) or getattr(args, "subgreen", False):
+            raise SystemExit(
+                "--best/--subgreen apply to u8 inputs, not --gray16")
         img = imageio.load_gray16(args.input)
+        if img.ndim != 2:
+            raise SystemExit(
+                f"{args.input} is a {img.ndim}-D stack — use "
+                "`encode-video --gray16` for (T, H, W) uint16 sequences")
         blob = color.encode_gray16_to_bytes(img, _config(args))
         kind = f"{img.shape[0]}x{img.shape[1]} u16"
         raw = img.size * 2
@@ -79,8 +88,23 @@ def cmd_encode(args) -> int:
         kind = f"{img.shape[0]}x{img.shape[1]}x{img.shape[2]}"
         raw = img.size
     else:
+        if getattr(args, "subgreen", False):
+            raise SystemExit("--subgreen needs --color (it transforms "
+                             "RGB channels)")
         img = imageio.load_grayscale(args.input)
-        blob = ImageCodec(_config(args)).encode_to_bytes(img)
+        if getattr(args, "best", False):
+            # grayscale --best: measure none/delta/delta2d, keep the
+            # smallest (ImageCodec.encode_best)
+            from .core import container as container_mod
+
+            codec = ImageCodec(_config(args))
+            stream, delta_used = codec.encode_best(img)
+            blob = container_mod.write_frame(
+                stream, img.shape[0], img.shape[1], codec.config.block_dim,
+                delta_used,
+                source_crc32=zlib.crc32(np.ascontiguousarray(img).tobytes()))
+        else:
+            blob = ImageCodec(_config(args)).encode_to_bytes(img)
         kind = f"{img.shape[0]}x{img.shape[1]}"
         raw = img.size
     dt = time.perf_counter() - t0
@@ -279,6 +303,20 @@ def _pick_best_precoder(frames: np.ndarray, cfg):
 def cmd_encode_video(args) -> int:
     from .models import frame_stream
 
+    if getattr(args, "gray16", False) or getattr(args, "color", False):
+        # MHTC containers are always shared-table inside; other encode
+        # shaping flags do not apply — refuse rather than silently ignore
+        if getattr(args, "gray16", False) and getattr(args, "color", False):
+            raise SystemExit("--gray16 and --color are mutually exclusive")
+        if args.per_frame_tables:
+            raise SystemExit(
+                "--per-frame-tables applies to grayscale MHTS output only "
+                "(MHTC planes share one canonical table)")
+        if getattr(args, "gray16", False) and (
+                getattr(args, "best", False)
+                or getattr(args, "subgreen", False)):
+            raise SystemExit(
+                "--best/--subgreen apply to u8 color input, not --gray16")
     if getattr(args, "gray16", False):
         from .models import color as color_mod
 
@@ -488,24 +526,12 @@ def _decode_one_frame(data: bytes, cfg, n: int):
     def bad(total):
         raise SystemExit(f"--frame {n} out of range (container has {total})")
 
-    if data[:4] == frame_stream.SHARED_MAGIC:
-        stream, t, h, w, bd, delta = frame_stream.read_shared(data)
-        if not 0 <= n < t:
-            bad(t)
-        cfg = dataclasses.replace(cfg, block_dim=bd, delta=delta,
-                                  delta2d=stream.predictor == "2d")
-        return frame_stream.decode_frame(stream, n, h, w, cfg), h, w
-    if data[:4] == frame_stream.SEGMENTED_MAGIC:
-        segs, t, h, w, bd, delta = frame_stream.read_segmented(data)
-        if not 0 <= n < t:
-            bad(t)
-        cfg = dataclasses.replace(
-            cfg, block_dim=bd, delta=delta,
-            delta2d=bool(segs) and segs[0][0].predictor == "2d")
-        for stream, ft in segs:  # locate the owning segment
-            if n < ft:
-                return frame_stream.decode_frame(stream, n, h, w, cfg), h, w
-            n -= ft
+    if data[:4] in (frame_stream.SHARED_MAGIC, frame_stream.SEGMENTED_MAGIC):
+        try:
+            frames, h, w = frame_stream.decode_range(data, n, n + 1, cfg)
+        except ValueError as e:
+            raise SystemExit(str(e))
+        return frames.reshape(h, w), h, w
     if data[:4] == frame_stream.STREAM_MAGIC:
         streams, h, w, bd, delta = frame_stream.read_stream(data)
         if not 0 <= n < len(streams):
@@ -613,13 +639,7 @@ def _cmd_decode_video_color(args, data: bytes, cfg, check: bool) -> int:
     t0 = time.perf_counter()
     planes, n, h, w = _decode_video_frames(inner, cfg, check)
     _verify_video_crc(inner, planes)
-    planes = np.asarray(planes)
-    if kind == color.KIND_U16:
-        pairs = planes.reshape(n // 2, 2, h, w).astype(np.uint16)
-        frames = (pairs[:, 0] << 8) | pairs[:, 1]
-    else:
-        frames = color._invert_cs(planes.reshape(
-            n // channels, channels, h, w).transpose(0, 2, 3, 1), cs)
+    frames = color.fold_video_planes(np.asarray(planes), channels, kind, cs)
     t = frames.shape[0]
     dt = time.perf_counter() - t0
     out = Path(args.output)
@@ -802,8 +822,8 @@ def main(argv=None) -> int:
                    help="with --color: store sub-green planes (R-G, G, B-G "
                         "mod 256) — smaller on natural photos")
     p.add_argument("--best", action="store_true",
-                   help="with --color: measure colorspace x precoder on the "
-                        "payload and keep the smallest (6 host encodes)")
+                   help="measure precoders (and with --color, colorspaces) "
+                        "on the payload and keep the smallest container")
     _add_codec_flags(p)
     p.set_defaults(fn=cmd_encode)
 

@@ -63,6 +63,8 @@ def unwrap(blob: bytes):
     """MHTC blob -> (inner_bytes, channels, layout, kind, colorspace)."""
     if blob[:4] != COLOR_MAGIC:
         raise ValueError("not an MHTC container")
+    if len(blob) < 8:
+        raise ValueError("truncated MHTC container (header incomplete)")
     channels, layout, kind, colorspace = struct.unpack_from("<BBBB", blob, 4)
     if layout not in (LAYOUT_IMAGE, LAYOUT_VIDEO):
         raise ValueError(f"unknown MHTC layout {layout}")
@@ -104,6 +106,30 @@ def _apply_cs(img: np.ndarray, colorspace: int) -> np.ndarray:
 
 def _invert_cs(img: np.ndarray, colorspace: int) -> np.ndarray:
     return from_subgreen(img) if colorspace == CS_SUBGREEN else img
+
+
+def fold_video_planes(planes: np.ndarray, channels: int, kind: int,
+                      colorspace: int) -> np.ndarray:
+    """(N, H, W) uint8 planes -> (T, H, W, C) uint8 or (T, H, W) uint16.
+
+    The single inverse of the planar layout, shared by every video decode
+    surface (full decode, random access, CLI); validates the plane count
+    against the declared channels/kind.
+    """
+    n, h, w = planes.shape
+    if kind == KIND_U16:
+        if channels != 2 or n % 2:
+            raise ValueError(
+                f"u16 container needs hi/lo plane pairs (got {n} planes, "
+                f"channels={channels})")
+        pairs = planes.reshape(n // 2, 2, h, w).astype(np.uint16)
+        return (pairs[:, 0] << 8) | pairs[:, 1]
+    if channels == 0 or n % channels:
+        raise ValueError(
+            f"MHTC inner frame count ({n}) is not a multiple of the "
+            f"declared {channels} channels")
+    out = planes.reshape(n // channels, channels, h, w).transpose(0, 2, 3, 1)
+    return _invert_cs(out, colorspace)
 
 
 # -- stream-level API (no container) ------------------------------------------
@@ -238,12 +264,8 @@ def decode_color_video_from_bytes(
     inner, channels, layout, kind, cs = unwrap(blob)
     if layout != LAYOUT_VIDEO or kind != KIND_U8:
         raise ValueError("MHTC blob is not a u8 color video")
-    planes = _decode_planes(inner, config)
-    n, h, w = planes.shape
-    if n % channels:
-        raise ValueError("MHTC inner frame count is not a channel multiple")
-    out = planes.reshape(n // channels, channels, h, w).transpose(0, 2, 3, 1)
-    return _invert_cs(out, cs)
+    return fold_video_planes(_decode_planes(inner, config), channels,
+                             kind, cs)
 
 
 # -- 16-bit grayscale (depth maps) as hi/lo byte planes ------------------------
@@ -271,72 +293,36 @@ def encode_gray16_to_bytes(img: np.ndarray, config: CodecConfig | None = None) -
 
 def decode_gray16_from_bytes(blob: bytes, config: CodecConfig | None = None) -> np.ndarray:
     """MHTC kind=1 container -> (H, W) or (T, H, W) uint16, CRC-verified."""
-    inner, channels, layout, kind, _cs = unwrap(blob)
+    inner, channels, layout, kind, cs = unwrap(blob)
     if kind != KIND_U16 or channels != 2:
         raise ValueError("MHTC blob is not a 16-bit grayscale container")
-    planes = _decode_planes(inner, config)
-    n, h, w = planes.shape
-    pairs = planes.reshape(n // 2, 2, h, w).astype(np.uint16)
-    out = (pairs[:, 0] << 8) | pairs[:, 1]
-    return out if layout == LAYOUT_VIDEO else out[0]
+    out = fold_video_planes(_decode_planes(inner, config), channels, kind, cs)
+    if layout == LAYOUT_VIDEO:
+        return out
+    if out.shape[0] != 1:
+        raise ValueError(
+            f"single-image u16 container carries {out.shape[0]} planes pairs")
+    return out[0]
 
 
 # -- temporal random access ----------------------------------------------------
 
 
-def _decode_inner_range(inner: bytes, a: int, b: int, config) -> np.ndarray:
-    """Decode inner frames [a, b) of an MHTV/MHV2 blob -> (b-a, H, W).
-
-    Only those planes' blocks are decoded (per-block offset index random
-    access, ``frame_stream.frame_slice``); an MHV2 range may straddle
-    segment boundaries. No CRC check — the recorded CRC covers the whole
-    payload, as with grayscale ``--frame`` access.
-    """
-    cfg = config or CodecConfig()
-    if inner[:4] == frame_stream.SHARED_MAGIC:
-        stream, t, h, w, bd, delta = frame_stream.read_shared(inner)
-        if not 0 <= a < b <= t:
-            raise ValueError(f"planes [{a}, {b}) out of range ({t} planes)")
-        cfg = dataclasses.replace(cfg, block_dim=bd, delta=delta,
-                                  delta2d=stream.predictor == "2d")
-        view = frame_stream.frame_slice(stream, a, b - a, h, w, cfg)
-        return np.asarray(
-            frame_stream.decode_frames_shared(view, b - a, h, w, cfg))
-    if inner[:4] == frame_stream.SEGMENTED_MAGIC:
-        segs, t, h, w, bd, delta = frame_stream.read_segmented(inner)
-        if not 0 <= a < b <= t:
-            raise ValueError(f"planes [{a}, {b}) out of range ({t} planes)")
-        cfg = dataclasses.replace(
-            cfg, block_dim=bd, delta=delta,
-            delta2d=bool(segs) and segs[0][0].predictor == "2d")
-        outs, base = [], 0
-        for stream, ft in segs:  # a range may straddle segments
-            lo, hi = max(a, base), min(b, base + ft)
-            if lo < hi:
-                view = frame_stream.frame_slice(
-                    stream, lo - base, hi - lo, h, w, cfg)
-                outs.append(np.asarray(frame_stream.decode_frames_shared(
-                    view, hi - lo, h, w, cfg)))
-            base += ft
-        return np.concatenate(outs)
-    raise ValueError("MHTC inner blob is not an MHTV/MHV2 container")
-
-
 def decode_color_frame(blob: bytes, n: int, config: CodecConfig | None = None) -> np.ndarray:
     """Random access: decode frame ``n`` of an MHTC video -> (H, W, C).
 
-    Decodes only that frame's C planes (1/T of the batch work); kind=1
-    containers return (H, W) uint16 instead.
+    Decodes only that frame's C planes — 1/T of the batch work, via
+    ``frame_stream.decode_range`` (an MHV2 range may straddle segment
+    boundaries); kind=1 containers return (H, W) uint16 instead. No CRC
+    check — the recorded CRC covers the whole payload, as with grayscale
+    ``--frame`` access.
     """
     inner, channels, layout, kind, cs = unwrap(blob)
     if layout != LAYOUT_VIDEO:
         raise ValueError("MHTC blob is a single image (no frame axis)")
-    planes = _decode_inner_range(
+    planes, _h, _w = frame_stream.decode_range(
         inner, n * channels, (n + 1) * channels, config)
-    if kind == KIND_U16:
-        p = planes.astype(np.uint16)
-        return (p[0] << 8) | p[1]
-    return _invert_cs(np.moveaxis(planes, 0, -1), cs)
+    return fold_video_planes(planes, channels, kind, cs)[0]
 
 
 def describe(blob: bytes) -> str:

@@ -845,12 +845,58 @@ def decode_frames_shared(
     width: int,
     config: CodecConfig | None = None,
 ):
-    """Decode a shared-table stream -> (T, H, W) uint8 device array.
+    """Decode a shared-table stream -> (T, H, W) uint8 array.
 
     One fused program: Pallas kernel over all T*nb blocks + image reassembly.
+    ``backend="native"`` routes to the multithreaded host C++ decoder
+    instead (no device is touched), matching every other decode surface.
     """
+    cfg = config or CodecConfig()
+    if cfg.backend == "native":
+        return decode_frames_segmented(
+            [(stream, num_frames)], height, width, cfg)
     prep = prepare_shared(stream, num_frames, height, width, config)
     return decode_shared_step(prep, config)
+
+
+def decode_range(data: bytes, a: int, b: int,
+                 config: CodecConfig | None = None):
+    """Decode frames [a, b) of a shared-table container -> ((b-a, H, W), h, w).
+
+    Works on MHTV and segmented MHV2 blobs; only those frames' blocks are
+    decoded (per-block offset index random access via :func:`frame_slice`),
+    and an MHV2 range may straddle segment boundaries. The container header
+    is authoritative for block_dim/mode; config picks the backend. No CRC
+    check — the recorded CRC covers the whole payload.
+    """
+    import dataclasses
+
+    cfg = config or CodecConfig()
+    if data[:4] == SHARED_MAGIC:
+        stream, t, h, w, bd, delta = read_shared(data)
+        if not 0 <= a < b <= t:
+            raise ValueError(f"frames [{a}, {b}) out of range ({t} frames)")
+        cfg = dataclasses.replace(cfg, block_dim=bd, delta=delta,
+                                  delta2d=stream.predictor == "2d")
+        view = frame_slice(stream, a, b - a, h, w, cfg)
+        return np.asarray(decode_frames_shared(view, b - a, h, w, cfg)), h, w
+    if data[:4] == SEGMENTED_MAGIC:
+        segs, t, h, w, bd, delta = read_segmented(data)
+        if not 0 <= a < b <= t:
+            raise ValueError(f"frames [{a}, {b}) out of range ({t} frames)")
+        cfg = dataclasses.replace(
+            cfg, block_dim=bd, delta=delta,
+            delta2d=bool(segs) and segs[0][0].predictor == "2d")
+        outs, base = [], 0
+        for stream, ft in segs:  # a range may straddle segments
+            lo, hi = max(a, base), min(b, base + ft)
+            if lo < hi:
+                view = frame_slice(stream, lo - base, hi - lo, h, w, cfg)
+                outs.append(np.asarray(
+                    decode_frames_shared(view, hi - lo, h, w, cfg)))
+            base += ft
+        return np.concatenate(outs), h, w
+    raise ValueError("not an MHTV/MHV2 container")
 
 
 def frame_slice(
@@ -898,8 +944,6 @@ def decode_frame(
     """
     cfg = config or CodecConfig()
     view = frame_slice(stream, t, 1, height, width, cfg)
-    if cfg.backend == "native":
-        return decode_frames_segmented([(view, 1)], height, width, cfg)[0]
     return np.asarray(
         decode_frames_shared(view, 1, height, width, cfg)).reshape(
             height, width)

@@ -59,8 +59,9 @@ def load_color(path: str | Path) -> np.ndarray:
     from PIL import Image
 
     im = Image.open(path)
-    mode = "RGBA" if im.mode in ("RGBA", "LA", "PA") else "RGB"
-    return np.asarray(im.convert(mode))
+    has_alpha = (im.mode in ("RGBA", "LA", "PA")
+                 or (im.mode == "P" and "transparency" in im.info))
+    return np.asarray(im.convert("RGBA" if has_alpha else "RGB"))
 
 
 def save_color(img: np.ndarray, path: str | Path) -> None:

@@ -271,3 +271,55 @@ def test_color_video_subgreen_cli(tmp_path):
     assert cli.main(["decode-video", str(mhtc), str(one), "--frame", "1",
                      "--backend", "pallas", "--interpret"]) == 0
     np.testing.assert_array_equal(imageio.load_color(one), frames[1])
+
+
+def test_cli_flag_validation(tmp_path):
+    rng = np.random.default_rng(23)
+    stack16 = rng.integers(0, 1 << 16, (3, 8, 8)).astype(np.uint16)
+    np.save(tmp_path / "stack.npy", stack16)
+    frames = rng.integers(0, 256, (2, 8, 8, 3), np.uint8)
+    np.save(tmp_path / "color.npy", frames)
+    out = str(tmp_path / "o.mhtc")
+    # encode (image) refuses a 3-D gray16 stack
+    with pytest.raises(SystemExit, match="encode-video"):
+        cli.main(["encode", str(tmp_path / "stack.npy"), out, "--gray16"])
+    # MHTC output has no per-frame-tables mode
+    with pytest.raises(SystemExit, match="per-frame-tables"):
+        cli.main(["encode-video", str(tmp_path / "color.npy"), out,
+                  "--color", "--per-frame-tables"])
+    # subgreen without color is meaningless
+    with pytest.raises(SystemExit, match="--color"):
+        cli.main(["encode", str(tmp_path / "stack.npy"), out, "--subgreen"])
+
+
+def test_grayscale_best_cli(tmp_path, capsys):
+    from metalhuffman_tpu.utils import fixtures, imageio
+
+    img = fixtures.render_frame("bridge")  # real photo: a precoder should win
+    src = tmp_path / "in.png"
+    imageio.save_grayscale(img, src)
+    best = tmp_path / "best.mht"
+    plain = tmp_path / "plain.mht"
+    out = tmp_path / "restored.png"
+    assert cli.main(["encode", str(src), str(best), "--best",
+                     "--backend", "xla"]) == 0
+    assert cli.main(["encode", str(src), str(plain), "--no-delta",
+                     "--backend", "xla"]) == 0
+    assert best.stat().st_size < plain.stat().st_size
+    assert cli.main(["decode", str(best), str(out), "--backend", "xla"]) == 0
+    np.testing.assert_array_equal(imageio.load_grayscale(out), img)
+
+
+def test_color_frame_native_backend_cli(tmp_path):
+    from metalhuffman_tpu.utils import imageio
+
+    frames = np.stack([_rgb_img(16, 24, seed=i) for i in range(2)])
+    src = tmp_path / "frames.npy"
+    np.save(src, frames)
+    mhtc = tmp_path / "out.mhtc"
+    assert cli.main(["encode-video", str(src), str(mhtc), "--color",
+                     "--backend", "native"]) == 0
+    one = tmp_path / "f0.png"
+    assert cli.main(["decode-video", str(mhtc), str(one), "--frame", "0",
+                     "--backend", "native"]) == 0
+    np.testing.assert_array_equal(imageio.load_color(one), frames[0])

@@ -191,3 +191,39 @@ def test_encode_color_best_full_search_decodes():
     cfg = CodecConfig(interpret=True)
     blob = color.encode_color_best(img, cfg)
     np.testing.assert_array_equal(color.decode_color_from_bytes(blob, cfg), img)
+
+
+def test_native_backend_on_mhtc_paths():
+    # review finding: MHTC decode surfaces must honor backend="native"
+    # (multithreaded host C++), like every grayscale surface
+    img = _photo_like_rgb(24, 32, seed=31)
+    enc = CodecConfig(interpret=True)
+    native_cfg = CodecConfig(backend="native")
+    blob = color.encode_color_to_bytes(img, enc, colorspace=color.CS_SUBGREEN)
+    np.testing.assert_array_equal(
+        color.decode_color_from_bytes(blob, native_cfg), img)
+    frames = np.stack([_photo_like_rgb(16, 24, seed=i) for i in range(3)])
+    vblob = color.encode_color_video_to_bytes(frames, enc)
+    np.testing.assert_array_equal(
+        color.decode_color_video_from_bytes(vblob, native_cfg), frames)
+    np.testing.assert_array_equal(
+        color.decode_color_frame(vblob, 1, native_cfg), frames[1])
+
+
+def test_truncated_mhtc_header_is_valueerror():
+    with pytest.raises(ValueError, match="truncated"):
+        color.unwrap(b"MHTC\x03")
+
+
+def test_gray16_plane_count_validation():
+    # a kind=1 image wrapper over a 4-plane stream must not silently drop data
+    frames = np.zeros((4, 8, 8), np.uint8)
+    cfg = CodecConfig(interpret=True)
+    inner = color._encode_planes(frames, cfg)
+    bad = color.wrap(inner, 2, color.LAYOUT_IMAGE, color.KIND_U16)
+    with pytest.raises(ValueError):
+        color.decode_gray16_from_bytes(bad, cfg)
+    odd = color.wrap(color._encode_planes(frames[:3], cfg), 2,
+                     color.LAYOUT_VIDEO, color.KIND_U16)
+    with pytest.raises(ValueError):
+        color.decode_gray16_from_bytes(odd, cfg)

@@ -173,7 +173,8 @@ def test_color_roundtrip_crc():
     img = rng.integers(0, 256, (24, 32, 3), np.uint8)
     cfg = CodecConfig(interpret=True)
     blob = color.encode_color_to_bytes(img, cfg)
-    assert frame_stream.source_crc32(blob) != 0
+    # the CRC trailer lives in the inner plane container of the MHTC wrapper
+    assert frame_stream.source_crc32(color.unwrap(blob)[0]) != 0
     np.testing.assert_array_equal(color.decode_color_from_bytes(blob, cfg), img)
 
 
