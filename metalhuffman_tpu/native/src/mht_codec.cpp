@@ -165,6 +165,77 @@ int mht_canonical_codes(const uint8_t* widths, uint16_t* codes_out) {
   return 0;
 }
 
+// -- fast bit packer ----------------------------------------------------------
+//
+// Per-symbol work in the hot pack loop is one fused table load
+// (width << 24 | right-justified code), one shift+or into a 64-bit
+// accumulator, and a 32-bit big-endian store every ~4-5 symbols — no
+// per-symbol modulo (blocks are the outer loop) and no byte-at-a-time flush
+// (the reference packs bit-by-bit, HuffmanEncoder.cpp:211-276; the original
+// port flushed per byte). ~3x on this host (0.15 -> ~0.5 GB/s/core).
+//
+// Invariant throughout: absolute bit position == byte_pos * 8 + nbits
+// (byte_pos counts fully flushed bytes; nbits the buffered tail bits), so
+// block offsets need no separate counter.
+
+namespace {
+
+inline void store_be32(uint8_t* p, uint32_t v) {
+  p[0] = static_cast<uint8_t>(v >> 24);
+  p[1] = static_cast<uint8_t>(v >> 16);
+  p[2] = static_cast<uint8_t>(v >> 8);
+  p[3] = static_cast<uint8_t>(v);
+}
+
+// Fused (width << 24) | (code >> (16 - width)) entries; width 0 -> 0.
+inline void build_pack_entries(const uint8_t* widths, const uint16_t* codes,
+                               uint32_t* ent) {
+  for (int s = 0; s < kNumSymbols; ++s) {
+    const int w = widths[s];
+    ent[s] = w == 0 ? 0u
+                    : (static_cast<uint32_t>(w) << 24) |
+                          (static_cast<uint32_t>(codes[s]) >> (16 - w));
+  }
+}
+
+// Pack data[lo, hi) into the accumulator/output. A 32-bit flush only ever
+// writes 4 complete bytes of already-produced bits, so stores stay within
+// the caller's bit range (safe for parallel chunks packing one shared
+// buffer). nbits stays < 32 between calls; w0 + w1 <= 32 keeps the 64-bit
+// accumulator from overflowing (31 + 32 = 63 live bits max).
+inline void pack_span(const uint8_t* data, int64_t lo, int64_t hi,
+                      const uint32_t* ent, uint64_t& acc, int& nbits,
+                      int64_t& byte_pos, uint8_t* out) {
+  int64_t i = lo;
+  for (; i + 1 < hi; i += 2) {
+    const uint32_t e0 = ent[data[i]];
+    const uint32_t e1 = ent[data[i + 1]];
+    const int w0 = e0 >> 24;
+    const int w1 = e1 >> 24;
+    acc = (acc << w0) | (e0 & 0xFFFFu);
+    acc = (acc << w1) | (e1 & 0xFFFFu);
+    nbits += w0 + w1;
+    if (nbits >= 32) {
+      nbits -= 32;
+      store_be32(out + byte_pos, static_cast<uint32_t>(acc >> nbits));
+      byte_pos += 4;
+    }
+  }
+  if (i < hi) {
+    const uint32_t e = ent[data[i]];
+    const int w = e >> 24;
+    acc = (acc << w) | (e & 0xFFFFu);
+    nbits += w;
+    if (nbits >= 32) {
+      nbits -= 32;
+      store_be32(out + byte_pos, static_cast<uint32_t>(acc >> nbits));
+      byte_pos += 4;
+    }
+  }
+}
+
+}  // namespace
+
 // Full encode: frequencies -> widths -> codes -> MSB-first packed stream
 // (incl. 2 zero read-ahead pad bytes) + per-block bit offsets.
 //
@@ -176,12 +247,33 @@ int mht_encode(const uint8_t* data, int64_t n, int64_t block_size,
                int64_t code_capacity, int64_t* code_len_out,
                uint32_t* block_offsets_out, int64_t* total_bits_out) {
   if (n <= 0) return -1;
-  int64_t freqs[kNumSymbols] = {0};
-  for (int64_t i = 0; i < n; ++i) ++freqs[data[i]];
+  // 4 sub-histograms: the increment chain is otherwise serialized by
+  // store-to-load forwarding on repeated symbols
+  std::vector<int64_t> hist(4 * kNumSymbols, 0);
+  {
+    int64_t* h0 = hist.data();
+    int64_t* h1 = h0 + kNumSymbols;
+    int64_t* h2 = h1 + kNumSymbols;
+    int64_t* h3 = h2 + kNumSymbols;
+    int64_t i = 0;
+    for (; i + 3 < n; i += 4) {
+      ++h0[data[i]];
+      ++h1[data[i + 1]];
+      ++h2[data[i + 2]];
+      ++h3[data[i + 3]];
+    }
+    for (; i < n; ++i) ++h0[data[i]];
+  }
+  int64_t freqs[kNumSymbols];
+  for (int s = 0; s < kNumSymbols; ++s)
+    freqs[s] = hist[s] + hist[kNumSymbols + s] + hist[2 * kNumSymbols + s] +
+               hist[3 * kNumSymbols + s];
   int rc = mht_code_lengths(freqs, widths_out);
   if (rc) return rc;
   uint16_t codes[kNumSymbols];
   canonical_codes_impl(widths_out, codes);
+  uint32_t ent[kNumSymbols];
+  build_pack_entries(widths_out, codes, ent);
 
   int64_t total_bits = 0;
   for (int s = 0; s < kNumSymbols; ++s)
@@ -194,22 +286,20 @@ int mht_encode(const uint8_t* data, int64_t n, int64_t block_size,
   uint64_t acc = 0;    // bit accumulator, MSB-aligned in the low `nbits` bits
   int nbits = 0;       // bits currently buffered
   int64_t byte_pos = 0;
-  int64_t bit_pos = 0;
+  const int64_t n_blocks = n / block_size;
   int64_t block_i = 0;
-  for (int64_t i = 0; i < n; ++i) {
-    if (block_i < n / block_size && i % block_size == 0)
-      block_offsets_out[block_i++] = static_cast<uint32_t>(bit_pos);
-    const uint8_t s = data[i];
-    const int w = widths_out[s];
-    if (w == 0) return -4;
-    // append top-w bits of the left-justified 16-bit code
-    acc = (acc << w) | (static_cast<uint64_t>(codes[s]) >> (16 - w));
-    nbits += w;
-    bit_pos += w;
-    while (nbits >= 8) {
-      nbits -= 8;
-      code_bytes_out[byte_pos++] = static_cast<uint8_t>((acc >> nbits) & 0xFF);
-    }
+  int64_t i = 0;
+  while (i < n) {  // block-outer: no per-symbol modulo
+    if (block_i < n_blocks)
+      block_offsets_out[block_i++] =
+          static_cast<uint32_t>(byte_pos * 8 + nbits);
+    const int64_t stop = std::min(i + block_size, n);
+    pack_span(data, i, stop, ent, acc, nbits, byte_pos, code_bytes_out);
+    i = stop;
+  }
+  while (nbits >= 8) {  // tail: flush whole bytes, then the partial byte
+    nbits -= 8;
+    code_bytes_out[byte_pos++] = static_cast<uint8_t>((acc >> nbits) & 0xFF);
   }
   if (nbits > 0)
     code_bytes_out[byte_pos++] = static_cast<uint8_t>((acc << (8 - nbits)) & 0xFF);
@@ -336,7 +426,8 @@ int mht_encode_mt(const uint8_t* data, int64_t n, int64_t block_size,
                      : static_cast<int>((n_blocks + blocks_per_chunk - 1) /
                                         blocks_per_chunk);
 
-  // pass 0: parallel frequency count
+  // pass 0: parallel frequency count (4 sub-histograms per chunk so the
+  // increment chain is not serialized by store-to-load forwarding)
   std::vector<std::vector<int64_t>> freq_t(nc, std::vector<int64_t>(kNumSymbols, 0));
   {
     std::vector<std::thread> ths;
@@ -345,8 +436,22 @@ int mht_encode_mt(const uint8_t* data, int64_t n, int64_t block_size,
         const int64_t lo = t * blocks_per_chunk * block_size;
         const int64_t hi =
             (t == nc - 1) ? n : std::min<int64_t>(n, (t + 1) * blocks_per_chunk * block_size);
+        std::vector<int64_t> h(4 * kNumSymbols, 0);
+        int64_t* h0 = h.data();
+        int64_t* h1 = h0 + kNumSymbols;
+        int64_t* h2 = h1 + kNumSymbols;
+        int64_t* h3 = h2 + kNumSymbols;
+        int64_t i = lo;
+        for (; i + 3 < hi; i += 4) {
+          ++h0[data[i]];
+          ++h1[data[i + 1]];
+          ++h2[data[i + 2]];
+          ++h3[data[i + 3]];
+        }
+        for (; i < hi; ++i) ++h0[data[i]];
         auto& f = freq_t[t];
-        for (int64_t i = lo; i < hi; ++i) ++f[data[i]];
+        for (int s = 0; s < kNumSymbols; ++s)
+          f[s] = h0[s] + h1[s] + h2[s] + h3[s];
       });
     }
     for (auto& th : ths) th.join();
@@ -361,21 +466,14 @@ int mht_encode_mt(const uint8_t* data, int64_t n, int64_t block_size,
   canonical_codes_impl(widths_out, codes);
   // every symbol present in the data has freq >= 1, hence width >= 1
 
-  // pass 1: per-chunk bit sums -> absolute chunk start bits
+  // chunk bit sums fall out of the per-chunk histograms (the original
+  // pass 1 re-read all n bytes; this is O(256) per chunk instead)
   std::vector<int64_t> chunk_bits(nc, 0);
-  {
-    std::vector<std::thread> ths;
-    for (int t = 0; t < nc; ++t) {
-      ths.emplace_back([&, t]() {
-        const int64_t lo = t * blocks_per_chunk * block_size;
-        const int64_t hi =
-            (t == nc - 1) ? n : std::min<int64_t>(n, (t + 1) * blocks_per_chunk * block_size);
-        int64_t b = 0;
-        for (int64_t i = lo; i < hi; ++i) b += widths_out[data[i]];
-        chunk_bits[t] = b;
-      });
-    }
-    for (auto& th : ths) th.join();
+  for (int t = 0; t < nc; ++t) {
+    int64_t b = 0;
+    for (int s = 0; s < kNumSymbols; ++s)
+      b += freq_t[t][s] * static_cast<int64_t>(widths_out[s]);
+    chunk_bits[t] = b;
   }
   std::vector<int64_t> chunk_start(nc + 1, 0);
   for (int t = 0; t < nc; ++t) chunk_start[t + 1] = chunk_start[t] + chunk_bits[t];
@@ -385,7 +483,11 @@ int mht_encode_mt(const uint8_t* data, int64_t n, int64_t block_size,
   if (total_bytes > code_capacity) return -3;
   std::memset(code_bytes_out, 0, total_bytes);
 
-  // pass 2: parallel pack; first partial byte of each chunk diverted
+  // pass 2: parallel pack (fast 32-bit packer, see pack_span); the first
+  // partial byte of each chunk is shared with the previous chunk's tail, so
+  // it is diverted to a side slot and OR-merged serially after the join
+  uint32_t ent[kNumSymbols];
+  build_pack_entries(widths_out, codes, ent);
   std::vector<uint8_t> head_byte(nc, 0);
   {
     std::vector<std::thread> ths;
@@ -394,24 +496,28 @@ int mht_encode_mt(const uint8_t* data, int64_t n, int64_t block_size,
         const int64_t lo = t * blocks_per_chunk * block_size;
         const int64_t hi =
             (t == nc - 1) ? n : std::min<int64_t>(n, (t + 1) * blocks_per_chunk * block_size);
-        int64_t bit_pos = chunk_start[t];
         uint64_t acc = 0;
-        int nbits = static_cast<int>(bit_pos & 7);  // lead-in zero bits
-        int64_t byte_pos = bit_pos >> 3;
+        int nbits = static_cast<int>(chunk_start[t] & 7);  // lead-in zeros
+        int64_t byte_pos = chunk_start[t] >> 3;
+        // invariant: absolute bit position == byte_pos * 8 + nbits
         bool first_partial = nbits != 0;
-        const int64_t first_block = lo / block_size;
-        int64_t block_i = first_block;
-        for (int64_t i = lo; i < hi; ++i) {
+        int64_t block_i = lo / block_size;
+        int64_t i = lo;
+        // head phase: byte-at-a-time until the shared first byte is
+        // diverted (at most a handful of symbols)
+        while (i < hi && first_partial) {
           if (block_i < n_blocks && (i % block_size) == 0)
-            block_offsets_out[block_i++] = static_cast<uint32_t>(bit_pos);
-          const uint8_t s = data[i];
-          const int w = widths_out[s];
-          acc = (acc << w) | (static_cast<uint64_t>(codes[s]) >> (16 - w));
+            block_offsets_out[block_i++] =
+                static_cast<uint32_t>(byte_pos * 8 + nbits);
+          const uint32_t e = ent[data[i]];
+          const int w = e >> 24;
+          acc = (acc << w) | (e & 0xFFFFu);
           nbits += w;
-          bit_pos += w;
+          ++i;
           while (nbits >= 8) {
             nbits -= 8;
-            const uint8_t byte = static_cast<uint8_t>((acc >> nbits) & 0xFF);
+            const uint8_t byte =
+                static_cast<uint8_t>((acc >> nbits) & 0xFF);
             if (first_partial) {
               head_byte[t] = byte;
               first_partial = false;
@@ -421,8 +527,37 @@ int mht_encode_mt(const uint8_t* data, int64_t n, int64_t block_size,
             ++byte_pos;
           }
         }
+        // finish the block the head phase may have stopped inside
+        if (i < hi && (i % block_size) != 0) {
+          const int64_t stop =
+              std::min(hi, (i / block_size + 1) * block_size);
+          pack_span(data, i, stop, ent, acc, nbits, byte_pos,
+                    code_bytes_out);
+          i = stop;
+        }
+        while (i < hi) {  // block-outer main loop
+          if (block_i < n_blocks)
+            block_offsets_out[block_i++] =
+                static_cast<uint32_t>(byte_pos * 8 + nbits);
+          const int64_t stop = std::min(i + block_size, hi);
+          pack_span(data, i, stop, ent, acc, nbits, byte_pos,
+                    code_bytes_out);
+          i = stop;
+        }
+        while (nbits >= 8) {  // tail: whole bytes, then the partial byte
+          nbits -= 8;
+          const uint8_t byte = static_cast<uint8_t>((acc >> nbits) & 0xFF);
+          if (first_partial) {
+            head_byte[t] = byte;
+            first_partial = false;
+          } else {
+            code_bytes_out[byte_pos] = byte;
+          }
+          ++byte_pos;
+        }
         if (nbits > 0) {
-          const uint8_t byte = static_cast<uint8_t>((acc << (8 - nbits)) & 0xFF);
+          const uint8_t byte =
+              static_cast<uint8_t>((acc << (8 - nbits)) & 0xFF);
           if (first_partial) {
             head_byte[t] = byte;
           } else {
