@@ -43,16 +43,27 @@ def decode_color_image(blob: bytes, config=None):
 
 
 def encode_color_video(frames, config=None) -> bytes:
-    """Convenience: (T, H, W, C) uint8 -> MHTC color video container."""
+    """Convenience: (T, H, W, C) uint8 -> MHTC color video container.
+
+    With ``config.temporal`` the frames become inter-frame residuals in an
+    MHVT wrapper (keyframe every ``config.keyint``)."""
     from .models import color
 
+    if config is not None and config.temporal:
+        from .models import temporal
+
+        return temporal.encode_temporal_color_video(frames, config)
     return color.encode_color_video_to_bytes(frames, config)
 
 
 def decode_color_video(blob: bytes, config=None):
-    """Convenience: MHTC color video container -> (T, H, W, C) uint8."""
+    """Convenience: MHTC (or temporal MHVT) color video -> (T, H, W, C) uint8."""
     from .models import color
 
+    if blob[:4] == b"MHVT":
+        from .models import temporal
+
+        return temporal.decode_temporal_video(blob, config)
     return color.decode_color_video_from_bytes(blob, config)
 
 
@@ -70,6 +81,10 @@ def encode_video(frames, config=None) -> bytes:
     from .models import frame_stream
 
     frames_arr = np.asarray(frames)
+    if config is not None and config.temporal:
+        from .models import temporal
+
+        return temporal.encode_temporal_video(frames_arr, config)
     t, h, w = frames_arr.shape
     crc = zlib.crc32(np.ascontiguousarray(frames_arr).tobytes())
     segs = frame_stream.encode_frames_segmented(frames_arr, config)
@@ -80,11 +95,14 @@ def encode_video(frames, config=None) -> bytes:
 
 
 def decode_video(blob: bytes, config=None):
-    """Convenience: MHTV/MHV2 container bytes -> (T, H, W) uint8 frames.
+    """Convenience: MHTV/MHV2 (or temporal MHVT) container bytes ->
+    (T, H, W) uint8 frames.
 
     The container's recorded block_dim/delta are authoritative; config
     selects the backend only. When the container records a source CRC-32
     the decoded payload is verified against it (ValueError on mismatch).
+    An MHVT container returns the reconstructed true frames (shape/dtype
+    follow its inner container — color MHVT yields (T, H, W, C)).
     """
     import dataclasses
 
@@ -92,6 +110,10 @@ def decode_video(blob: bytes, config=None):
 
     from .models import CodecConfig, frame_stream
 
+    if blob[:4] == b"MHVT":
+        from .models import temporal
+
+        return temporal.decode_temporal_video(blob, config)
     if blob[:4] == frame_stream.SEGMENTED_MAGIC:
         segs, _t, h, w, bd, delta = frame_stream.read_segmented(blob)
         cfg = dataclasses.replace(

@@ -52,6 +52,8 @@ def _config(args):
         delta=not args.no_delta,
         zero_init=getattr(args, "zero_init", False),
         delta2d=getattr(args, "delta2d", False),
+        temporal=getattr(args, "temporal", False),
+        keyint=getattr(args, "keyint", 8),
         backend=args.backend,
         interpret=args.interpret,
     )
@@ -123,6 +125,10 @@ def cmd_decode(args) -> int:
     blob = Path(args.input).read_bytes()
     cfg = _config(args)
     t0 = time.perf_counter()
+    if blob[:4] == b"MHVT":
+        raise SystemExit(
+            f"{args.input} is a temporal MHVT video container — use "
+            "decode-video")
     if blob[:4] == color.COLOR_MAGIC:
         _, _c, layout, kind, _cs = color.unwrap(blob)
         if layout == color.LAYOUT_VIDEO:
@@ -181,9 +187,13 @@ def cmd_roundtrip(args) -> int:
 
 def cmd_info(args) -> int:
     from .core import container
-    from .models import color, frame_stream
+    from .models import color, frame_stream, temporal
 
     data = Path(args.input).read_bytes()
+    if data[:4] == temporal.TEMPORAL_MAGIC:
+        # describe each wrapper layer, then the inner stream
+        print(temporal.describe(data))
+        data = temporal.unwrap(data)[0]
     if data[:4] == color.COLOR_MAGIC:
         # describe the wrapper, then the inner plane stream on a second line
         print(color.describe(data))
@@ -326,12 +336,20 @@ def cmd_encode_video(args) -> int:
                 "--gray16 video input must be a (T, H, W) uint16 .npy stack")
         t, h, w = frames.shape
         t0 = time.perf_counter()
-        blob = color_mod.encode_gray16_to_bytes(frames, _config(args))
+        cfg = _config(args)
+        if cfg.temporal:
+            from .models import temporal
+
+            blob = temporal.encode_temporal_gray16_video(frames, cfg)
+            kind = f"MHVT[keyint {cfg.keyint}]/MHTC"
+        else:
+            blob = color_mod.encode_gray16_to_bytes(frames, cfg)
+            kind = "MHTC"
         dt = time.perf_counter() - t0
         Path(args.output).write_bytes(blob)
         print(
-            f"{args.input}: {t} frames {h}x{w} u16 -> MHTC {len(blob)} bytes "
-            f"({len(blob)/(frames.size*2):.1%}) in {dt:.2f} s"
+            f"{args.input}: {t} frames {h}x{w} u16 -> {kind} {len(blob)} "
+            f"bytes ({len(blob)/(frames.size*2):.1%}) in {dt:.2f} s"
         )
         return 0
     if getattr(args, "color", False):
@@ -345,25 +363,74 @@ def cmd_encode_video(args) -> int:
               else color_mod.CS_IDENTITY)
         if getattr(args, "best", False):
             # precoder selection runs on the actual plane stack (the payload
-            # the inner container carries, after any colorspace transform)
-            src = color_mod.to_subgreen(frames) if cs else frames
+            # the inner container carries, after temporal prediction and any
+            # colorspace transform — the same order the encoder applies)
+            src = frames
+            if cfg.temporal:
+                from .models import temporal
+
+                src = temporal.temporal_encode(src, cfg.keyint)
+            src = color_mod.to_subgreen(src) if cs else src
             planes = src.transpose(0, 3, 1, 2).reshape(t * c, h, w)
             cfg = _pick_best_precoder(planes, cfg)
-        blob = color_mod.encode_color_video_to_bytes(frames, cfg,
-                                                     colorspace=cs)
+        if cfg.temporal:
+            from .models import temporal
+
+            blob = temporal.encode_temporal_color_video(frames, cfg,
+                                                        colorspace=cs)
+            kind = f"MHVT[keyint {cfg.keyint}]/MHTC"
+        else:
+            blob = color_mod.encode_color_video_to_bytes(frames, cfg,
+                                                         colorspace=cs)
+            kind = "MHTC"
         dt = time.perf_counter() - t0
         Path(args.output).write_bytes(blob)
         print(
-            f"{args.input}: {t} frames {h}x{w}x{c} -> MHTC {len(blob)} bytes "
-            f"({len(blob)/frames.size:.1%}) in {dt:.2f} s"
+            f"{args.input}: {t} frames {h}x{w}x{c} -> {kind} {len(blob)} "
+            f"bytes ({len(blob)/frames.size:.1%}) in {dt:.2f} s"
         )
         return 0
     frames = _load_frames(args.input)
     t, h, w = frames.shape
     cfg = _config(args)
+    if cfg.temporal and args.per_frame_tables:
+        raise SystemExit(
+            "--temporal writes a shared-table MHVT container; drop "
+            "--per-frame-tables")
     t0 = time.perf_counter()
+    if getattr(args, "best", False) and cfg.temporal:
+        # temporal is content-dependent like sub-green (wins on static
+        # scenes, loses on global motion) — measure temporal vs plain,
+        # each with its best spatial precoder on its own payload
+        from .models import temporal
+
+        blob, used_temporal, used = temporal.encode_video_best(frames, cfg)
+        dt = time.perf_counter() - t0
+        Path(args.output).write_bytes(blob)
+        mode = ("delta2d" if used.delta2d else
+                "delta" if used.delta else "none")
+        kept = (f"MHVT[keyint {cfg.keyint}]" if used_temporal
+                else "plain (temporal measured larger)")
+        print(f"--best picked: {kept}, precoder {mode}", file=sys.stderr)
+        print(
+            f"{args.input}: {t} frames {h}x{w} -> "
+            f"{blob[:4].decode('ascii', 'replace')} {len(blob)} bytes "
+            f"({len(blob)/frames.size:.1%}) in {dt:.2f} s"
+        )
+        return 0
     if getattr(args, "best", False):
         cfg = _pick_best_precoder(frames, cfg)
+    if cfg.temporal:
+        from .models import temporal
+
+        blob = temporal.encode_temporal_video(frames, cfg)
+        dt = time.perf_counter() - t0
+        Path(args.output).write_bytes(blob)
+        print(
+            f"{args.input}: {t} frames {h}x{w} -> MHVT[keyint {cfg.keyint}] "
+            f"{len(blob)} bytes ({len(blob)/frames.size:.1%}) in {dt:.2f} s"
+        )
+        return 0
     if args.per_frame_tables:
         streams = frame_stream.encode_frames(frames, cfg)
         blob = frame_stream.write_stream(
@@ -547,13 +614,91 @@ def _decode_one_frame(data: bytes, cfg, n: int):
     raise SystemExit("not an MHTV/MHV2/MHTS container")
 
 
+def _save_frame(img: np.ndarray, out: Path) -> None:
+    """Save one decoded frame, picking the writer by dtype/shape."""
+    from .models import color  # noqa: F401  (kind constants documented)
+    from .utils import imageio
+
+    if out.suffix == ".npy":
+        np.save(out, img)
+    elif img.dtype == np.uint16:
+        imageio.save_gray16(img, out)
+    elif img.ndim == 3:
+        imageio.save_color(img, out)
+    else:
+        imageio.save_grayscale(np.asarray(img), out)
+
+
+def _cmd_decode_video_temporal(args, data: bytes, cfg, check: bool) -> int:
+    """decode-video on an MHVT container: full decode, --frame, --check.
+
+    Every device-side check (end-bit, inner CRC) runs on the residual
+    stream exactly as for a plain container; the temporal fold happens on
+    the reconstructed host array and the outer CRC pins the result.
+    """
+    from .models import color, temporal
+
+    inner, keyint, tcrc = temporal.unwrap(data)
+    if check and args.backend != "pallas":
+        raise SystemExit(
+            "--check requires --backend pallas (the on-device integrity "
+            "check is emitted by the TPU decode kernel)")
+    if getattr(args, "frame", None) is not None:
+        if check:
+            raise SystemExit(
+                "--check verifies whole streams; drop it for --frame "
+                "random access (or run `verify` on the container)")
+        t0 = time.perf_counter()
+        try:
+            img = temporal.decode_temporal_frame(data, args.frame, cfg)
+        except ValueError as e:
+            raise SystemExit(str(e))
+        dt = time.perf_counter() - t0
+        _save_frame(img, Path(args.output))
+        h, w = img.shape[:2]
+        print(f"{args.input}: decoded frame {args.frame} ({h}x{w}, "
+              f"keyint {keyint}) in {dt:.3f} s -> {args.output}")
+        return 0
+    t0 = time.perf_counter()
+    if inner[:4] == color.COLOR_MAGIC:
+        inner2, channels, layout, kind, cs = color.unwrap(inner)
+        if layout != color.LAYOUT_VIDEO:
+            raise SystemExit("MHVT inner MHTC container is not a video")
+        planes, _n, h, w = _decode_video_frames(inner2, cfg, check)
+        _verify_video_crc(inner2, planes)
+        res = color.fold_video_planes(np.asarray(planes), channels, kind, cs)
+    else:
+        res, _t, h, w = _decode_video_frames(inner, cfg, check)
+        _verify_video_crc(inner, res)
+        res = np.asarray(res)
+    frames = temporal.temporal_decode(res, keyint)
+    if tcrc and zlib.crc32(np.ascontiguousarray(frames).tobytes()) != tcrc:
+        raise SystemExit(
+            "reconstructed frames fail the MHVT source CRC-32 — corrupt "
+            "container")
+    t = frames.shape[0]
+    dt = time.perf_counter() - t0
+    out = Path(args.output)
+    if out.suffix == ".npy":
+        np.save(out, frames)
+    else:
+        out.mkdir(parents=True, exist_ok=True)
+        for i, f in enumerate(frames):
+            _save_frame(f, out / f"frame_{i:05d}.png")
+    print(f"{args.input}: decoded {t} frames {h}x{w} (temporal, keyint "
+          f"{keyint}) in {dt:.2f} s -> {args.output}")
+    return 0
+
+
 def cmd_decode_video(args) -> int:
-    from .models import color
+    from .models import color, temporal
     from .utils import imageio
 
     data = Path(args.input).read_bytes()
     cfg = _config(args)
     check = getattr(args, "check", False)
+    if data[:4] == temporal.TEMPORAL_MAGIC:
+        return _cmd_decode_video_temporal(args, data, cfg, check)
     if data[:4] == color.COLOR_MAGIC:
         return _cmd_decode_video_color(args, data, cfg, check)
     if check and args.backend != "pallas":
@@ -679,14 +824,28 @@ def cmd_verify(args) -> int:
         lines.append(f"  {name:<14} {status}")
 
     wrapper = ""
+    temporal_ctx = None  # (keyint, outer crc) of an MHVT wrapper
+    mhtc_ctx = None  # (channels, kind, colorspace) of an MHTC wrapper
+    if data[:4] == b"MHVT":
+        from .models import temporal
+
+        try:
+            wrapper = temporal.describe(data) + " wrapping "
+            inner, keyint, tcrc = temporal.unwrap(data)
+        except ValueError as e:
+            raise SystemExit(str(e))
+        temporal_ctx = (keyint, tcrc)
+        data = inner
     if data[:4] == color.COLOR_MAGIC:
         # verify the inner plane stream; every check (end-bit, CRC) applies
         # to the planes exactly as to grayscale frames
         try:
-            wrapper = color.describe(data) + " wrapping "
-            data = color.unwrap(data)[0]
+            wrapper += color.describe(data) + " wrapping "
+            inner, channels, layout, kind, cs = color.unwrap(data)
         except ValueError as e:
             raise SystemExit(str(e))
+        mhtc_ctx = (channels, kind, cs)
+        data = inner
 
     try:
         if data[:4] == container.DISK_MAGIC:
@@ -735,6 +894,23 @@ def cmd_verify(args) -> int:
             report("decode", f"ok ({t} frames, {args.backend})")
             recorded = _verify_video_crc(data, frames)
             report("source CRC-32", "ok" if recorded else "absent")
+            if temporal_ctx is not None:
+                # reconstruct the true frames and pin them against the
+                # MHVT outer CRC (catches wrapper-header corruption the
+                # inner checks cannot see)
+                from .models import temporal
+
+                keyint, tcrc = temporal_ctx
+                res = np.asarray(frames)
+                if mhtc_ctx is not None:
+                    res = color.fold_video_planes(res, *mhtc_ctx)
+                true = temporal.temporal_decode(res, keyint)
+                if tcrc and zlib.crc32(
+                        np.ascontiguousarray(true).tobytes()) != tcrc:
+                    raise SystemExit(
+                        "reconstructed frames fail the MHVT source CRC-32 "
+                        "— corrupt container")
+                report("temporal CRC-32", "ok" if tcrc else "absent")
         else:
             raise SystemExit("not an MHT1/MHTS/MHTV/MHV2 container")
     except ValueError as e:
@@ -749,10 +925,13 @@ def cmd_verify(args) -> int:
 def cmd_inspect(args) -> int:
     """Debug view of an MHT1/MHTV stream (table dump / per-block symbol trace)."""
     from .core import container
-    from .models import color, frame_stream
+    from .models import color, frame_stream, temporal
     from .utils import debug
 
     data = Path(args.input).read_bytes()
+    if data[:4] == temporal.TEMPORAL_MAGIC:
+        print(temporal.describe(data))
+        data = temporal.unwrap(data)[0]  # inspect the residual stream
     if data[:4] == color.COLOR_MAGIC:
         print(color.describe(data))
         data = color.unwrap(data)[0]  # inspect the inner plane stream
@@ -860,11 +1039,19 @@ def main(argv=None) -> int:
     p.add_argument("--subgreen", action="store_true",
                    help="with --color: store sub-green planes (R-G, G, B-G "
                         "mod 256) — smaller on natural photos")
+    p.add_argument("--temporal", action="store_true",
+                   help="inter-frame prediction (MHVT wrapper): frames "
+                        "become mod-256 residuals vs the previous frame "
+                        "with a literal keyframe every --keyint — much "
+                        "smaller on temporally redundant video")
+    p.add_argument("--keyint", type=int, default=8, metavar="K",
+                   help="with --temporal: keyframe interval (bounds "
+                        "--frame random-access work; default 8)")
     _add_codec_flags(p)
     p.set_defaults(fn=cmd_encode_video)
 
     p = sub.add_parser("decode-video",
-                       help="MHTV/MHV2/MHTS/MHTC -> .npy or image dir")
+                       help="MHTV/MHV2/MHTS/MHTC/MHVT -> .npy or image dir")
     p.add_argument("input")
     p.add_argument("output", help=".npy path or output directory for PNGs")
     p.add_argument("--check", action="store_true",

@@ -44,6 +44,12 @@ class CodecConfig:
     #: points smaller than the raster delta on photographic content, still
     #: block-parallel. Requires delta=True; composes with zero_init.
     delta2d: bool = False
+    #: beyond-reference temporal (inter-frame) prediction for video: frames
+    #: become mod-256 residuals vs the previous frame, with a literal
+    #: keyframe every ``keyint`` (``models.temporal``, MHVT wrapper).
+    #: Applies to the video encode surfaces only; decode auto-detects.
+    temporal: bool = False
+    keyint: int = 8  #: keyframe interval (bounds random-access decode work)
     table1_bits: int = 8  # HUFF_TABLE1_NUM_BITS (:120)
     table2_bits: int = 8  # HUFF_TABLE2_NUM_BITS (:121)
     backend: str = "pallas"  # 'pallas' (TPU kernel) | 'xla' | 'native' (host C++)

@@ -1,0 +1,299 @@
+"""Temporal (inter-frame) prediction for video: the MHVT wrapper container.
+
+Every other video container codes each frame independently, but real video
+is temporally redundant — consecutive frames differ in a few pixels. This
+module adds the missing prediction axis: frame ``t`` is stored as its
+byte-wise difference from frame ``t-1`` (mod 256/65536), with a literal
+KEYFRAME every ``keyint`` frames so temporal random access stays bounded
+(decoding frame ``n`` touches at most ``keyint`` residual frames — the
+video-codec I-frame/P-frame structure, reduced to its lossless byte form).
+
+The reference has no temporal model at all — its "video" story is decoding
+the same still frame at 30 FPS (``AAPLRenderer.m:1178-1924``); this is a
+beyond-reference capability like delta2d and the MHTC color planes.
+
+Why a wrapper and not a new stream mode: the residual frames are ordinary
+byte frames, so they ride the ENTIRE existing stack unchanged — shared-table
+MHTV/MHV2 streams, the Pallas decode kernel, spatial precoders (delta /
+delta2d compose with temporal residuals and ``--best`` measures them on the
+actual residual payload), MHTC color/16-bit planes, segmenting, integrity
+checks. On disk::
+
+    "MHVT" | u16 keyint | u16 reserved=0 | u32 inner_len
+           | inner video container (MHTV / MHV2 / MHTC video)
+           | u32 source_crc32 of the TRUE frames (0 = unrecorded)
+
+The inner container's own CRC covers the residual payload (stream
+integrity); the outer CRC additionally pins the reconstruction parameters
+(a corrupted ``keyint`` would reconstruct wrong frames from valid
+residuals).
+
+Reconstruction is a per-group cumulative byte sum — mod-2^8/2^16 addition is
+associative, so it vectorizes (``np.cumsum`` with a wrapping accumulator
+dtype on the host, group-reshaped ``jnp.cumsum`` on device) and never
+re-serializes the block-parallel Huffman decode.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import struct
+import zlib
+
+import numpy as np
+
+from .image_codec import CodecConfig
+
+TEMPORAL_MAGIC = b"MHVT"
+
+_HEADER = "<HHI"  # keyint, reserved, inner_len
+_HEADER_SIZE = 4 + struct.calcsize(_HEADER)
+
+
+# -- the transform (container-independent) ------------------------------------
+
+
+def temporal_encode(frames: np.ndarray, keyint: int = 8) -> np.ndarray:
+    """(T, ...) unsigned frames -> residuals: keyframes literal, the rest
+    byte-wise ``frame[t] - frame[t-1]`` (wrapping mod 2^bits).
+
+    Works on any unsigned integer stack — (T, H, W) u8 grayscale,
+    (T, H, W, C) u8 color, (T, H, W) u16 — because wrapping subtraction is
+    exactly invertible per element regardless of layout.
+    """
+    frames = np.asarray(frames)
+    if frames.ndim < 3:
+        raise ValueError("frames must be (T, H, W[, C])")
+    if frames.dtype not in (np.uint8, np.uint16):
+        raise ValueError("temporal prediction needs uint8/uint16 frames")
+    if keyint < 1:
+        raise ValueError("keyint must be >= 1")
+    res = frames.copy()
+    res[1:] -= frames[:-1]  # unsigned wraparound IS the mod-2^bits residual
+    res[keyint::keyint] = frames[keyint::keyint]  # literal keyframes
+    return res
+
+
+def temporal_decode(residuals: np.ndarray, keyint: int = 8) -> np.ndarray:
+    """Inverse of :func:`temporal_encode`: per-group cumulative wrapping sum."""
+    residuals = np.asarray(residuals)
+    if keyint < 1:
+        raise ValueError("keyint must be >= 1")
+    out = np.empty_like(residuals)
+    for g in range(0, residuals.shape[0], keyint):
+        # accumulate IN the wrapping dtype: cumsum's accumulator is `out`'s
+        # dtype, so u8/u16 addition wraps exactly like the encode side
+        np.cumsum(residuals[g : g + keyint], axis=0,
+                  dtype=residuals.dtype, out=out[g : g + keyint])
+    return out
+
+
+def temporal_decode_jax(residuals, keyint: int = 8):
+    """Device-resident reconstruction: group-reshaped ``jnp.cumsum``.
+
+    Pads T to a keyint multiple, scans each (G, keyint, ...) group along the
+    group axis in the wrapping dtype, and crops. Keeps the fold on-chip for
+    consumers that hold decoded residual batches as device arrays (the host
+    path in :func:`temporal_decode` is the default for container decode).
+    """
+    import jax.numpy as jnp
+
+    if keyint < 1:
+        raise ValueError("keyint must be >= 1")
+    t = residuals.shape[0]
+    pad = (-t) % keyint
+    x = jnp.pad(residuals, [(0, pad)] + [(0, 0)] * (residuals.ndim - 1))
+    grp = x.reshape((x.shape[0] // keyint, keyint) + x.shape[1:])
+    out = jnp.cumsum(grp, axis=1, dtype=residuals.dtype)
+    return out.reshape((-1,) + x.shape[1:])[:t]
+
+
+# -- container ------------------------------------------------------------------
+
+
+def wrap(inner: bytes, keyint: int, source_crc32: int = 0) -> bytes:
+    """Wrap an inner video container blob in the MHVT header + CRC trailer."""
+    if not 1 <= keyint <= 0xFFFF:
+        raise ValueError("keyint must be in 1..65535")
+    return (TEMPORAL_MAGIC + struct.pack(_HEADER, keyint, 0, len(inner))
+            + inner + struct.pack("<I", source_crc32 & 0xFFFFFFFF))
+
+
+def unwrap(blob: bytes):
+    """MHVT blob -> (inner_bytes, keyint, source_crc32)."""
+    if blob[:4] != TEMPORAL_MAGIC:
+        raise ValueError("not an MHVT container")
+    if len(blob) < _HEADER_SIZE:
+        raise ValueError("truncated MHVT container (header incomplete)")
+    keyint, _rsvd, inner_len = struct.unpack_from(_HEADER, blob, 4)
+    if keyint < 1:
+        raise ValueError("corrupt MHVT container (keyint 0)")
+    end = _HEADER_SIZE + inner_len
+    if len(blob) < end + 4:
+        raise ValueError("truncated MHVT container (inner/trailer missing)")
+    (crc,) = struct.unpack_from("<I", blob, end)
+    return blob[_HEADER_SIZE : end], keyint, crc
+
+
+def _inner_config(config: CodecConfig | None) -> CodecConfig:
+    """The config the inner (residual) encode/decode runs under."""
+    return dataclasses.replace(config or CodecConfig(), temporal=False)
+
+
+def _crc(frames: np.ndarray) -> int:
+    return zlib.crc32(np.ascontiguousarray(frames).tobytes()) & 0xFFFFFFFF
+
+
+def encode_temporal_video(frames: np.ndarray,
+                          config: CodecConfig | None = None) -> bytes:
+    """(T, H, W) uint8 -> MHVT wrapping an MHTV/MHV2 residual stream."""
+    from .. import encode_video
+
+    cfg = config or CodecConfig()
+    frames = np.asarray(frames)
+    res = temporal_encode(frames, cfg.keyint)
+    return wrap(encode_video(res, _inner_config(cfg)), cfg.keyint,
+                source_crc32=_crc(frames))
+
+
+def encode_temporal_color_video(frames: np.ndarray,
+                                config: CodecConfig | None = None,
+                                colorspace: int | None = None) -> bytes:
+    """(T, H, W, C) uint8 -> MHVT wrapping an MHTC residual video."""
+    from . import color
+
+    cfg = config or CodecConfig()
+    frames = np.asarray(frames)
+    res = temporal_encode(frames, cfg.keyint)
+    cs = color.CS_IDENTITY if colorspace is None else colorspace
+    inner = color.encode_color_video_to_bytes(res, _inner_config(cfg),
+                                              colorspace=cs)
+    return wrap(inner, cfg.keyint, source_crc32=_crc(frames))
+
+
+def encode_temporal_gray16_video(frames: np.ndarray,
+                                 config: CodecConfig | None = None) -> bytes:
+    """(T, H, W) uint16 -> MHVT wrapping an MHTC kind=1 residual video.
+
+    The residual is computed mod 65536 on the u16 frames (NOT per byte
+    plane), so a small depth change never rolls the hi plane unpredictably.
+    """
+    from . import color
+
+    cfg = config or CodecConfig()
+    frames = np.asarray(frames)
+    if frames.ndim != 3 or frames.dtype != np.uint16:
+        raise ValueError("expected (T, H, W) uint16")
+    res = temporal_encode(frames, cfg.keyint)
+    inner = color.encode_gray16_to_bytes(res, _inner_config(cfg))
+    return wrap(inner, cfg.keyint, source_crc32=_crc(frames))
+
+
+def _decode_inner(inner: bytes, config: CodecConfig | None) -> np.ndarray:
+    """Decode any inner video container to its (T, ...) residual stack."""
+    from .. import decode_video
+    from . import color
+
+    cfg = _inner_config(config)
+    if inner[:4] == color.COLOR_MAGIC:
+        _, _ch, layout, kind, _cs = color.unwrap(inner)
+        if layout != color.LAYOUT_VIDEO:
+            raise ValueError("MHVT inner MHTC container is not a video")
+        if kind == color.KIND_U16:
+            return color.decode_gray16_from_bytes(inner, cfg)
+        return color.decode_color_video_from_bytes(inner, cfg)
+    return decode_video(inner, cfg)
+
+
+def decode_temporal_video(blob: bytes,
+                          config: CodecConfig | None = None) -> np.ndarray:
+    """MHVT container -> reconstructed frames (shape/dtype per inner kind:
+    (T, H, W) u8, (T, H, W, C) u8, or (T, H, W) u16), CRC-verified twice
+    (inner residual CRC, then the outer true-frame CRC)."""
+    inner, keyint, crc = unwrap(blob)
+    frames = temporal_decode(_decode_inner(inner, config), keyint)
+    if crc and _crc(frames) != crc:
+        raise ValueError(
+            "reconstructed frames fail the MHVT source CRC-32 — corrupt "
+            "container (the inner residual stream verified, so the wrapper "
+            "header itself is suspect)")
+    return frames
+
+
+def decode_temporal_frame(blob: bytes, n: int,
+                          config: CodecConfig | None = None) -> np.ndarray:
+    """Random access: reconstruct frame ``n`` of an MHVT container.
+
+    Decodes only the residual frames from the preceding keyframe through
+    ``n`` — at most ``keyint`` frames' blocks (the per-block offset index
+    gives the frame slices; ``frame_stream.decode_range``) — and folds them
+    with one wrapping sum. No CRC check (the recorded CRCs cover whole
+    payloads), matching every other ``--frame`` access path.
+    """
+    from . import color, frame_stream
+
+    inner, keyint, _crc_ = unwrap(blob)
+    if n < 0:
+        raise ValueError(f"frame {n} out of range")
+    kf = (n // keyint) * keyint
+    cfg = _inner_config(config)
+    if inner[:4] == color.COLOR_MAGIC:
+        inner2, channels, layout, kind, cs = color.unwrap(inner)
+        if layout != color.LAYOUT_VIDEO:
+            raise ValueError("MHVT inner MHTC container is not a video")
+        planes, _h, _w = frame_stream.decode_range(
+            inner2, kf * channels, (n + 1) * channels, cfg)
+        res = color.fold_video_planes(planes, channels, kind, cs)
+    else:
+        res, h, w = frame_stream.decode_range(inner, kf, n + 1, cfg)
+        res = res.reshape(-1, h, w)
+    # one wrapping reduction: keyframe + residuals -> frame n
+    return np.add.reduce(res, axis=0, dtype=res.dtype)
+
+
+def _best_precoder(frames: np.ndarray, cfg: CodecConfig) -> CodecConfig:
+    """Smallest of none/delta/delta2d measured on the actual payload."""
+    from . import frame_stream
+
+    candidates = [
+        dataclasses.replace(cfg, delta=False, delta2d=False, zero_init=False),
+        dataclasses.replace(cfg, delta=True, delta2d=False),
+        dataclasses.replace(cfg, delta=True, delta2d=True),
+    ]
+
+    def total(c):
+        return sum(s.compressed_size
+                   for s, _ in frame_stream.encode_frames_segmented(frames, c))
+
+    return min(candidates, key=total)
+
+
+def encode_video_best(frames: np.ndarray, config: CodecConfig | None = None):
+    """Measure temporal vs plain coding — each with its best spatial
+    precoder on its own payload — and keep the smaller container.
+
+    Temporal prediction is content-dependent the same way sub-green is
+    (PERF.md): a static camera with local motion shrinks 2-3x, but global
+    motion (panning) makes residuals NOISIER than the frames themselves
+    (every pixel changes; there is no motion compensation in a lossless
+    byte codec) and costs ~10%. Measuring is the only safe policy.
+    Returns ``(blob, used_temporal, used_config)``.
+    """
+    from .. import encode_video
+
+    cfg = config or CodecConfig()
+    frames = np.asarray(frames)
+    cfg_t = _best_precoder(temporal_encode(frames, cfg.keyint), cfg)
+    blob_t = encode_temporal_video(frames, cfg_t)
+    cfg_p = _best_precoder(frames, _inner_config(cfg))
+    blob_p = encode_video(frames, cfg_p)
+    if len(blob_t) <= len(blob_p):
+        return blob_t, True, cfg_t
+    return blob_p, False, cfg_p
+
+
+def describe(blob: bytes) -> str:
+    """One-line human description of the MHVT wrapper (for CLI ``info``)."""
+    _, keyint, crc = unwrap(blob)
+    return (f"MHVT: temporal prediction, keyframe every {keyint}, "
+            f"crc32={'recorded' if crc else 'absent'}")

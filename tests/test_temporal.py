@@ -1,0 +1,337 @@
+"""Temporal (inter-frame) prediction: transform, MHVT container, random
+access, CLI. Beyond-reference capability (the reference re-decodes one still
+frame per tick, ``AAPLRenderer.m:1178-1924`` — it has no temporal model)."""
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+import metalhuffman_tpu as mh
+from metalhuffman_tpu.models import CodecConfig, temporal
+
+
+def _video(t=11, h=40, w=48, seed=0, motion=4):
+    """Static textured background + a small moving patch: temporally
+    redundant content (what temporal prediction exists for)."""
+    rng = np.random.default_rng(seed)
+    base = rng.integers(0, 256, (h, w), np.uint8)
+    base = ((base.astype(np.uint16) + np.roll(base, 1, 0)
+             + np.roll(base, 1, 1)) // 3).astype(np.uint8)
+    frames = np.repeat(base[None], t, axis=0).copy()
+    for i in range(t):
+        x = (i * motion) % (w - 8)
+        frames[i, 8:16, x : x + 8] = 255 - frames[i, 8:16, x : x + 8]
+    return frames
+
+
+CPU = CodecConfig(backend="native")
+
+
+# -- transform ----------------------------------------------------------------
+
+
+@pytest.mark.parametrize("keyint", [1, 3, 8, 64])
+def test_transform_roundtrip(keyint):
+    frames = _video()
+    res = temporal.temporal_encode(frames, keyint)
+    assert res.dtype == np.uint8 and res.shape == frames.shape
+    assert np.array_equal(temporal.temporal_decode(res, keyint), frames)
+    # keyframes are literal; the rest are wrapping diffs
+    assert np.array_equal(res[0], frames[0])
+    for k in range(keyint, frames.shape[0], keyint):
+        assert np.array_equal(res[k], frames[k])
+    if keyint > 1 and frames.shape[0] > 1:
+        assert np.array_equal(res[1], frames[1] - frames[0])
+
+
+def test_transform_jax_matches_numpy():
+    frames = _video(t=10)
+    for keyint in (1, 3, 4, 16):
+        res = temporal.temporal_encode(frames, keyint)
+        got = np.asarray(temporal.temporal_decode_jax(res, keyint))
+        assert np.array_equal(got, frames), keyint
+
+
+def test_transform_uint16_and_color():
+    rng = np.random.default_rng(1)
+    u16 = rng.integers(0, 1 << 16, (6, 16, 24), np.uint16)
+    res = temporal.temporal_encode(u16, 4)
+    assert res.dtype == np.uint16
+    assert np.array_equal(temporal.temporal_decode(res, 4), u16)
+    rgb = rng.integers(0, 256, (6, 16, 24, 3), np.uint8)
+    res = temporal.temporal_encode(rgb, 2)
+    assert np.array_equal(temporal.temporal_decode(res, 2), rgb)
+
+
+def test_transform_validates():
+    with pytest.raises(ValueError):
+        temporal.temporal_encode(np.zeros((4, 4), np.uint8), 2)  # no T axis
+    with pytest.raises(ValueError):
+        temporal.temporal_encode(np.zeros((2, 4, 4), np.int32), 2)
+    with pytest.raises(ValueError):
+        temporal.temporal_encode(np.zeros((2, 4, 4), np.uint8), 0)
+
+
+# -- containers ---------------------------------------------------------------
+
+
+def test_mhvt_roundtrip_gray():
+    frames = _video()
+    cfg = CodecConfig(backend="native", temporal=True, keyint=4)
+    blob = mh.encode_video(frames, cfg)
+    assert blob[:4] == temporal.TEMPORAL_MAGIC
+    out = mh.decode_video(blob, CPU)
+    assert out.dtype == np.uint8 and np.array_equal(out, frames)
+
+
+def test_mhvt_compresses_redundant_video():
+    # the capability's reason to exist: static-scene-plus-motion content
+    # shrinks dramatically when only the changes are coded
+    frames = _video(t=16)
+    plain = mh.encode_video(frames, CPU)
+    tmp = mh.encode_video(
+        frames, CodecConfig(backend="native", temporal=True, keyint=8))
+    assert len(tmp) < 0.55 * len(plain), (len(tmp), len(plain))
+
+
+def test_mhvt_roundtrip_color_and_subgreen():
+    rng = np.random.default_rng(2)
+    base = rng.integers(0, 256, (24, 32, 3), np.uint8)
+    frames = np.repeat(base[None], 6, axis=0).copy()
+    frames[3:, 4:8, 4:8] ^= 0xFF
+    cfg = CodecConfig(backend="native", temporal=True, keyint=3)
+    blob = mh.encode_color_video(frames, cfg)
+    assert blob[:4] == temporal.TEMPORAL_MAGIC
+    assert np.array_equal(mh.decode_color_video(blob, CPU), frames)
+    # explicit colorspace composes with the temporal wrapper
+    from metalhuffman_tpu.models import color
+
+    blob2 = temporal.encode_temporal_color_video(
+        frames, cfg, colorspace=color.CS_SUBGREEN)
+    assert np.array_equal(temporal.decode_temporal_video(blob2, CPU), frames)
+
+
+def test_mhvt_roundtrip_gray16():
+    rng = np.random.default_rng(3)
+    base = rng.integers(0, 1 << 16, (24, 32), np.uint16)
+    frames = np.repeat(base[None], 5, axis=0).copy()
+    frames[2:] += 257  # small change, wraps mod 65536 on the u16 residual
+    cfg = CodecConfig(backend="native", temporal=True, keyint=2)
+    blob = temporal.encode_temporal_gray16_video(frames, cfg)
+    out = temporal.decode_temporal_video(blob, CPU)
+    assert out.dtype == np.uint16 and np.array_equal(out, frames)
+
+
+def test_mhvt_segmented_inner():
+    # a tiny max_segment_bits forces MHV2 inside the wrapper — exercised
+    # through the normal decode path
+    from metalhuffman_tpu.models import frame_stream
+
+    frames = _video(t=6, h=24, w=32)
+    res = temporal.temporal_encode(frames, 2)
+    segs = frame_stream.encode_frames_segmented(
+        res, CPU, max_segment_bits=16_000)
+    assert len(segs) > 1
+    inner = frame_stream.write_segmented(
+        segs, 24, 32, CPU,
+        source_crc32=zlib.crc32(np.ascontiguousarray(res).tobytes()))
+    blob = temporal.wrap(inner, 2, source_crc32=zlib.crc32(
+        np.ascontiguousarray(frames).tobytes()))
+    assert np.array_equal(temporal.decode_temporal_video(blob, CPU), frames)
+    assert np.array_equal(
+        temporal.decode_temporal_frame(blob, 5, CPU), frames[5])
+
+
+def test_mhvt_precoders_compose():
+    frames = _video()
+    for delta, d2 in ((False, False), (True, False), (True, True)):
+        cfg = CodecConfig(backend="native", temporal=True, keyint=4,
+                          delta=delta, delta2d=d2)
+        blob = mh.encode_video(frames, cfg)
+        assert np.array_equal(mh.decode_video(blob, CPU), frames), (delta, d2)
+
+
+# -- random access ------------------------------------------------------------
+
+
+def test_mhvt_random_access_every_frame():
+    frames = _video(t=11)
+    blob = mh.encode_video(
+        frames, CodecConfig(backend="native", temporal=True, keyint=4))
+    for n in range(frames.shape[0]):
+        got = temporal.decode_temporal_frame(blob, n, CPU)
+        assert np.array_equal(got, frames[n]), n
+    with pytest.raises(ValueError):
+        temporal.decode_temporal_frame(blob, frames.shape[0], CPU)
+    with pytest.raises(ValueError):
+        temporal.decode_temporal_frame(blob, -1, CPU)
+
+
+def test_mhvt_random_access_color():
+    rng = np.random.default_rng(4)
+    base = rng.integers(0, 256, (16, 24, 3), np.uint8)
+    frames = np.repeat(base[None], 7, axis=0).copy()
+    frames[4:, :4] += 9
+    blob = mh.encode_color_video(
+        frames, CodecConfig(backend="native", temporal=True, keyint=3))
+    for n in (0, 2, 3, 6):
+        got = temporal.decode_temporal_frame(blob, n, CPU)
+        assert np.array_equal(got, frames[n]), n
+
+
+# -- integrity ----------------------------------------------------------------
+
+
+def test_mhvt_corrupt_keyint_caught_by_outer_crc():
+    frames = _video(t=9)
+    blob = bytearray(mh.encode_video(
+        frames, CodecConfig(backend="native", temporal=True, keyint=4)))
+    blob[4:6] = struct.pack("<H", 5)  # valid residuals, wrong reconstruction
+    with pytest.raises(ValueError, match="MHVT source CRC-32"):
+        mh.decode_video(bytes(blob), CPU)
+
+
+def test_mhvt_truncation_and_bad_magic():
+    frames = _video(t=5)
+    blob = mh.encode_video(
+        frames, CodecConfig(backend="native", temporal=True, keyint=4))
+    with pytest.raises(ValueError, match="truncated"):
+        temporal.unwrap(blob[:-6])
+    with pytest.raises(ValueError, match="not an MHVT"):
+        temporal.unwrap(b"XXXX" + blob[4:])
+    with pytest.raises(ValueError, match="keyint"):
+        temporal.wrap(b"", 0)
+
+
+# -- CLI ----------------------------------------------------------------------
+
+
+def _run_cli(argv):
+    from metalhuffman_tpu.cli import main
+
+    return main(argv)
+
+
+def test_cli_temporal_roundtrip(tmp_path, capsys):
+    frames = _video(t=9)
+    src = tmp_path / "frames.npy"
+    np.save(src, frames)
+    out = tmp_path / "v.mhvt"
+    assert _run_cli(["encode-video", str(src), str(out), "--temporal",
+                     "--keyint", "4", "--backend", "native"]) == 0
+    assert out.read_bytes()[:4] == temporal.TEMPORAL_MAGIC
+    assert "MHVT[keyint 4]" in capsys.readouterr().out
+
+    dec = tmp_path / "dec.npy"
+    assert _run_cli(["decode-video", str(out), str(dec),
+                     "--backend", "native"]) == 0
+    assert np.array_equal(np.load(dec), frames)
+
+    one = tmp_path / "f6.npy"
+    assert _run_cli(["decode-video", str(out), str(one), "--frame", "6",
+                     "--backend", "native"]) == 0
+    assert np.array_equal(np.load(one), frames[6])
+
+    assert _run_cli(["info", str(out)]) == 0
+    info = capsys.readouterr().out
+    assert "MHVT" in info and "keyframe every 4" in info and "MHTV" in info
+
+    assert _run_cli(["verify", str(out), "--backend", "native"]) == 0
+    v = capsys.readouterr().out
+    assert "PASS" in v and "MHVT" in v
+
+    assert _run_cli(["inspect", str(out)]) == 0
+    assert "MHVT" in capsys.readouterr().out
+
+
+def test_cli_temporal_best_and_conflicts(tmp_path, capsys):
+    frames = _video(t=8)
+    src = tmp_path / "frames.npy"
+    np.save(src, frames)
+    out = tmp_path / "v.mhvt"
+    assert _run_cli(["encode-video", str(src), str(out), "--temporal",
+                     "--best", "--backend", "native"]) == 0
+    # static-scene content: temporal must win the measurement
+    assert out.read_bytes()[:4] == temporal.TEMPORAL_MAGIC
+    assert np.array_equal(
+        mh.decode_video(out.read_bytes(), CPU), frames)
+    with pytest.raises(SystemExit, match="per-frame-tables"):
+        _run_cli(["encode-video", str(src), str(out), "--temporal",
+                  "--per-frame-tables", "--backend", "native"])
+    with pytest.raises(SystemExit, match="decode-video"):
+        _run_cli(["decode", str(out), str(tmp_path / "x.png"),
+                  "--backend", "native"])
+
+
+def test_best_falls_back_to_plain_on_hostile_content(tmp_path):
+    # independent noise per frame: residuals are sums of two noise fields
+    # (MORE entropy than the frames), so the measurement must keep plain
+    rng = np.random.default_rng(6)
+    frames = rng.integers(0, 256, (6, 32, 40), np.uint8)
+    blob, used_temporal, _cfg = temporal.encode_video_best(
+        frames, CodecConfig(backend="native", temporal=True, keyint=4))
+    assert not used_temporal
+    assert blob[:4] != temporal.TEMPORAL_MAGIC
+    assert np.array_equal(mh.decode_video(blob, CPU), frames)
+
+    src = tmp_path / "noise.npy"
+    np.save(src, frames)
+    out = tmp_path / "v.bin"
+    assert _run_cli(["encode-video", str(src), str(out), "--temporal",
+                     "--best", "--backend", "native"]) == 0
+    assert out.read_bytes()[:4] != temporal.TEMPORAL_MAGIC
+    assert np.array_equal(mh.decode_video(out.read_bytes(), CPU), frames)
+
+
+def test_cli_temporal_color(tmp_path, capsys):
+    rng = np.random.default_rng(5)
+    base = rng.integers(0, 256, (24, 32, 3), np.uint8)
+    frames = np.repeat(base[None], 5, axis=0).copy()
+    frames[2:, :6] ^= 0x55
+    src = tmp_path / "frames.npy"
+    np.save(src, frames)
+    out = tmp_path / "v.mhvt"
+    assert _run_cli(["encode-video", str(src), str(out), "--temporal",
+                     "--color", "--keyint", "2", "--backend", "native"]) == 0
+    dec = tmp_path / "dec.npy"
+    assert _run_cli(["decode-video", str(out), str(dec),
+                     "--backend", "native"]) == 0
+    assert np.array_equal(np.load(dec), frames)
+    one = tmp_path / "f3.npy"
+    assert _run_cli(["decode-video", str(out), str(one), "--frame", "3",
+                     "--backend", "native"]) == 0
+    assert np.array_equal(np.load(one), frames[3])
+    assert _run_cli(["verify", str(out), "--backend", "native"]) == 0
+    assert "PASS" in capsys.readouterr().out
+
+
+def test_cli_verify_catches_corrupt_wrapper(tmp_path):
+    frames = _video(t=9)
+    src = tmp_path / "frames.npy"
+    np.save(src, frames)
+    out = tmp_path / "v.mhvt"
+    _run_cli(["encode-video", str(src), str(out), "--temporal",
+              "--keyint", "4", "--backend", "native"])
+    blob = bytearray(out.read_bytes())
+    blob[4:6] = struct.pack("<H", 3)
+    bad = tmp_path / "bad.mhvt"
+    bad.write_bytes(bytes(blob))
+    with pytest.raises(SystemExit, match="MHVT source CRC-32"):
+        _run_cli(["verify", str(bad), "--backend", "native"])
+
+
+# -- device path (Pallas interpret on the CPU mesh) -----------------------------
+
+
+def test_mhvt_decodes_on_device_path():
+    frames = _video(t=5, h=32, w=40)
+    blob = mh.encode_video(
+        frames, CodecConfig(backend="native", temporal=True, keyint=2))
+    # default config = pallas backend (interpret on CPU): the residual
+    # stream rides the production kernel path end to end
+    out = mh.decode_video(blob, CodecConfig())
+    assert np.array_equal(out, frames)
+    assert np.array_equal(
+        temporal.decode_temporal_frame(blob, 3, CodecConfig()), frames[3])
