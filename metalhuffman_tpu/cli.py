@@ -54,6 +54,7 @@ def _config(args):
         delta2d=getattr(args, "delta2d", False),
         temporal=getattr(args, "temporal", False),
         keyint=getattr(args, "keyint", 8),
+        motion=getattr(args, "motion", False),
         backend=args.backend,
         interpret=args.interpret,
     )
@@ -313,6 +314,8 @@ def _pick_best_precoder(frames: np.ndarray, cfg):
 def cmd_encode_video(args) -> int:
     from .models import frame_stream
 
+    if getattr(args, "motion", False) and not getattr(args, "temporal", False):
+        raise SystemExit("--motion requires --temporal")
     if getattr(args, "gray16", False) or getattr(args, "color", False):
         # MHTC containers are always shared-table inside; other encode
         # shaping flags do not apply — refuse rather than silently ignore
@@ -404,12 +407,12 @@ def cmd_encode_video(args) -> int:
         # each with its best spatial precoder on its own payload
         from .models import temporal
 
-        blob, used_temporal, used = temporal.encode_video_best(frames, cfg)
+        blob, kind, used = temporal.encode_video_best(frames, cfg)
         dt = time.perf_counter() - t0
         Path(args.output).write_bytes(blob)
         mode = ("delta2d" if used.delta2d else
                 "delta" if used.delta else "none")
-        kept = (f"MHVT[keyint {cfg.keyint}]" if used_temporal
+        kept = (f"MHVT[keyint {cfg.keyint}, {kind}]" if kind != "plain"
                 else "plain (temporal measured larger)")
         print(f"--best picked: {kept}, precoder {mode}", file=sys.stderr)
         print(
@@ -638,7 +641,7 @@ def _cmd_decode_video_temporal(args, data: bytes, cfg, check: bool) -> int:
     """
     from .models import color, temporal
 
-    inner, keyint, tcrc = temporal.unwrap(data)
+    inner, keyint, tcrc, mvs = temporal.unwrap(data)
     if check and args.backend != "pallas":
         raise SystemExit(
             "--check requires --backend pallas (the on-device integrity "
@@ -671,7 +674,8 @@ def _cmd_decode_video_temporal(args, data: bytes, cfg, check: bool) -> int:
         res, _t, h, w = _decode_video_frames(inner, cfg, check)
         _verify_video_crc(inner, res)
         res = np.asarray(res)
-    frames = temporal.temporal_decode(res, keyint)
+    frames = (temporal.temporal_decode_mc(res, keyint, mvs)
+              if mvs is not None else temporal.temporal_decode(res, keyint))
     if tcrc and zlib.crc32(np.ascontiguousarray(frames).tobytes()) != tcrc:
         raise SystemExit(
             "reconstructed frames fail the MHVT source CRC-32 — corrupt "
@@ -831,10 +835,10 @@ def cmd_verify(args) -> int:
 
         try:
             wrapper = temporal.describe(data) + " wrapping "
-            inner, keyint, tcrc = temporal.unwrap(data)
+            inner, keyint, tcrc, mvs = temporal.unwrap(data)
         except ValueError as e:
             raise SystemExit(str(e))
-        temporal_ctx = (keyint, tcrc)
+        temporal_ctx = (keyint, tcrc, mvs)
         data = inner
     if data[:4] == color.COLOR_MAGIC:
         # verify the inner plane stream; every check (end-bit, CRC) applies
@@ -900,11 +904,13 @@ def cmd_verify(args) -> int:
                 # inner checks cannot see)
                 from .models import temporal
 
-                keyint, tcrc = temporal_ctx
+                keyint, tcrc, mvs = temporal_ctx
                 res = np.asarray(frames)
                 if mhtc_ctx is not None:
                     res = color.fold_video_planes(res, *mhtc_ctx)
-                true = temporal.temporal_decode(res, keyint)
+                true = (temporal.temporal_decode_mc(res, keyint, mvs)
+                        if mvs is not None
+                        else temporal.temporal_decode(res, keyint))
                 if tcrc and zlib.crc32(
                         np.ascontiguousarray(true).tobytes()) != tcrc:
                     raise SystemExit(
@@ -1047,6 +1053,11 @@ def main(argv=None) -> int:
     p.add_argument("--keyint", type=int, default=8, metavar="K",
                    help="with --temporal: keyframe interval (bounds "
                         "--frame random-access work; default 8)")
+    p.add_argument("--motion", action="store_true",
+                   help="with --temporal: global motion compensation — "
+                        "each frame's predictor is the previous frame "
+                        "circularly shifted by an estimated (dy, dx); "
+                        "cancels panning, still lossless")
     _add_codec_flags(p)
     p.set_defaults(fn=cmd_encode_video)
 

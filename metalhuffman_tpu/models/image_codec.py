@@ -50,6 +50,10 @@ class CodecConfig:
     #: Applies to the video encode surfaces only; decode auto-detects.
     temporal: bool = False
     keyint: int = 8  #: keyframe interval (bounds random-access decode work)
+    #: with temporal: per-frame global motion compensation — the predictor
+    #: is the previous frame circularly shifted by an estimated integer
+    #: (dy, dx) (exactly invertible, so still lossless); cancels panning
+    motion: bool = False
     table1_bits: int = 8  # HUFF_TABLE1_NUM_BITS (:120)
     table2_bits: int = 8  # HUFF_TABLE2_NUM_BITS (:121)
     backend: str = "pallas"  # 'pallas' (TPU kernel) | 'xla' | 'native' (host C++)

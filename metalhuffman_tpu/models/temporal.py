@@ -46,8 +46,10 @@ from .image_codec import CodecConfig
 
 TEMPORAL_MAGIC = b"MHVT"
 
-_HEADER = "<HHI"  # keyint, reserved, inner_len
+_HEADER = "<HHI"  # keyint, flags, inner_len
 _HEADER_SIZE = 4 + struct.calcsize(_HEADER)
+
+FLAG_MOTION = 1  #: header flag: per-frame global motion vectors present
 
 
 # -- the transform (container-independent) ------------------------------------
@@ -108,52 +110,192 @@ def temporal_decode_jax(residuals, keyint: int = 8):
     return out.reshape((-1,) + x.shape[1:])[:t]
 
 
+# -- global motion compensation ------------------------------------------------
+#
+# A lossless byte codec cannot cancel global motion (panning) with plain
+# frame differencing: every pixel changes by the local spatial gradient and
+# the residuals get NOISIER than the frames (PERF.md temporal study,
+# x1.09). The fix is one integer motion vector per frame: the predictor
+# becomes a CIRCULAR shift of the previous frame — np.roll is exactly
+# invertible, so losslessness is free and only the wrapped border rows/
+# columns mispredict (~(|dy|*W + |dx|*H) pixels per frame).
+
+
+def _luma(frame: np.ndarray) -> np.ndarray:
+    """Estimation field: float32 luma (channel mean for color stacks)."""
+    f = frame.astype(np.float32)
+    return f.mean(axis=-1) if f.ndim == 3 else f
+
+
+def _mc_cost(prev: np.ndarray, cur: np.ndarray, mv: tuple, step: int = 4) -> int:
+    """Wrapping-residual magnitude of predictor roll(prev, mv), subsampled."""
+    pred = np.roll(prev, mv, axis=(0, 1)) if mv != (0, 0) else prev
+    m = 65536 if prev.dtype == np.uint16 else 256
+    r = (cur[::step, ::step].astype(np.int32)
+         - pred[::step, ::step].astype(np.int32)) % m
+    return int(np.minimum(r, m - r).sum())
+
+
+def estimate_motion(prev: np.ndarray, cur: np.ndarray,
+                    max_shift: int = 256) -> tuple[int, int]:
+    """Integer global motion (dy, dx) with ``cur ~= roll(prev, (dy, dx))``.
+
+    Phase correlation (normalized cross-power spectrum peak) on the luma
+    field — one shot, no search loop, handles arbitrary shifts up to half
+    the frame. The candidate is accepted only when it actually beats zero
+    motion on the wrapping-residual cost the encoder will pay, so hostile
+    content degrades to plain temporal differencing, never below it.
+    """
+    a, b = _luma(prev), _luma(cur)
+    fa = np.fft.rfft2(a)
+    fb = np.fft.rfft2(b)
+    cross = fb * np.conj(fa)
+    cross /= np.abs(cross) + 1e-6
+    corr = np.fft.irfft2(cross, a.shape)
+    peak = np.unravel_index(int(np.argmax(corr)), corr.shape)
+    dy = peak[0] - (a.shape[0] if peak[0] > a.shape[0] // 2 else 0)
+    dx = peak[1] - (a.shape[1] if peak[1] > a.shape[1] // 2 else 0)
+    if abs(dy) > max_shift or abs(dx) > max_shift or (dy, dx) == (0, 0):
+        return (0, 0)
+    if _mc_cost(prev, cur, (int(dy), int(dx))) < _mc_cost(prev, cur, (0, 0)):
+        return (int(dy), int(dx))
+    return (0, 0)
+
+
+def temporal_encode_mc(frames: np.ndarray, keyint: int = 8,
+                       mvs: np.ndarray | None = None):
+    """Motion-compensated residuals: ``frame[t] - roll(frame[t-1], mv[t])``.
+
+    Returns ``(residuals, mvs)`` with ``mvs`` a (T, 2) int16 array of
+    per-frame (dy, dx) — estimated per non-key frame when not supplied;
+    keyframes are literal and carry (0, 0).
+    """
+    frames = np.asarray(frames)
+    if frames.ndim < 3:
+        raise ValueError("frames must be (T, H, W[, C])")
+    if frames.dtype not in (np.uint8, np.uint16):
+        raise ValueError("temporal prediction needs uint8/uint16 frames")
+    if keyint < 1:
+        raise ValueError("keyint must be >= 1")
+    t = frames.shape[0]
+    if mvs is None:
+        mvs = np.zeros((t, 2), np.int16)
+        for i in range(1, t):
+            if i % keyint:
+                mvs[i] = estimate_motion(frames[i - 1], frames[i])
+    else:
+        mvs = np.asarray(mvs, np.int16).reshape(t, 2)
+    res = frames.copy()
+    for i in range(1, t):
+        if i % keyint == 0:
+            continue  # literal keyframe
+        mv = (int(mvs[i, 0]), int(mvs[i, 1]))
+        pred = (np.roll(frames[i - 1], mv, axis=(0, 1)) if mv != (0, 0)
+                else frames[i - 1])
+        res[i] = frames[i] - pred  # unsigned wraparound
+    return res, mvs
+
+
+def temporal_decode_mc(residuals: np.ndarray, keyint: int,
+                       mvs: np.ndarray) -> np.ndarray:
+    """Inverse of :func:`temporal_encode_mc` (sequential within a group —
+    each frame's predictor is the previous RECONSTRUCTED frame, rolled)."""
+    residuals = np.asarray(residuals)
+    mvs = np.asarray(mvs)
+    out = np.empty_like(residuals)
+    for i in range(residuals.shape[0]):
+        if i % keyint == 0:
+            out[i] = residuals[i]
+            continue
+        mv = (int(mvs[i, 0]), int(mvs[i, 1]))
+        pred = (np.roll(out[i - 1], mv, axis=(0, 1)) if mv != (0, 0)
+                else out[i - 1])
+        out[i] = residuals[i] + pred
+    return out
+
+
 # -- container ------------------------------------------------------------------
 
 
-def wrap(inner: bytes, keyint: int, source_crc32: int = 0) -> bytes:
-    """Wrap an inner video container blob in the MHVT header + CRC trailer."""
+def wrap(inner: bytes, keyint: int, source_crc32: int = 0,
+         mvs: np.ndarray | None = None) -> bytes:
+    """Wrap an inner video container blob in the MHVT header + CRC trailer.
+
+    With ``mvs`` (a (T, 2) int16 array of per-frame global motion vectors)
+    the header flags bit 0 is set and ``u32 T`` + T x (i16 dy, i16 dx)
+    follow the header before the inner blob.
+    """
     if not 1 <= keyint <= 0xFFFF:
         raise ValueError("keyint must be in 1..65535")
-    return (TEMPORAL_MAGIC + struct.pack(_HEADER, keyint, 0, len(inner))
-            + inner + struct.pack("<I", source_crc32 & 0xFFFFFFFF))
+    flags = 0
+    mv_blob = b""
+    if mvs is not None:
+        mvs = np.asarray(mvs, np.int16).reshape(-1, 2)
+        flags |= FLAG_MOTION
+        mv_blob = struct.pack("<I", mvs.shape[0]) + mvs.astype("<i2").tobytes()
+    return (TEMPORAL_MAGIC + struct.pack(_HEADER, keyint, flags, len(inner))
+            + mv_blob + inner + struct.pack("<I", source_crc32 & 0xFFFFFFFF))
 
 
 def unwrap(blob: bytes):
-    """MHVT blob -> (inner_bytes, keyint, source_crc32)."""
+    """MHVT blob -> (inner_bytes, keyint, source_crc32, mvs_or_None)."""
     if blob[:4] != TEMPORAL_MAGIC:
         raise ValueError("not an MHVT container")
     if len(blob) < _HEADER_SIZE:
         raise ValueError("truncated MHVT container (header incomplete)")
-    keyint, _rsvd, inner_len = struct.unpack_from(_HEADER, blob, 4)
+    keyint, flags, inner_len = struct.unpack_from(_HEADER, blob, 4)
     if keyint < 1:
         raise ValueError("corrupt MHVT container (keyint 0)")
-    end = _HEADER_SIZE + inner_len
+    pos = _HEADER_SIZE
+    mvs = None
+    if flags & FLAG_MOTION:
+        if len(blob) < pos + 4:
+            raise ValueError("truncated MHVT container (motion table)")
+        (t,) = struct.unpack_from("<I", blob, pos)
+        pos += 4
+        if len(blob) < pos + 4 * t:
+            raise ValueError("truncated MHVT container (motion table)")
+        mvs = np.frombuffer(blob, dtype="<i2", count=2 * t,
+                            offset=pos).reshape(t, 2).copy()
+        pos += 4 * t
+    end = pos + inner_len
     if len(blob) < end + 4:
         raise ValueError("truncated MHVT container (inner/trailer missing)")
     (crc,) = struct.unpack_from("<I", blob, end)
-    return blob[_HEADER_SIZE : end], keyint, crc
+    return blob[pos:end], keyint, crc, mvs
 
 
 def _inner_config(config: CodecConfig | None) -> CodecConfig:
     """The config the inner (residual) encode/decode runs under."""
-    return dataclasses.replace(config or CodecConfig(), temporal=False)
+    return dataclasses.replace(config or CodecConfig(), temporal=False,
+                               motion=False)
 
 
 def _crc(frames: np.ndarray) -> int:
     return zlib.crc32(np.ascontiguousarray(frames).tobytes()) & 0xFFFFFFFF
 
 
+def _residuals(frames: np.ndarray, cfg: CodecConfig):
+    """(residual stack, mvs-or-None) per the config's motion flag."""
+    if cfg.motion:
+        return temporal_encode_mc(frames, cfg.keyint)
+    return temporal_encode(frames, cfg.keyint), None
+
+
 def encode_temporal_video(frames: np.ndarray,
                           config: CodecConfig | None = None) -> bytes:
-    """(T, H, W) uint8 -> MHVT wrapping an MHTV/MHV2 residual stream."""
+    """(T, H, W) uint8 -> MHVT wrapping an MHTV/MHV2 residual stream.
+
+    With ``config.motion`` each non-key frame's predictor is the previous
+    frame circularly shifted by an estimated global motion vector
+    (stored in the wrapper)."""
     from .. import encode_video
 
     cfg = config or CodecConfig()
     frames = np.asarray(frames)
-    res = temporal_encode(frames, cfg.keyint)
+    res, mvs = _residuals(frames, cfg)
     return wrap(encode_video(res, _inner_config(cfg)), cfg.keyint,
-                source_crc32=_crc(frames))
+                source_crc32=_crc(frames), mvs=mvs)
 
 
 def encode_temporal_color_video(frames: np.ndarray,
@@ -164,11 +306,11 @@ def encode_temporal_color_video(frames: np.ndarray,
 
     cfg = config or CodecConfig()
     frames = np.asarray(frames)
-    res = temporal_encode(frames, cfg.keyint)
+    res, mvs = _residuals(frames, cfg)
     cs = color.CS_IDENTITY if colorspace is None else colorspace
     inner = color.encode_color_video_to_bytes(res, _inner_config(cfg),
                                               colorspace=cs)
-    return wrap(inner, cfg.keyint, source_crc32=_crc(frames))
+    return wrap(inner, cfg.keyint, source_crc32=_crc(frames), mvs=mvs)
 
 
 def encode_temporal_gray16_video(frames: np.ndarray,
@@ -184,9 +326,9 @@ def encode_temporal_gray16_video(frames: np.ndarray,
     frames = np.asarray(frames)
     if frames.ndim != 3 or frames.dtype != np.uint16:
         raise ValueError("expected (T, H, W) uint16")
-    res = temporal_encode(frames, cfg.keyint)
+    res, mvs = _residuals(frames, cfg)
     inner = color.encode_gray16_to_bytes(res, _inner_config(cfg))
-    return wrap(inner, cfg.keyint, source_crc32=_crc(frames))
+    return wrap(inner, cfg.keyint, source_crc32=_crc(frames), mvs=mvs)
 
 
 def _decode_inner(inner: bytes, config: CodecConfig | None) -> np.ndarray:
@@ -210,8 +352,16 @@ def decode_temporal_video(blob: bytes,
     """MHVT container -> reconstructed frames (shape/dtype per inner kind:
     (T, H, W) u8, (T, H, W, C) u8, or (T, H, W) u16), CRC-verified twice
     (inner residual CRC, then the outer true-frame CRC)."""
-    inner, keyint, crc = unwrap(blob)
-    frames = temporal_decode(_decode_inner(inner, config), keyint)
+    inner, keyint, crc, mvs = unwrap(blob)
+    res = _decode_inner(inner, config)
+    if mvs is not None:
+        if mvs.shape[0] != res.shape[0]:
+            raise ValueError(
+                "corrupt MHVT container (motion table length disagrees "
+                "with the frame count)")
+        frames = temporal_decode_mc(res, keyint, mvs)
+    else:
+        frames = temporal_decode(res, keyint)
     if crc and _crc(frames) != crc:
         raise ValueError(
             "reconstructed frames fail the MHVT source CRC-32 — corrupt "
@@ -232,7 +382,7 @@ def decode_temporal_frame(blob: bytes, n: int,
     """
     from . import color, frame_stream
 
-    inner, keyint, _crc_ = unwrap(blob)
+    inner, keyint, _crc_, mvs = unwrap(blob)
     if n < 0:
         raise ValueError(f"frame {n} out of range")
     kf = (n // keyint) * keyint
@@ -247,8 +397,18 @@ def decode_temporal_frame(blob: bytes, n: int,
     else:
         res, h, w = frame_stream.decode_range(inner, kf, n + 1, cfg)
         res = res.reshape(-1, h, w)
-    # one wrapping reduction: keyframe + residuals -> frame n
-    return np.add.reduce(res, axis=0, dtype=res.dtype)
+    if mvs is None:
+        # one wrapping reduction: keyframe + residuals -> frame n
+        return np.add.reduce(res, axis=0, dtype=res.dtype)
+    if mvs.shape[0] <= n:
+        raise ValueError(
+            "corrupt MHVT container (motion table shorter than the stream)")
+    out = res[0]
+    for i in range(1, res.shape[0]):
+        mv = (int(mvs[kf + i, 0]), int(mvs[kf + i, 1]))
+        pred = np.roll(out, mv, axis=(0, 1)) if mv != (0, 0) else out
+        out = res[i] + pred
+    return out
 
 
 def _best_precoder(frames: np.ndarray, cfg: CodecConfig) -> CodecConfig:
@@ -269,31 +429,44 @@ def _best_precoder(frames: np.ndarray, cfg: CodecConfig) -> CodecConfig:
 
 
 def encode_video_best(frames: np.ndarray, config: CodecConfig | None = None):
-    """Measure temporal vs plain coding — each with its best spatial
-    precoder on its own payload — and keep the smaller container.
+    """Measure the coding modes — each with its best spatial precoder on
+    its own payload — and keep the smallest container.
 
-    Temporal prediction is content-dependent the same way sub-green is
-    (PERF.md): a static camera with local motion shrinks 2-3x, but global
-    motion (panning) makes residuals NOISIER than the frames themselves
-    (every pixel changes; there is no motion compensation in a lossless
-    byte codec) and costs ~10%. Measuring is the only safe policy.
-    Returns ``(blob, used_temporal, used_config)``.
+    Candidates: plain, temporal, and (with ``config.motion``) temporal with
+    global motion compensation. Temporal prediction is content-dependent
+    the same way sub-green is (PERF.md): a static camera with local motion
+    shrinks 2-3x, but global motion (panning) makes plain frame residuals
+    NOISIER than the frames themselves — the MC candidate cancels exactly
+    that case with per-frame circular-shift predictors. Measuring is the
+    only safe policy. Returns ``(blob, kind, used_config)`` with ``kind``
+    one of ``"plain" | "temporal" | "temporal+motion"``.
     """
     from .. import encode_video
 
     cfg = config or CodecConfig()
     frames = np.asarray(frames)
-    cfg_t = _best_precoder(temporal_encode(frames, cfg.keyint), cfg)
-    blob_t = encode_temporal_video(frames, cfg_t)
+    candidates = []
     cfg_p = _best_precoder(frames, _inner_config(cfg))
-    blob_p = encode_video(frames, cfg_p)
-    if len(blob_t) <= len(blob_p):
-        return blob_t, True, cfg_t
-    return blob_p, False, cfg_p
+    candidates.append((encode_video(frames, cfg_p), "plain", cfg_p))
+    plain_cfg = dataclasses.replace(cfg, motion=False)
+    cfg_t = _best_precoder(temporal_encode(frames, cfg.keyint), plain_cfg)
+    candidates.append(
+        (encode_temporal_video(frames, cfg_t), "temporal", cfg_t))
+    if cfg.motion:
+        res_mc, mvs = temporal_encode_mc(frames, cfg.keyint)
+        cfg_m = _best_precoder(res_mc, cfg)
+        blob_m = wrap(encode_video(res_mc, _inner_config(cfg_m)), cfg.keyint,
+                      source_crc32=_crc(frames), mvs=mvs)
+        candidates.append((blob_m, "temporal+motion", cfg_m))
+    return min(candidates, key=lambda c: len(c[0]))
 
 
 def describe(blob: bytes) -> str:
     """One-line human description of the MHVT wrapper (for CLI ``info``)."""
-    _, keyint, crc = unwrap(blob)
-    return (f"MHVT: temporal prediction, keyframe every {keyint}, "
+    _, keyint, crc, mvs = unwrap(blob)
+    motion = ""
+    if mvs is not None:
+        moving = int((mvs != 0).any(axis=1).sum())
+        motion = f", motion-compensated ({moving}/{mvs.shape[0]} frames move)"
+    return (f"MHVT: temporal prediction, keyframe every {keyint}{motion}, "
             f"crc32={'recorded' if crc else 'absent'}")

@@ -205,6 +205,100 @@ def test_mhvt_truncation_and_bad_magic():
         temporal.wrap(b"", 0)
 
 
+# -- global motion compensation -------------------------------------------------
+
+
+def _pan_video(t=8, h=96, w=128, step=(2, 3), seed=7):
+    """Global translation: every frame is the previous one rolled by step
+    (circular, so MC predicts it EXACTLY — the analog of a camera pan)."""
+    rng = np.random.default_rng(seed)
+    base = rng.integers(0, 256, (h, w), np.uint8)
+    base = ((base.astype(np.uint16) + np.roll(base, 1, 0)
+             + np.roll(base, 1, 1)) // 3).astype(np.uint8)
+    return np.stack([np.roll(base, (step[0] * i, step[1] * i), (0, 1))
+                     for i in range(t)])
+
+
+def test_estimate_motion_recovers_shift():
+    frames = _pan_video(t=2, step=(3, -5))
+    assert temporal.estimate_motion(frames[0], frames[1]) == (3, -5)
+    # zero motion on identical frames
+    assert temporal.estimate_motion(frames[0], frames[0]) == (0, 0)
+
+
+def test_mc_transform_roundtrip():
+    frames = _video(t=9)
+    for keyint in (1, 4, 16):
+        res, mvs = temporal.temporal_encode_mc(frames, keyint)
+        assert mvs.shape == (9, 2)
+        got = temporal.temporal_decode_mc(res, keyint, mvs)
+        assert np.array_equal(got, frames), keyint
+    # color + u16 stacks
+    rng = np.random.default_rng(8)
+    rgb = rng.integers(0, 256, (5, 24, 32, 3), np.uint8)
+    res, mvs = temporal.temporal_encode_mc(rgb, 2)
+    assert np.array_equal(temporal.temporal_decode_mc(res, 2, mvs), rgb)
+    u16 = rng.integers(0, 1 << 16, (4, 24, 32), np.uint16)
+    res, mvs = temporal.temporal_encode_mc(u16, 2)
+    assert np.array_equal(temporal.temporal_decode_mc(res, 2, mvs), u16)
+
+
+def test_mc_cancels_pan():
+    frames = _pan_video(t=10)
+    res, mvs = temporal.temporal_encode_mc(frames, 8)
+    # circular pan is predicted exactly: non-key residuals are all zero
+    assert (mvs[1:8] == (2, 3)).all()
+    assert not res[1:8].any()
+    plain = len(mh.encode_video(frames, CPU))
+    mc = len(mh.encode_video(frames, CodecConfig(
+        backend="native", temporal=True, motion=True, keyint=8)))
+    assert mc < 0.45 * plain, (mc, plain)
+
+
+def test_mhvt_motion_container_roundtrip_and_random_access():
+    frames = _pan_video(t=10)
+    cfg = CodecConfig(backend="native", temporal=True, motion=True, keyint=4)
+    blob = mh.encode_video(frames, cfg)
+    assert blob[:4] == temporal.TEMPORAL_MAGIC
+    _inner, _k, _crc, mvs = temporal.unwrap(blob)
+    assert mvs is not None and mvs.shape == (10, 2)
+    assert np.array_equal(mh.decode_video(blob, CPU), frames)
+    for n in (0, 1, 3, 4, 7, 9):
+        got = temporal.decode_temporal_frame(blob, n, CPU)
+        assert np.array_equal(got, frames[n]), n
+    assert "motion-compensated" in temporal.describe(blob)
+
+
+def test_mhvt_motion_color():
+    base = _pan_video(t=6, h=48, w=64)
+    frames = np.stack([np.stack([f, np.roll(f, 1, 0), np.roll(f, 2, 1)], -1)
+                       for f in base])
+    cfg = CodecConfig(backend="native", temporal=True, motion=True, keyint=3)
+    blob = mh.encode_color_video(frames, cfg)
+    assert np.array_equal(mh.decode_color_video(blob, CPU), frames)
+    assert np.array_equal(
+        temporal.decode_temporal_frame(blob, 5, CPU), frames[5])
+
+
+def test_best_with_motion_picks_mc_on_pan():
+    frames = _pan_video(t=8)
+    blob, kind, _cfg = temporal.encode_video_best(
+        frames, CodecConfig(backend="native", temporal=True, motion=True))
+    assert kind == "temporal+motion"
+    assert np.array_equal(mh.decode_video(blob, CPU), frames)
+
+
+def test_corrupt_motion_table_caught():
+    frames = _pan_video(t=8)
+    blob = bytearray(mh.encode_video(frames, CodecConfig(
+        backend="native", temporal=True, motion=True, keyint=4)))
+    # flip frame 1's motion vector dy byte (the table starts after the
+    # 12-byte header + u32 count; frame 0's keyframe mv is ignored)
+    blob[20] ^= 0x01
+    with pytest.raises(ValueError, match="MHVT source CRC-32"):
+        mh.decode_video(bytes(blob), CPU)
+
+
 # -- CLI ----------------------------------------------------------------------
 
 
@@ -260,6 +354,9 @@ def test_cli_temporal_best_and_conflicts(tmp_path, capsys):
     with pytest.raises(SystemExit, match="per-frame-tables"):
         _run_cli(["encode-video", str(src), str(out), "--temporal",
                   "--per-frame-tables", "--backend", "native"])
+    with pytest.raises(SystemExit, match="requires --temporal"):
+        _run_cli(["encode-video", str(src), str(out), "--motion",
+                  "--backend", "native"])
     with pytest.raises(SystemExit, match="decode-video"):
         _run_cli(["decode", str(out), str(tmp_path / "x.png"),
                   "--backend", "native"])
@@ -270,9 +367,9 @@ def test_best_falls_back_to_plain_on_hostile_content(tmp_path):
     # (MORE entropy than the frames), so the measurement must keep plain
     rng = np.random.default_rng(6)
     frames = rng.integers(0, 256, (6, 32, 40), np.uint8)
-    blob, used_temporal, _cfg = temporal.encode_video_best(
+    blob, kind, _cfg = temporal.encode_video_best(
         frames, CodecConfig(backend="native", temporal=True, keyint=4))
-    assert not used_temporal
+    assert kind == "plain"
     assert blob[:4] != temporal.TEMPORAL_MAGIC
     assert np.array_equal(mh.decode_video(blob, CPU), frames)
 
@@ -303,6 +400,27 @@ def test_cli_temporal_color(tmp_path, capsys):
     assert _run_cli(["decode-video", str(out), str(one), "--frame", "3",
                      "--backend", "native"]) == 0
     assert np.array_equal(np.load(one), frames[3])
+    assert _run_cli(["verify", str(out), "--backend", "native"]) == 0
+    assert "PASS" in capsys.readouterr().out
+
+
+def test_cli_motion_roundtrip(tmp_path, capsys):
+    frames = _pan_video(t=8)
+    src = tmp_path / "pan.npy"
+    np.save(src, frames)
+    out = tmp_path / "v.mhvt"
+    assert _run_cli(["encode-video", str(src), str(out), "--temporal",
+                     "--motion", "--keyint", "4", "--backend", "native"]) == 0
+    dec = tmp_path / "dec.npy"
+    assert _run_cli(["decode-video", str(out), str(dec),
+                     "--backend", "native"]) == 0
+    assert np.array_equal(np.load(dec), frames)
+    one = tmp_path / "f5.npy"
+    assert _run_cli(["decode-video", str(out), str(one), "--frame", "5",
+                     "--backend", "native"]) == 0
+    assert np.array_equal(np.load(one), frames[5])
+    assert _run_cli(["info", str(out)]) == 0
+    assert "motion-compensated" in capsys.readouterr().out
     assert _run_cli(["verify", str(out), "--backend", "native"]) == 0
     assert "PASS" in capsys.readouterr().out
 
