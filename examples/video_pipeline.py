@@ -62,6 +62,22 @@ def main():
     _, err = frame_stream.decode_shared_step_checked(prep, cfg)
     assert not err.any()
     print(f"on-device end-bit check: {err.size} blocks ok")
+
+    # 7. temporal prediction with global motion compensation: this clip is
+    #    a pan, so frame differencing alone would LOSE — the per-frame
+    #    motion vector cancels the pan and --best style measurement keeps
+    #    whichever coding is smallest (here: temporal+motion)
+    from metalhuffman_tpu.models import temporal
+
+    tblob, kind, _used = temporal.encode_video_best(
+        frames, CodecConfig(**{**cfg.__dict__, "temporal": True,
+                               "motion": True}))
+    assert np.array_equal(mht.decode_video(tblob, cfg), frames)
+    assert np.array_equal(
+        temporal.decode_temporal_frame(tblob, 4, cfg), frames[4])
+    print(f"temporal best: kept {kind}, {len(tblob)} bytes "
+          f"({len(tblob)/frames.size:.1%} vs {len(blob)/frames.size:.1%} "
+          f"plain) — bit-exact incl. random access")
     print("video pipeline OK")
 
 

@@ -461,6 +461,44 @@ def encode_video_best(frames: np.ndarray, config: CodecConfig | None = None):
     return min(candidates, key=lambda c: len(c[0]))
 
 
+def decode_temporal_range(blob: bytes, a: int, b: int,
+                          config: CodecConfig | None = None) -> np.ndarray:
+    """Reconstruct frames [a, b) of an MHVT container (range analog of
+    ``frame_stream.decode_range``).
+
+    Decodes residual frames from the keyframe preceding ``a`` through
+    ``b-1`` — at most ``keyint - 1`` extra frames of work — folds the
+    whole span once, and returns the requested slice.
+    """
+    from . import color, frame_stream
+
+    if not 0 <= a < b:
+        raise ValueError(f"invalid frame range [{a}, {b})")
+    inner, keyint, _crc_, mvs = unwrap(blob)
+    kf = (a // keyint) * keyint
+    cfg = _inner_config(config)
+    if inner[:4] == color.COLOR_MAGIC:
+        inner2, channels, layout, kind, cs = color.unwrap(inner)
+        if layout != color.LAYOUT_VIDEO:
+            raise ValueError("MHVT inner MHTC container is not a video")
+        planes, _h, _w = frame_stream.decode_range(
+            inner2, kf * channels, b * channels, cfg)
+        res = color.fold_video_planes(planes, channels, kind, cs)
+    else:
+        res, h, w = frame_stream.decode_range(inner, kf, b, cfg)
+        res = res.reshape(-1, h, w)
+    if mvs is not None:
+        if mvs.shape[0] < b:
+            raise ValueError(
+                "corrupt MHVT container (motion table shorter than the "
+                "stream)")
+        out = temporal_decode_mc(res, keyint, mvs[kf:b])
+    else:
+        # the span starts at a keyframe, so the plain group fold applies
+        out = temporal_decode(res, keyint)
+    return out[a - kf :]
+
+
 def describe(blob: bytes) -> str:
     """One-line human description of the MHVT wrapper (for CLI ``info``)."""
     _, keyint, crc, mvs = unwrap(blob)

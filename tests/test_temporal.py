@@ -181,6 +181,26 @@ def test_mhvt_random_access_color():
         assert np.array_equal(got, frames[n]), n
 
 
+def test_mhvt_range_decode():
+    frames = _video(t=11)
+    blob = mh.encode_video(
+        frames, CodecConfig(backend="native", temporal=True, keyint=4))
+    for a, b in ((0, 11), (1, 3), (3, 9), (4, 5), (10, 11)):
+        got = temporal.decode_temporal_range(blob, a, b, CPU)
+        assert np.array_equal(got, frames[a:b]), (a, b)
+    # with motion vectors, and straddling keyframe groups
+    pan = _pan_video(t=10)
+    mblob = mh.encode_video(pan, CodecConfig(
+        backend="native", temporal=True, motion=True, keyint=4))
+    for a, b in ((0, 10), (2, 7), (5, 6)):
+        got = temporal.decode_temporal_range(mblob, a, b, CPU)
+        assert np.array_equal(got, pan[a:b]), (a, b)
+    with pytest.raises(ValueError):
+        temporal.decode_temporal_range(blob, 3, 3, CPU)
+    with pytest.raises(ValueError):
+        temporal.decode_temporal_range(blob, 0, 12, CPU)
+
+
 # -- integrity ----------------------------------------------------------------
 
 
@@ -423,6 +443,24 @@ def test_cli_motion_roundtrip(tmp_path, capsys):
     assert "motion-compensated" in capsys.readouterr().out
     assert _run_cli(["verify", str(out), "--backend", "native"]) == 0
     assert "PASS" in capsys.readouterr().out
+
+
+def test_cli_check_on_mhvt(tmp_path, capsys):
+    # --check runs the on-device end-bit check on the residual stream
+    # (interpret mode here), then folds and verifies both CRCs
+    frames = _video(t=5, h=32, w=40)
+    src = tmp_path / "frames.npy"
+    np.save(src, frames)
+    out = tmp_path / "v.mhvt"
+    _run_cli(["encode-video", str(src), str(out), "--temporal",
+              "--keyint", "2", "--backend", "native"])
+    dec = tmp_path / "dec.npy"
+    assert _run_cli(["decode-video", str(out), str(dec), "--check",
+                     "--backend", "pallas", "--interpret"]) == 0
+    assert np.array_equal(np.load(dec), frames)
+    with pytest.raises(SystemExit, match="pallas"):
+        _run_cli(["decode-video", str(out), str(dec), "--check",
+                  "--backend", "native"])
 
 
 def test_cli_verify_catches_corrupt_wrapper(tmp_path):
