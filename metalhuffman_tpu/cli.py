@@ -364,23 +364,30 @@ def cmd_encode_video(args) -> int:
         cfg = _config(args)
         cs = (color_mod.CS_SUBGREEN if getattr(args, "subgreen", False)
               else color_mod.CS_IDENTITY)
+        mvs = None
         if getattr(args, "best", False):
             # precoder selection runs on the actual plane stack (the payload
-            # the inner container carries, after temporal prediction and any
-            # colorspace transform — the same order the encoder applies)
+            # the inner container carries, after temporal prediction — with
+            # the same motion compensation the real encode applies — and any
+            # colorspace transform, in the encoder's order)
             src = frames
             if cfg.temporal:
                 from .models import temporal
 
-                src = temporal.temporal_encode(src, cfg.keyint)
+                if cfg.motion:
+                    src, mvs = temporal.temporal_encode_mc(src, cfg.keyint)
+                else:
+                    src = temporal.temporal_encode(src, cfg.keyint)
             src = color_mod.to_subgreen(src) if cs else src
             planes = src.transpose(0, 3, 1, 2).reshape(t * c, h, w)
             cfg = _pick_best_precoder(planes, cfg)
         if cfg.temporal:
             from .models import temporal
 
+            # mvs (when --best already estimated them) are reused verbatim
             blob = temporal.encode_temporal_color_video(frames, cfg,
-                                                        colorspace=cs)
+                                                        colorspace=cs,
+                                                        mvs=mvs)
             kind = f"MHVT[keyint {cfg.keyint}]/MHTC"
         else:
             blob = color_mod.encode_color_video_to_bytes(frames, cfg,
@@ -674,8 +681,12 @@ def _cmd_decode_video_temporal(args, data: bytes, cfg, check: bool) -> int:
         res, _t, h, w = _decode_video_frames(inner, cfg, check)
         _verify_video_crc(inner, res)
         res = np.asarray(res)
-    frames = (temporal.temporal_decode_mc(res, keyint, mvs)
-              if mvs is not None else temporal.temporal_decode(res, keyint))
+    try:
+        frames = (temporal.temporal_decode_mc(res, keyint, mvs)
+                  if mvs is not None
+                  else temporal.temporal_decode(res, keyint))
+    except ValueError as e:  # e.g. truncated/corrupt motion table
+        raise SystemExit(str(e))
     if tcrc and zlib.crc32(np.ascontiguousarray(frames).tobytes()) != tcrc:
         raise SystemExit(
             "reconstructed frames fail the MHVT source CRC-32 — corrupt "

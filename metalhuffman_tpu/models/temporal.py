@@ -19,9 +19,16 @@ delta2d compose with temporal residuals and ``--best`` measures them on the
 actual residual payload), MHTC color/16-bit planes, segmenting, integrity
 checks. On disk::
 
-    "MHVT" | u16 keyint | u16 reserved=0 | u32 inner_len
+    "MHVT" | u16 keyint | u16 flags | u32 inner_len
+           | [flags bit 0: u32 T + T x (i16 dy, i16 dx) motion table]
+           | [flags bit 1: u32 T + T x u32 per-TRUE-frame CRC-32 table]
            | inner video container (MHTV / MHV2 / MHTC video)
            | u32 source_crc32 of the TRUE frames (0 = unrecorded)
+
+Flags bit 0 marks global motion compensation (circular-shift predictors,
+see below); bit 1 marks a per-frame CRC table that lets RANDOM ACCESS
+(``decode_temporal_frame`` / ``decode_temporal_range``) verify exactly the
+frames it reconstructs — the whole-payload CRCs cannot cover a slice.
 
 The inner container's own CRC covers the residual payload (stream
 integrity); the outer CRC additionally pins the reconstruction parameters
@@ -205,6 +212,13 @@ def temporal_decode_mc(residuals: np.ndarray, keyint: int,
     each frame's predictor is the previous RECONSTRUCTED frame, rolled)."""
     residuals = np.asarray(residuals)
     mvs = np.asarray(mvs)
+    if mvs.ndim != 2 or mvs.shape != (residuals.shape[0], 2):
+        # validated here so EVERY fold site (library, CLI decode-video,
+        # CLI verify) turns a truncated/corrupt motion table into the same
+        # clean error instead of a raw IndexError
+        raise ValueError(
+            "corrupt MHVT container (motion table length disagrees with "
+            "the frame count)")
     out = np.empty_like(residuals)
     for i in range(residuals.shape[0]):
         if i % keyint == 0:
@@ -230,6 +244,11 @@ def wrap(inner: bytes, keyint: int, source_crc32: int = 0,
     """
     if not 1 <= keyint <= 0xFFFF:
         raise ValueError("keyint must be in 1..65535")
+    if len(inner) > 0xFFFFFFFF:
+        raise ValueError(
+            "inner container exceeds the MHVT u32 length field (4 GiB of "
+            "compressed residuals); split the sequence into multiple MHVT "
+            "containers (e.g. encode in chunks of whole keyframe groups)")
     flags = 0
     mv_blob = b""
     if mvs is not None:
@@ -278,38 +297,48 @@ def _crc(frames: np.ndarray) -> int:
     return zlib.crc32(np.ascontiguousarray(frames).tobytes()) & 0xFFFFFFFF
 
 
-def _residuals(frames: np.ndarray, cfg: CodecConfig):
-    """(residual stack, mvs-or-None) per the config's motion flag."""
+def _residuals(frames: np.ndarray, cfg: CodecConfig,
+               mvs: np.ndarray | None = None):
+    """(residual stack, mvs-or-None) per the config's motion flag.
+
+    ``mvs`` (when given and ``cfg.motion``) supplies precomputed per-frame
+    motion vectors so a caller that already estimated them — e.g. the
+    ``--best`` search measuring precoders on the true MC payload — never
+    pays (or risks diverging from) a second estimation pass.
+    """
     if cfg.motion:
-        return temporal_encode_mc(frames, cfg.keyint)
+        return temporal_encode_mc(frames, cfg.keyint, mvs)
     return temporal_encode(frames, cfg.keyint), None
 
 
 def encode_temporal_video(frames: np.ndarray,
-                          config: CodecConfig | None = None) -> bytes:
+                          config: CodecConfig | None = None,
+                          mvs: np.ndarray | None = None) -> bytes:
     """(T, H, W) uint8 -> MHVT wrapping an MHTV/MHV2 residual stream.
 
     With ``config.motion`` each non-key frame's predictor is the previous
     frame circularly shifted by an estimated global motion vector
-    (stored in the wrapper)."""
+    (stored in the wrapper); pass ``mvs`` to reuse vectors estimated by an
+    earlier search pass."""
     from .. import encode_video
 
     cfg = config or CodecConfig()
     frames = np.asarray(frames)
-    res, mvs = _residuals(frames, cfg)
+    res, mvs = _residuals(frames, cfg, mvs)
     return wrap(encode_video(res, _inner_config(cfg)), cfg.keyint,
                 source_crc32=_crc(frames), mvs=mvs)
 
 
 def encode_temporal_color_video(frames: np.ndarray,
                                 config: CodecConfig | None = None,
-                                colorspace: int | None = None) -> bytes:
+                                colorspace: int | None = None,
+                                mvs: np.ndarray | None = None) -> bytes:
     """(T, H, W, C) uint8 -> MHVT wrapping an MHTC residual video."""
     from . import color
 
     cfg = config or CodecConfig()
     frames = np.asarray(frames)
-    res, mvs = _residuals(frames, cfg)
+    res, mvs = _residuals(frames, cfg, mvs)
     cs = color.CS_IDENTITY if colorspace is None else colorspace
     inner = color.encode_color_video_to_bytes(res, _inner_config(cfg),
                                               colorspace=cs)
@@ -317,7 +346,8 @@ def encode_temporal_color_video(frames: np.ndarray,
 
 
 def encode_temporal_gray16_video(frames: np.ndarray,
-                                 config: CodecConfig | None = None) -> bytes:
+                                 config: CodecConfig | None = None,
+                                 mvs: np.ndarray | None = None) -> bytes:
     """(T, H, W) uint16 -> MHVT wrapping an MHTC kind=1 residual video.
 
     The residual is computed mod 65536 on the u16 frames (NOT per byte
@@ -329,7 +359,7 @@ def encode_temporal_gray16_video(frames: np.ndarray,
     frames = np.asarray(frames)
     if frames.ndim != 3 or frames.dtype != np.uint16:
         raise ValueError("expected (T, H, W) uint16")
-    res, mvs = _residuals(frames, cfg)
+    res, mvs = _residuals(frames, cfg, mvs)
     inner = color.encode_gray16_to_bytes(res, _inner_config(cfg))
     return wrap(inner, cfg.keyint, source_crc32=_crc(frames), mvs=mvs)
 
@@ -358,11 +388,7 @@ def decode_temporal_video(blob: bytes,
     inner, keyint, crc, mvs = unwrap(blob)
     res = _decode_inner(inner, config)
     if mvs is not None:
-        if mvs.shape[0] != res.shape[0]:
-            raise ValueError(
-                "corrupt MHVT container (motion table length disagrees "
-                "with the frame count)")
-        frames = temporal_decode_mc(res, keyint, mvs)
+        frames = temporal_decode_mc(res, keyint, mvs)  # validates the table
     else:
         frames = temporal_decode(res, keyint)
     if crc and _crc(frames) != crc:

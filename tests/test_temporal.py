@@ -308,6 +308,33 @@ def test_best_with_motion_picks_mc_on_pan():
     assert np.array_equal(mh.decode_video(blob, CPU), frames)
 
 
+def test_short_motion_table_is_clean_error():
+    # a motion table shorter than the frame count must raise the clean
+    # corrupt-container ValueError at EVERY fold site (temporal_decode_mc
+    # validates), never a raw IndexError (round-2 advisor finding)
+    frames = _pan_video(t=6)
+    res, mvs = temporal.temporal_encode_mc(frames, 8)
+    inner = mh.encode_video(res, temporal._inner_config(CPU))
+    blob = temporal.wrap(inner, 8, source_crc32=temporal._crc(frames),
+                         mvs=mvs[:4])
+    with pytest.raises(ValueError, match="motion table length disagrees"):
+        mh.decode_video(blob, CPU)
+    with pytest.raises(ValueError, match="motion table length disagrees"):
+        temporal.temporal_decode_mc(res, 8, mvs[:4])
+
+
+def test_wrap_rejects_u32_overflow():
+    # >4 GiB inner blobs must fail with a descriptive error, not an opaque
+    # struct.error (round-2 advisor finding); fake the length so the test
+    # never allocates 4 GiB
+    class _FakeLen(bytes):
+        def __len__(self):
+            return 0x100000001
+
+    with pytest.raises(ValueError, match="u32 length field"):
+        temporal.wrap(_FakeLen(), 8)
+
+
 def test_corrupt_motion_table_caught():
     frames = _pan_video(t=8)
     blob = bytearray(mh.encode_video(frames, CodecConfig(
