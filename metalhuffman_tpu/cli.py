@@ -670,27 +670,41 @@ def _cmd_decode_video_temporal(args, data: bytes, cfg, check: bool) -> int:
               f"keyint {keyint}) in {dt:.3f} s -> {args.output}")
         return 0
     t0 = time.perf_counter()
-    if inner[:4] == color.COLOR_MAGIC:
-        inner2, channels, layout, kind, cs = color.unwrap(inner)
-        if layout != color.LAYOUT_VIDEO:
-            raise SystemExit("MHVT inner MHTC container is not a video")
-        planes, _n, h, w = _decode_video_frames(inner2, cfg, check)
-        _verify_video_crc(inner2, planes)
-        res = color.fold_video_planes(np.asarray(planes), channels, kind, cs)
+    if not check:
+        # production path: decode AND temporal fold on device, one fetch;
+        # decode_temporal_video verifies the outer CRC (and falls back to
+        # the dual-CRC host path to localize any corruption)
+        try:
+            frames = temporal.decode_temporal_video(data, cfg)
+        except ValueError as e:
+            raise SystemExit(str(e))
+        h, w = frames.shape[1], frames.shape[2]
     else:
-        res, _t, h, w = _decode_video_frames(inner, cfg, check)
-        _verify_video_crc(inner, res)
-        res = np.asarray(res)
-    try:
-        frames = (temporal.temporal_decode_mc(res, keyint, mvs)
-                  if mvs is not None
-                  else temporal.temporal_decode(res, keyint))
-    except ValueError as e:  # e.g. truncated/corrupt motion table
-        raise SystemExit(str(e))
-    if tcrc and zlib.crc32(np.ascontiguousarray(frames).tobytes()) != tcrc:
-        raise SystemExit(
-            "reconstructed frames fail the MHVT source CRC-32 — corrupt "
-            "container")
+        # --check decodes the RESIDUAL stream with the on-device end-bit
+        # check, so the fold runs on the fetched residuals afterwards
+        if inner[:4] == color.COLOR_MAGIC:
+            inner2, channels, layout, kind, cs = color.unwrap(inner)
+            if layout != color.LAYOUT_VIDEO:
+                raise SystemExit("MHVT inner MHTC container is not a video")
+            planes, _n, h, w = _decode_video_frames(inner2, cfg, check)
+            _verify_video_crc(inner2, planes)
+            res = color.fold_video_planes(np.asarray(planes), channels,
+                                          kind, cs)
+        else:
+            res, _t, h, w = _decode_video_frames(inner, cfg, check)
+            _verify_video_crc(inner, res)
+            res = np.asarray(res)
+        try:
+            frames = (temporal.temporal_decode_mc(res, keyint, mvs)
+                      if mvs is not None
+                      else temporal.temporal_decode(res, keyint))
+        except ValueError as e:  # e.g. truncated/corrupt motion table
+            raise SystemExit(str(e))
+        if tcrc and zlib.crc32(
+                np.ascontiguousarray(frames).tobytes()) != tcrc:
+            raise SystemExit(
+                "reconstructed frames fail the MHVT source CRC-32 — corrupt "
+                "container")
     t = frames.shape[0]
     dt = time.perf_counter() - t0
     out = Path(args.output)

@@ -132,6 +132,37 @@ def fold_video_planes(planes: np.ndarray, channels: int, kind: int,
     return _invert_cs(out, colorspace)
 
 
+def fold_video_planes_jax(planes, channels: int, kind: int,
+                          colorspace: int):
+    """Device-resident :func:`fold_video_planes`: (N, H, W) u8 device planes
+    -> (T, H, W, C) u8 or (T, H, W) u16 device array.
+
+    Pure reshapes/transposes plus wrapping byte adds for the sub-green
+    inverse — all fusable by XLA, so consumers (the MHVT temporal fold)
+    keep the whole reconstruction on-chip and fetch once. Shape validation
+    happens on host metadata before any tracing.
+    """
+    import jax.numpy as jnp
+
+    n, h, w = planes.shape
+    if kind == KIND_U16:
+        if channels != 2 or n % 2:
+            raise ValueError(
+                f"u16 container needs hi/lo plane pairs (got {n} planes, "
+                f"channels={channels})")
+        pairs = planes.reshape(n // 2, 2, h, w).astype(jnp.uint16)
+        return (pairs[:, 0] << 8) | pairs[:, 1]
+    if channels == 0 or n % channels:
+        raise ValueError(
+            f"MHTC inner frame count ({n}) is not a multiple of the "
+            f"declared {channels} channels")
+    out = planes.reshape(n // channels, channels, h, w).transpose(0, 2, 3, 1)
+    if colorspace == CS_SUBGREEN:
+        out = out.at[..., 0].set(out[..., 0] + out[..., 1])  # u8 wraps
+        out = out.at[..., 2].set(out[..., 2] + out[..., 1])
+    return out
+
+
 # -- stream-level API (no container) ------------------------------------------
 
 

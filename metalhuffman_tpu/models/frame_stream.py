@@ -860,7 +860,7 @@ def decode_frames_shared(
 
 
 def decode_range(data: bytes, a: int, b: int,
-                 config: CodecConfig | None = None):
+                 config: CodecConfig | None = None, to_host: bool = True):
     """Decode frames [a, b) of a shared-table container -> ((b-a, H, W), h, w).
 
     Works on MHTV and segmented MHV2 blobs; only those frames' blocks are
@@ -868,10 +868,16 @@ def decode_range(data: bytes, a: int, b: int,
     and an MHV2 range may straddle segment boundaries. The container header
     is authoritative for block_dim/mode; config picks the backend. No CRC
     check — the recorded CRC covers the whole payload.
+
+    ``to_host=False`` skips the host fetch and returns the decode output as
+    the backend produced it (a device array on the device backends) so a
+    caller can fuse further device work — e.g. the MHVT temporal fold —
+    before paying one transfer.
     """
     import dataclasses
 
     cfg = config or CodecConfig()
+    fetch = np.asarray if to_host else (lambda x: x)
     if data[:4] == SHARED_MAGIC:
         stream, t, h, w, bd, delta = read_shared(data)
         if not 0 <= a < b <= t:
@@ -879,7 +885,7 @@ def decode_range(data: bytes, a: int, b: int,
         cfg = dataclasses.replace(cfg, block_dim=bd, delta=delta,
                                   delta2d=stream.predictor == "2d")
         view = frame_slice(stream, a, b - a, h, w, cfg)
-        return np.asarray(decode_frames_shared(view, b - a, h, w, cfg)), h, w
+        return fetch(decode_frames_shared(view, b - a, h, w, cfg)), h, w
     if data[:4] == SEGMENTED_MAGIC:
         segs, t, h, w, bd, delta = read_segmented(data)
         if not 0 <= a < b <= t:
@@ -892,10 +898,43 @@ def decode_range(data: bytes, a: int, b: int,
             lo, hi = max(a, base), min(b, base + ft)
             if lo < hi:
                 view = frame_slice(stream, lo - base, hi - lo, h, w, cfg)
-                outs.append(np.asarray(
+                outs.append(fetch(
                     decode_frames_shared(view, hi - lo, h, w, cfg)))
             base += ft
-        return np.concatenate(outs), h, w
+        if len(outs) == 1:
+            return outs[0], h, w
+        cat = np.concatenate if to_host else jnp.concatenate
+        return cat(outs), h, w
+    raise ValueError("not an MHTV/MHV2 container")
+
+
+def decode_container_device(data: bytes, config: CodecConfig | None = None):
+    """MHTV/MHV2 container bytes -> (T, H, W) uint8 DEVICE array.
+
+    Same header-authoritative dispatch as the top-level ``decode_video``
+    but WITHOUT the host fetch or CRC verification: consumers (the MHVT
+    temporal fold, ``models.temporal``) fuse further device work onto the
+    decode and verify integrity after their single fetch. Segments decode
+    back-to-back (async dispatch overlaps segment k+1's staging with k's
+    decode) and concatenate on device.
+    """
+    import dataclasses
+
+    cfg = config or CodecConfig()
+    if cfg.backend == "native":
+        raise ValueError("decode_container_device needs a device backend")
+    if data[:4] == SHARED_MAGIC:
+        stream, t, h, w, bd, delta = read_shared(data)
+        cfg = dataclasses.replace(cfg, block_dim=bd, delta=delta,
+                                  delta2d=stream.predictor == "2d")
+        return decode_frames_shared(stream, t, h, w, cfg)
+    if data[:4] == SEGMENTED_MAGIC:
+        segs, t, h, w, bd, delta = read_segmented(data)
+        cfg = dataclasses.replace(
+            cfg, block_dim=bd, delta=delta,
+            delta2d=bool(segs) and segs[0][0].predictor == "2d")
+        outs = [decode_frames_shared(s, ft, h, w, cfg) for s, ft in segs]
+        return outs[0] if len(outs) == 1 else jnp.concatenate(outs)
     raise ValueError("not an MHTV/MHV2 container")
 
 

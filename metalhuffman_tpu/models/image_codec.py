@@ -312,8 +312,14 @@ class ImageCodec:
         Random access is exactly what the per-block offset index buys
         (the reference's crop shaders re-crop a fully decoded texture,
         ``AAPLShaders.metal:108-123``; here we never decode the rest).
-        Returns the (rh, rw) uint8 crop.
+        The selected blocks ride the SAME decode path as a full frame —
+        the Pallas kernel on the pallas backend (the selection is just a
+        shorter offset index; the kernel never knows it's a crop), the
+        multithreaded C++ decoder on native, the portable XLA path
+        otherwise. Returns the (rh, rw) uint8 crop.
         """
+        from ..core import delta as delta_mod
+
         cfg = self.config
         bd = cfg.block_dim
         bh, bw = blocks.block_grid(height, width, bd)
@@ -325,6 +331,23 @@ class ImageCodec:
             np.arange(by0, by1)[:, None] * bw + np.arange(bx0, bx1)[None, :]
         ).ravel()
         sub_offsets = stream.block_offsets[sel]
+        sub_init = (None if stream.block_init is None
+                    else stream.block_init[sel])
+        gh, gw = (by1 - by0) * bd, (bx1 - bx0) * bd  # region block grid px
+        oy, ox = y0 - by0 * bd, x0 - bx0 * bd
+        kdelta = cfg.delta and not cfg.delta2d
+
+        if cfg.backend == "native":
+            sub = container.EncodedStream(
+                sel.size * cfg.block_size, stream.widths, stream.code_bytes,
+                sub_offsets.astype(np.uint32), predictor=stream.predictor)
+            blk = native.decode_blocks(
+                sub, delta=kdelta, block_size=cfg.block_size,
+                delta2d=cfg.delta2d)
+            if sub_init is not None:
+                blk = delta_mod.apply_block_init(blk, sub_init)
+            region = blocks.blocks_to_image(blk, gh, gw, bd)
+            return region[oy : oy + rh, ox : ox + rw]
 
         total_bits = 8 * (stream.code_bytes.size - bitstream.READ_AHEAD_PAD_BYTES)
         wpr = layout_mod.words_per_block(
@@ -332,27 +355,36 @@ class ImageCodec:
             symbols_per_block=cfg.block_size,
         )
         words = bitstream.bytes_to_be_words(stream.code_bytes, pad_words=wpr)
-        t1, t2 = decode_xla.prepare_tables(
-            stream.widths, cfg.table1_bits, cfg.table2_bits
+        interpret = cfg.interpret
+        backend = cfg.backend
+        if backend == "pallas":
+            if not interpret and jax.default_backend() in ("cpu", "gpu"):
+                interpret = True
+            meta = decode_pallas.canonical_meta(stream.widths)
+            rows, init, _ = decode_pallas.tile_layout_jax(
+                jnp.asarray(words),
+                jnp.asarray(sub_offsets.astype(np.int32)), wpr)
+            device_args = (rows, init, jnp.asarray(meta.pair_table))
+            static_meta = (meta.bounds, meta.adj_inc, None)  # generic path
+        else:
+            t1, t2 = decode_xla.prepare_tables(
+                stream.widths, cfg.table1_bits, cfg.table2_bits)
+            rows, bit_init = layout_mod.build_layout_jax(
+                jnp.asarray(words),
+                jnp.asarray(sub_offsets.astype(np.int32)), wpr)
+            device_args = (rows, bit_init, jnp.asarray(t1), jnp.asarray(t2))
+            static_meta = ()
+        out = _decode_step_jit(
+            device_args, backend=backend, height=gh, width=gw,
+            n_blocks=int(sel.size), block_dim=bd, delta=kdelta,
+            delta2d=cfg.delta2d, interpret=interpret,
+            static_meta=static_meta, words_per_row=wpr,
         )
-        rows, bit_init = layout_mod.build_layout_jax(
-            jnp.asarray(words), jnp.asarray(sub_offsets.astype(np.int32)), wpr
-        )
-        blk = np.asarray(decode_xla.decode_blocks(
-            rows, bit_init, jnp.asarray(t1), jnp.asarray(t2),
-            num_steps=cfg.block_size, delta=cfg.delta and not cfg.delta2d,
-        ))
-        from ..core import delta as delta_mod
-
-        if cfg.delta2d:
-            blk = delta_mod.delta2d_decode_blocks(blk, cfg.block_dim)
-        if stream.block_init is not None:
-            blk = delta_mod.apply_block_init(blk, stream.block_init[sel])
-        region = blocks.blocks_to_image(
-            blk, (by1 - by0) * bd, (bx1 - bx0) * bd, bd
-        )
-        oy, ox = y0 - by0 * bd, x0 - bx0 * bd
-        return region[oy : oy + rh, ox : ox + rw]
+        if sub_init is not None:
+            out = _apply_init_image_jit(
+                out, jnp.asarray(sub_init), block_dim=bd, height=gh,
+                width=gw)
+        return np.asarray(out)[oy : oy + rh, ox : ox + rw]
 
     def roundtrip_verify(self, img: np.ndarray) -> container.EncodedStream:
         """Encode+decode+byte-compare (reference: ``AAPLRenderer.m:1849-1876``)."""

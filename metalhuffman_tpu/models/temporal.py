@@ -104,9 +104,12 @@ def temporal_decode_jax(residuals, keyint: int = 8):
     """Device-resident reconstruction: group-reshaped ``jnp.cumsum``.
 
     Pads T to a keyint multiple, scans each (G, keyint, ...) group along the
-    group axis in the wrapping dtype, and crops. Keeps the fold on-chip for
-    consumers that hold decoded residual batches as device arrays (the host
-    path in :func:`temporal_decode` is the default for container decode).
+    group axis in the wrapping dtype, and crops. This is the production fold
+    for device decode (:func:`decode_temporal_video` routes through it when
+    the inner decode lands on a device); :func:`temporal_decode` is the host
+    fold the native backend uses. The reference folds its (spatial) delta
+    prediction on the accelerator too (``AAPLShaders.metal:260-265``) —
+    reconstruction belongs next to the decode, not across a host transfer.
     """
     import jax.numpy as jnp
 
@@ -117,6 +120,77 @@ def temporal_decode_jax(residuals, keyint: int = 8):
     x = jnp.pad(residuals, [(0, pad)] + [(0, 0)] * (residuals.ndim - 1))
     grp = x.reshape((x.shape[0] // keyint, keyint) + x.shape[1:])
     out = jnp.cumsum(grp, axis=1, dtype=residuals.dtype)
+    return out.reshape((-1,) + x.shape[1:])[:t]
+
+
+def _swar_add8(a, b):
+    """Per-byte mod-256 add of packed int32 image words (4 independent byte
+    lanes, carries masked off — the classic SWAR add). Lets the temporal
+    fold run directly on the kernel's RAW image-word strips, skipping the
+    device byte relayout entirely."""
+    import jax.numpy as jnp
+
+    lo = jnp.int32(0x7F7F7F7F)
+    return ((a & lo) + (b & lo)) ^ ((a ^ b) & ~lo)
+
+
+def temporal_fold_words_jax(words, keyint: int):
+    """Group fold on PACKED image words: (T, rows, W//4) int32 -> same.
+
+    ``jax.lax.associative_scan`` over the SWAR byte add — O(log keyint)
+    elementwise passes, all on-device, operating on the decode kernel's raw
+    strip output so reconstruction never leaves the packed layout the
+    kernel emitted (the production zero-relayout path)."""
+    import jax
+    import jax.numpy as jnp
+
+    if keyint < 1:
+        raise ValueError("keyint must be >= 1")
+    t = words.shape[0]
+    pad = (-t) % keyint
+    x = jnp.pad(words, [(0, pad), (0, 0), (0, 0)])
+    grp = x.reshape((x.shape[0] // keyint, keyint) + x.shape[1:])
+    out = jax.lax.associative_scan(_swar_add8, grp, axis=1)
+    return out.reshape((-1,) + x.shape[1:])[:t]
+
+
+def temporal_decode_mc_jax(residuals, keyint: int, mvs):
+    """Device-resident inverse of :func:`temporal_encode_mc`.
+
+    Groups are independent (keyframes are literal), so the sequential
+    within-group recursion ``out[i] = res[i] + roll(out[i-1], mv[i])`` runs
+    as a ``lax.scan`` of length keyint-1, vmapped over groups — the scan
+    carry is one frame in vregs/VMEM, never a host array. Rolls use traced
+    per-frame shifts (``jnp.roll`` lowers them to dynamic slices).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    if keyint < 1:
+        raise ValueError("keyint must be >= 1")
+    t = residuals.shape[0]
+    if tuple(np.shape(mvs)) != (t, 2):  # np.shape: tracer-safe under jit
+        raise ValueError(
+            "corrupt MHVT container (motion table length disagrees with "
+            "the frame count)")
+    pad = (-t) % keyint
+    x = jnp.pad(residuals, [(0, pad)] + [(0, 0)] * (residuals.ndim - 1))
+    mv = jnp.pad(jnp.asarray(mvs, jnp.int32), ((0, pad), (0, 0)))
+    g = x.shape[0] // keyint
+    grp = x.reshape((g, keyint) + x.shape[1:])
+    mvg = mv.reshape(g, keyint, 2)
+
+    def fold_group(res_g, mv_g):
+        def step(prev, inp):
+            r, m = inp
+            pred = jnp.roll(jnp.roll(prev, m[0], axis=0), m[1], axis=1)
+            out = r + pred  # unsigned wraparound
+            return out, out
+
+        _, rest = jax.lax.scan(step, res_g[0], (res_g[1:], mv_g[1:]))
+        return jnp.concatenate([res_g[:1], rest], axis=0)
+
+    out = jax.vmap(fold_group)(grp, mvg)
     return out.reshape((-1,) + x.shape[1:])[:t]
 
 
@@ -229,6 +303,19 @@ def temporal_decode_mc(residuals: np.ndarray, keyint: int,
                 else out[i - 1])
         out[i] = residuals[i] + pred
     return out
+
+
+_jits: dict = {}
+
+
+def _jitted(name: str, fn, static=("keyint",)):
+    """Lazily jit a fold so production calls are ONE device dispatch each
+    (eager op-by-op dispatch pays ~1 ms of relay latency per op here)."""
+    import jax
+
+    if name not in _jits:
+        _jits[name] = jax.jit(fn, static_argnames=static)
+    return _jits[name]
 
 
 # -- container ------------------------------------------------------------------
@@ -380,13 +467,116 @@ def _decode_inner(inner: bytes, config: CodecConfig | None) -> np.ndarray:
     return decode_video(inner, cfg)
 
 
+def _device_gray_strips(inner: bytes, config: CodecConfig):
+    """Raw-strips device decode of a plain grayscale MHTV/MHV2 inner stream.
+
+    Returns ``(words (T, rows_pf, w_pad//4) int32 device, t, h, w, w_pad,
+    rows_pf)`` when the zero-relayout image-layout path applies (8x8
+    blocks, acceptable column padding, no zero-init root fold), else None
+    (callers take the byte-image path). Segments concatenate on device
+    after trimming each segment's tile-pad rows.
+    """
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from ..ops import decode_pallas
+    from . import frame_stream
+
+    if inner[:4] == frame_stream.SHARED_MAGIC:
+        stream, t, h, w, bd, delta = frame_stream.read_shared(inner)
+        segs = [(stream, t)]
+    elif inner[:4] == frame_stream.SEGMENTED_MAGIC:
+        segs, t, h, w, bd, delta = frame_stream.read_segmented(inner)
+    else:
+        return None
+    plan = decode_pallas.image_plan_for(h, w, bd)
+    if plan is None or any(s.block_init is not None for s, _ in segs):
+        return None
+    cfg = dataclasses.replace(config, block_dim=bd, delta=delta,
+                              delta2d=segs[0][0].predictor == "2d")
+    rows_pf = plan.bh * 8
+    parts = []
+    for stream, ft in segs:
+        prep = frame_stream.prepare_shared(stream, ft, h, w, cfg)
+        strips = frame_stream.decode_shared_step(prep, cfg, raw=True)
+        # trim tile-pad rows so segments concatenate frame-aligned
+        parts.append(strips.reshape(-1, plan.w_pad // 4)[: ft * rows_pf])
+    words = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+    return (words.reshape(t, rows_pf, plan.w_pad // 4), t, h, w,
+            plan.w_pad, rows_pf)
+
+
+def _device_frames(inner: bytes, config: CodecConfig):
+    """Device decode of any inner video container -> (T, ...) device
+    residual stack ((T, H, W) u8, (T, H, W, C) u8, or (T, H, W) u16)."""
+    from . import color, frame_stream
+
+    cfg = _inner_config(config)
+    if inner[:4] == color.COLOR_MAGIC:
+        inner2, ch, layout, kind, cs = color.unwrap(inner)
+        if layout != color.LAYOUT_VIDEO:
+            raise ValueError("MHVT inner MHTC container is not a video")
+        planes = frame_stream.decode_container_device(inner2, cfg)
+        return color.fold_video_planes_jax(planes, ch, kind, cs)
+    return frame_stream.decode_container_device(inner, cfg)
+
+
+def _decode_temporal_device(inner: bytes, keyint: int, mvs,
+                            config: CodecConfig) -> np.ndarray:
+    """Decode + temporally reconstruct on DEVICE; one host fetch at the end.
+
+    Plain grayscale streams take the raw-strips path: the kernel's packed
+    image words feed the SWAR group fold directly (no byte relayout, no
+    residual round-trip — the host sees only final true-frame bytes).
+    Motion compensation and color/u16 inners reconstruct from byte images
+    (rolls are pixel-granular; u16 folds after the hi/lo recombine).
+    """
+    if mvs is None:
+        raw = _device_gray_strips(inner, _inner_config(config))
+        if raw is not None:
+            words, t, h, w, w_pad, rows_pf = raw
+            folded = _jitted("fold_words", temporal_fold_words_jax)(
+                words, keyint=keyint)
+            out = np.asarray(folded).view(np.uint8).reshape(t, rows_pf, w_pad)
+            return out if (rows_pf, w_pad) == (h, w) else out[:, :h, :w]
+        return np.asarray(_jitted("fold", temporal_decode_jax)(
+            _device_frames(inner, config), keyint=keyint))
+    res = _device_frames(inner, config)
+    return np.asarray(_jitted("fold_mc", temporal_decode_mc_jax)(
+        res, keyint=keyint, mvs=np.asarray(mvs)))
+
+
 def decode_temporal_video(blob: bytes,
                           config: CodecConfig | None = None) -> np.ndarray:
     """MHVT container -> reconstructed frames (shape/dtype per inner kind:
-    (T, H, W) u8, (T, H, W, C) u8, or (T, H, W) u16), CRC-verified twice
-    (inner residual CRC, then the outer true-frame CRC)."""
+    (T, H, W) u8, (T, H, W, C) u8, or (T, H, W) u16), CRC-verified.
+
+    On the device backends the whole reconstruction — block decode AND
+    temporal fold (SWAR scan on packed words, or roll+scan for motion
+    compensation) — runs on-chip and the host fetches only the final true
+    frames, which the outer MHVT CRC then pins end-to-end (it covers every
+    inner bit, so nothing escapes unverified). The native backend keeps the
+    host fold and verifies both CRCs (inner residual, then outer); a device
+    decode that fails the outer CRC re-runs the host path once to localize
+    the corruption (inner stream vs wrapper header).
+    """
     inner, keyint, crc, mvs = unwrap(blob)
-    res = _decode_inner(inner, config)
+    cfg = config or CodecConfig()
+    if cfg.backend != "native" and crc:
+        if mvs is not None:
+            # validate against the inner header before any device work
+            t_header = _inner_frame_count(inner)
+            if t_header is not None and mvs.shape[0] != t_header:
+                raise ValueError(
+                    "corrupt MHVT container (motion table length disagrees "
+                    "with the frame count)")
+        frames = _decode_temporal_device(inner, keyint, mvs, cfg)
+        if _crc(frames) == crc:
+            return frames
+        # corrupt: fall through to the host path, whose inner-CRC check
+        # localizes the failure (residual stream vs wrapper header)
+    res = _decode_inner(inner, cfg)
     if mvs is not None:
         frames = temporal_decode_mc(res, keyint, mvs)  # validates the table
     else:
@@ -399,45 +589,37 @@ def decode_temporal_video(blob: bytes,
     return frames
 
 
+def _inner_frame_count(inner: bytes):
+    """TRUE frame count recorded in the inner container header (or None).
+
+    For MHTC inners this is planes/channels (u8 color) or planes/2 (u16).
+    """
+    from . import color, frame_stream
+
+    div = 1
+    if inner[:4] == color.COLOR_MAGIC:
+        inner2, ch, layout, kind, _cs = color.unwrap(inner)
+        div = 2 if kind == color.KIND_U16 else ch
+        inner = inner2
+    if inner[:4] in (frame_stream.SHARED_MAGIC, frame_stream.SEGMENTED_MAGIC):
+        (t,) = struct.unpack_from("<I", inner, 4)
+        return t // div if div else None
+    return None
+
+
 def decode_temporal_frame(blob: bytes, n: int,
                           config: CodecConfig | None = None) -> np.ndarray:
     """Random access: reconstruct frame ``n`` of an MHVT container.
 
     Decodes only the residual frames from the preceding keyframe through
     ``n`` — at most ``keyint`` frames' blocks (the per-block offset index
-    gives the frame slices; ``frame_stream.decode_range``) — and folds them
-    with one wrapping sum. No CRC check (the recorded CRCs cover whole
-    payloads), matching every other ``--frame`` access path.
+    gives the frame slices; ``frame_stream.decode_range``) — and folds the
+    span once (on device for the device backends; see
+    :func:`decode_temporal_range`, of which this is the length-1 case).
     """
-    from . import color, frame_stream
-
-    inner, keyint, _crc_, mvs = unwrap(blob)
     if n < 0:
         raise ValueError(f"frame {n} out of range")
-    kf = (n // keyint) * keyint
-    cfg = _inner_config(config)
-    if inner[:4] == color.COLOR_MAGIC:
-        inner2, channels, layout, kind, cs = color.unwrap(inner)
-        if layout != color.LAYOUT_VIDEO:
-            raise ValueError("MHVT inner MHTC container is not a video")
-        planes, _h, _w = frame_stream.decode_range(
-            inner2, kf * channels, (n + 1) * channels, cfg)
-        res = color.fold_video_planes(planes, channels, kind, cs)
-    else:
-        res, h, w = frame_stream.decode_range(inner, kf, n + 1, cfg)
-        res = res.reshape(-1, h, w)
-    if mvs is None:
-        # one wrapping reduction: keyframe + residuals -> frame n
-        return np.add.reduce(res, axis=0, dtype=res.dtype)
-    if mvs.shape[0] <= n:
-        raise ValueError(
-            "corrupt MHVT container (motion table shorter than the stream)")
-    out = res[0]
-    for i in range(1, res.shape[0]):
-        mv = (int(mvs[kf + i, 0]), int(mvs[kf + i, 1]))
-        pred = np.roll(out, mv, axis=(0, 1)) if mv != (0, 0) else out
-        out = res[i] + pred
-    return out
+    return decode_temporal_range(blob, n, n + 1, config)[0]
 
 
 def _best_precoder(frames: np.ndarray, cfg: CodecConfig) -> CodecConfig:
@@ -497,7 +679,8 @@ def decode_temporal_range(blob: bytes, a: int, b: int,
 
     Decodes residual frames from the keyframe preceding ``a`` through
     ``b-1`` — at most ``keyint - 1`` extra frames of work — folds the
-    whole span once, and returns the requested slice.
+    whole span once (on device for the device backends, mirroring
+    :func:`decode_temporal_video`), and returns the requested slice.
     """
     from . import color, frame_stream
 
@@ -506,26 +689,32 @@ def decode_temporal_range(blob: bytes, a: int, b: int,
     inner, keyint, _crc_, mvs = unwrap(blob)
     kf = (a // keyint) * keyint
     cfg = _inner_config(config)
+    device = cfg.backend != "native"
     if inner[:4] == color.COLOR_MAGIC:
         inner2, channels, layout, kind, cs = color.unwrap(inner)
         if layout != color.LAYOUT_VIDEO:
             raise ValueError("MHVT inner MHTC container is not a video")
         planes, _h, _w = frame_stream.decode_range(
-            inner2, kf * channels, b * channels, cfg)
-        res = color.fold_video_planes(planes, channels, kind, cs)
+            inner2, kf * channels, b * channels, cfg, to_host=not device)
+        fold = color.fold_video_planes_jax if device else color.fold_video_planes
+        res = fold(planes, channels, kind, cs)
     else:
-        res, h, w = frame_stream.decode_range(inner, kf, b, cfg)
+        res, h, w = frame_stream.decode_range(inner, kf, b, cfg,
+                                              to_host=not device)
         res = res.reshape(-1, h, w)
     if mvs is not None:
         if mvs.shape[0] < b:
             raise ValueError(
                 "corrupt MHVT container (motion table shorter than the "
                 "stream)")
-        out = temporal_decode_mc(res, keyint, mvs[kf:b])
+        out = (_jitted("fold_mc", temporal_decode_mc_jax)(
+                   res, keyint=keyint, mvs=mvs[kf:b]) if device
+               else temporal_decode_mc(res, keyint, mvs[kf:b]))
     else:
         # the span starts at a keyframe, so the plain group fold applies
-        out = temporal_decode(res, keyint)
-    return out[a - kf :]
+        out = (_jitted("fold", temporal_decode_jax)(res, keyint=keyint)
+               if device else temporal_decode(res, keyint))
+    return np.asarray(out)[a - kf :]
 
 
 def describe(blob: bytes) -> str:

@@ -518,3 +518,116 @@ def test_mhvt_decodes_on_device_path():
     assert np.array_equal(out, frames)
     assert np.array_equal(
         temporal.decode_temporal_frame(blob, 3, CodecConfig()), frames[3])
+
+
+# -- device-resident reconstruction (round-3: the fold moved on-chip) ----------
+
+
+@pytest.mark.parametrize("keyint", [1, 3, 8])
+def test_mc_fold_jax_matches_host(keyint):
+    for kwargs in [dict(), dict(h=24, w=20)]:
+        frames = _pan_video(t=7, **kwargs)
+        res, mvs = temporal.temporal_encode_mc(frames, keyint)
+        host = temporal.temporal_decode_mc(res, keyint, mvs)
+        dev = np.asarray(temporal.temporal_decode_mc_jax(res, keyint, mvs))
+        assert np.array_equal(host, dev)
+
+
+def test_mc_fold_jax_validates_table():
+    frames = _pan_video(t=6)
+    res, mvs = temporal.temporal_encode_mc(frames, 8)
+    with pytest.raises(ValueError, match="motion table length disagrees"):
+        temporal.temporal_decode_mc_jax(res, 8, mvs[:4])
+
+
+def test_swar_word_fold_matches_byte_fold():
+    rng = np.random.default_rng(7)
+    x = rng.integers(0, 256, (9, 16, 512), np.uint8)
+    words = x.view(np.int32).reshape(9, 16, 128)
+    byte_fold = temporal.temporal_decode(x, 4)
+    word_fold = np.asarray(
+        temporal.temporal_fold_words_jax(words, 4)
+    ).view(np.uint8).reshape(9, 16, 512)
+    assert np.array_equal(byte_fold, word_fold)
+
+
+def test_device_raw_strips_path():
+    # w=512 at 8x8 blocks activates the image-layout plan, so the device
+    # decode returns RAW packed words and the SWAR fold reconstructs with
+    # zero relayout — assert the full path lands bit-exact
+    frames = _video(t=5, h=16, w=512)
+    blob = mh.encode_video(
+        frames, CodecConfig(backend="native", temporal=True, keyint=2))
+    out = temporal.decode_temporal_video(blob, CodecConfig())
+    assert np.array_equal(out, frames)
+
+
+def test_device_raw_strips_segmented_inner():
+    # MHV2 segments split at frame counts that are NOT keyint multiples:
+    # the device path must concatenate segment strips BEFORE the group
+    # fold (groups straddle segment boundaries)
+    from metalhuffman_tpu.models import frame_stream
+
+    frames = _video(t=7, h=16, w=512)
+    res = temporal.temporal_encode(frames, 3)
+    segs = []
+    for lo, hi in [(0, 2), (2, 6), (6, 7)]:  # 3 segments, misaligned
+        segs.append((frame_stream.encode_frames_shared(res[lo:hi], CPU),
+                     hi - lo))
+    inner = frame_stream.write_segmented(segs, 16, 512, CPU)
+    blob = temporal.wrap(inner, 3, source_crc32=temporal._crc(frames))
+    out = temporal.decode_temporal_video(blob, CodecConfig())
+    assert np.array_equal(out, frames)
+    assert np.array_equal(out, temporal.decode_temporal_video(blob, CPU))
+
+
+def test_device_motion_and_color_and_u16():
+    DEV = CodecConfig()
+    # MC grayscale
+    frames = _pan_video(t=6)
+    blob = mh.encode_video(frames, CodecConfig(
+        backend="native", temporal=True, motion=True, keyint=3))
+    assert np.array_equal(temporal.decode_temporal_video(blob, DEV), frames)
+    # color + sub-green + MC
+    from metalhuffman_tpu.models import color as color_mod
+
+    rng = np.random.default_rng(3)
+    base = rng.integers(0, 256, (20, 24, 3), np.uint8)
+    cframes = np.stack([np.roll(base, (i, 2 * i), (0, 1)) for i in range(5)])
+    cblob = temporal.encode_temporal_color_video(
+        cframes, CodecConfig(backend="native", temporal=True, motion=True,
+                             keyint=2),
+        colorspace=color_mod.CS_SUBGREEN)
+    assert np.array_equal(temporal.decode_temporal_video(cblob, DEV), cframes)
+    # u16
+    g16 = (rng.integers(0, 65536, (4, 16, 24)).astype(np.uint16))
+    gblob = temporal.encode_temporal_gray16_video(
+        g16, CodecConfig(backend="native", temporal=True, keyint=2))
+    out16 = temporal.decode_temporal_video(gblob, DEV)
+    assert out16.dtype == np.uint16 and np.array_equal(out16, g16)
+
+
+def test_device_range_and_frame_match_native():
+    DEV = CodecConfig()
+    frames = _pan_video(t=9)
+    blob = mh.encode_video(frames, CodecConfig(
+        backend="native", temporal=True, motion=True, keyint=4))
+    for a, b in [(0, 9), (3, 7), (5, 6)]:
+        assert np.array_equal(
+            temporal.decode_temporal_range(blob, a, b, DEV), frames[a:b])
+        assert np.array_equal(
+            temporal.decode_temporal_range(blob, a, b, CPU), frames[a:b])
+    assert np.array_equal(
+        temporal.decode_temporal_frame(blob, 6, DEV), frames[6])
+
+
+def test_device_corrupt_wrapper_still_localized():
+    # flipping keyint corrupts reconstruction but not the inner stream; the
+    # device path must fall back to the host path and report that the
+    # wrapper header is the suspect
+    frames = _video(t=6, h=16, w=512)
+    blob = bytearray(mh.encode_video(
+        frames, CodecConfig(backend="native", temporal=True, keyint=3)))
+    struct.pack_into("<H", blob, 4, 2)
+    with pytest.raises(ValueError, match="wrapper header itself is suspect"):
+        temporal.decode_temporal_video(bytes(blob), CodecConfig())
