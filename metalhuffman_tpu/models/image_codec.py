@@ -355,6 +355,13 @@ class ImageCodec:
             symbols_per_block=cfg.block_size,
         )
         words = bitstream.bytes_to_be_words(stream.code_bytes, pad_words=wpr)
+        # stage only the word range the selected blocks can touch (a crop
+        # of a long stream should not upload the whole code stream)
+        lo_word = int(sub_offsets.min()) // 32
+        hi_word = int(sub_offsets.max()) // 32 + wpr + 1
+        words = words[lo_word:hi_word]
+        sub_offsets = (sub_offsets.astype(np.int64) - 32 * lo_word).astype(
+            np.int32)
         interpret = cfg.interpret
         backend = cfg.backend
         if backend == "pallas":
