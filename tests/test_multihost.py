@@ -5,8 +5,6 @@ import socket
 import subprocess
 import sys
 
-import pytest
-
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
@@ -16,8 +14,10 @@ def _free_port():
         return s.getsockname()[1]
 
 
-@pytest.mark.slow
 def test_two_process_decode():
+    # default tier (not slow): ~4 s warm / tens of seconds on a cold
+    # compile cache — SURVEY section 2.6 calls the multi-host DCN path
+    # first-class, so the default suite must certify it (round-3 VERDICT)
     port = _free_port()
     env = dict(os.environ)
     # children must NOT inherit the test session's CPU pinning flags
