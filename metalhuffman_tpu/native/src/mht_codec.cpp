@@ -165,27 +165,7 @@ int mht_canonical_codes(const uint8_t* widths, uint16_t* codes_out) {
   return 0;
 }
 
-// -- fast bit packer ----------------------------------------------------------
-//
-// Per-symbol work in the hot pack loop is one fused table load
-// (width << 24 | right-justified code), one shift+or into a 64-bit
-// accumulator, and a 32-bit big-endian store every ~4-5 symbols — no
-// per-symbol modulo (blocks are the outer loop) and no byte-at-a-time flush
-// (the reference packs bit-by-bit, HuffmanEncoder.cpp:211-276; the original
-// port flushed per byte). ~3x on this host (0.15 -> ~0.5 GB/s/core).
-//
-// Invariant throughout: absolute bit position == byte_pos * 8 + nbits
-// (byte_pos counts fully flushed bytes; nbits the buffered tail bits), so
-// block offsets need no separate counter.
-
 namespace {
-
-inline void store_be32(uint8_t* p, uint32_t v) {
-  p[0] = static_cast<uint8_t>(v >> 24);
-  p[1] = static_cast<uint8_t>(v >> 16);
-  p[2] = static_cast<uint8_t>(v >> 8);
-  p[3] = static_cast<uint8_t>(v);
-}
 
 // Fused (width << 24) | (code >> (16 - width)) entries; width 0 -> 0.
 inline void build_pack_entries(const uint8_t* widths, const uint16_t* codes,
@@ -198,40 +178,140 @@ inline void build_pack_entries(const uint8_t* widths, const uint16_t* codes,
   }
 }
 
-// Pack data[lo, hi) into the accumulator/output. A 32-bit flush only ever
-// writes 4 complete bytes of already-produced bits, so stores stay within
-// the caller's bit range (safe for parallel chunks packing one shared
-// buffer). nbits stays < 32 between calls; w0 + w1 <= 32 keeps the 64-bit
-// accumulator from overflowing (31 + 32 = 63 live bits max).
-inline void pack_span(const uint8_t* data, int64_t lo, int64_t hi,
-                      const uint32_t* ent, uint64_t& acc, int& nbits,
-                      int64_t& byte_pos, uint8_t* out) {
-  int64_t i = lo;
-  for (; i + 1 < hi; i += 2) {
-    const uint32_t e0 = ent[data[i]];
-    const uint32_t e1 = ent[data[i + 1]];
-    const int w0 = e0 >> 24;
-    const int w1 = e1 >> 24;
-    acc = (acc << w0) | (e0 & 0xFFFFu);
-    acc = (acc << w1) | (e1 & 0xFFFFu);
-    nbits += w0 + w1;
-    if (nbits >= 32) {
-      nbits -= 32;
-      store_be32(out + byte_pos, static_cast<uint32_t>(acc >> nbits));
-      byte_pos += 4;
+// -- pair-table rolling packer (round 3) --------------------------------------
+//
+// Two prototypes measured on this 2.1 GHz host (scratch/bench_pack.cpp):
+// the per-symbol loop is ISSUE-bound (~10 uops/symbol), not latency-bound —
+// interleaving 4 independent accumulator chains moved nothing, while
+// halving the op count with a 64K PAIR table (two symbols per lookup)
+// measured 1.18 GB/s/core vs 0.44 for every single-symbol variant (~2.7x).
+// Pack state is one branchless rolling 64-bit window: deposit the pair's
+// <= 32 code bits at the window offset, PLAIN-store 8 bytes big-endian
+// (overlapping stores never stall; there is no flush branch at all), and
+// rebase the window to the new byte cursor. Chunk seams (the bytes shared
+// with neighbor threads) use a byte-wise OR packer that skips zero bytes,
+// so no two threads ever touch the same byte (head bytes additionally
+// divert to a side slot, merged after the join).
+
+
+inline void store_be64(uint8_t* q, uint64_t v) {
+  v = __builtin_bswap64(v);
+  std::memcpy(q, &v, 8);
+}
+
+// Entry for the byte pair (a, b) at index (b << 8 | a) — one little-endian
+// u16 load of the data IS the index: joint width wa+wb (<= 32) in bits
+// 40.., combined code (ca << wb | cb) in bits 0..31.
+inline void build_pair_entries(const uint32_t* ent, uint64_t* tbl) {
+  for (int b = 0; b < kNumSymbols; ++b) {
+    const uint32_t eb = ent[b];
+    const uint64_t wb = eb >> 24, cb = eb & 0xFFFFu;
+    for (int a = 0; a < kNumSymbols; ++a) {
+      const uint32_t ea = ent[a];
+      tbl[(b << 8) | a] =
+          (((ea >> 24) + wb) << 40) | (((uint64_t)(ea & 0xFFFFu)) << wb) | cb;
     }
   }
-  if (i < hi) {
+}
+
+// Byte-wise single chain for chunk SEAMS: zero window bytes are skipped
+// (never even touched), so the chain's writes stay strictly within the
+// bytes its own bits occupy — no store window ever reaches into the next
+// thread's region. With head_slot set, bytes landing on head_idx (the
+// chunk's first byte, shared with the previous thread's tail) divert to
+// the side slot (merged serially after the join — see mht_encode_mt).
+// Used only for a chunk's first/last blocks and tail symbols.
+inline void pack_block1_safe(const uint8_t* data, int64_t lo, int64_t hi,
+                             const uint32_t* ent, int64_t& p, uint8_t* out,
+                             int64_t head_idx = -1,
+                             uint8_t* head_slot = nullptr) {
+  for (int64_t i = lo; i < hi; ++i) {
     const uint32_t e = ent[data[i]];
-    const int w = e >> 24;
-    acc = (acc << w) | (e & 0xFFFFu);
-    nbits += w;
-    if (nbits >= 32) {
-      nbits -= 32;
-      store_be32(out + byte_pos, static_cast<uint32_t>(acc >> nbits));
-      byte_pos += 4;
+    const int w = static_cast<int>(e >> 24);
+    const uint32_t v = (e & 0xFFFFu)
+                       << (32 - w - static_cast<int>(p & 7));
+    for (int k = 0; k < 4; ++k) {
+      const uint8_t b = static_cast<uint8_t>(v >> (24 - 8 * k));
+      if (b == 0) continue;  // OR of 0 is a no-op: skip the write entirely
+      const int64_t idx = (p >> 3) + k;
+      if (idx == head_idx)
+        *head_slot |= b;
+      else
+        out[idx] |= b;
+    }
+    p += w;
+  }
+}
+
+// Pack data[lo, hi) starting at absolute bit chunk_bit: byte-wise seams,
+// pair-table rolling-store fast path for the middle blocks, per-block
+// offsets from the running bit cursor. Shared by the single-thread and
+// per-thread encode paths.
+void pack_chunk_or(const uint8_t* data, int64_t lo, int64_t hi,
+                   int64_t block_size, int64_t n_blocks_total,
+                   int64_t chunk_bit, const uint32_t* ent,
+                   const uint64_t* pair_tbl, uint8_t* out,
+                   uint32_t* block_offsets_out, uint8_t* head_slot) {
+  int64_t p = chunk_bit;
+  int64_t i = lo;
+  int64_t b = lo / block_size;
+  const int64_t hi_whole = std::min(hi, n_blocks_total * block_size);
+  // head seam: while the bit cursor's byte is still the chunk's first
+  // (shared) byte, pack whole blocks byte-wise with that byte diverted
+  // (normally exactly one block)
+  while ((chunk_bit & 7) && head_slot != nullptr && i < hi
+         && (p >> 3) == (chunk_bit >> 3)) {
+    const int64_t stop = std::min(hi, (b + 1) * block_size);
+    if (i < hi_whole) block_offsets_out[b] = static_cast<uint32_t>(p);
+    pack_block1_safe(data, i, stop, ent, p, out, chunk_bit >> 3, head_slot);
+    i = stop;
+    ++b;
+  }
+  // fast middle: whole blocks, PROVABLY keeping >= 64 same-chunk symbols
+  // (hence >= 64 bits >= one full store window) after the span so the
+  // 8-byte plain stores never reach bytes owned by the next thread
+  if (i + block_size <= hi_whole && hi - (i + block_size) >= 64) {
+    int64_t p0 = p >> 3;
+    // continue the partial byte the head seam already wrote (0 if none)
+    uint64_t acc = static_cast<uint64_t>(out[p0]) << 56;
+    while (i + block_size <= hi_whole && hi - (i + block_size) >= 64) {
+      block_offsets_out[b++] = static_cast<uint32_t>(p);
+      int64_t j = i;
+      const int64_t stop = i + block_size;
+      for (; j + 1 < stop; j += 2) {
+        uint16_t idx;
+        std::memcpy(&idx, data + j, 2);
+        const uint64_t e = pair_tbl[idx];
+        const int w = static_cast<int>(e >> 40);
+        acc |= (e & 0xFFFFFFFFull) << (64 - static_cast<int>(p - 8 * p0) - w);
+        p += w;
+        store_be64(out + p0, acc);
+        const int64_t np0 = p >> 3;
+        acc <<= 8 * (np0 - p0);
+        p0 = np0;
+      }
+      if (j < stop) {  // odd block_size: one single-symbol deposit
+        const uint32_t e = ent[data[j]];
+        const int w = static_cast<int>(e >> 24);
+        acc |= static_cast<uint64_t>(e & 0xFFFFu)
+               << (64 - static_cast<int>(p - 8 * p0) - w);
+        p += w;
+        store_be64(out + p0, acc);
+        const int64_t np0 = p >> 3;
+        acc <<= 8 * (np0 - p0);
+        p0 = np0;
+      }
+      i = stop;
     }
   }
+  // tail seam: remaining whole blocks + tail symbols, byte-wise
+  while (i + block_size <= hi_whole) {
+    block_offsets_out[b++] = static_cast<uint32_t>(p);
+    pack_block1_safe(data, i, i + block_size, ent, p, out);
+    i += block_size;
+  }
+  if (i < hi)  // tail symbols past the last whole block (no offset entry)
+    pack_block1_safe(data, i, hi, ent, p, out);
 }
 
 }  // namespace
@@ -283,26 +363,11 @@ int mht_encode(const uint8_t* data, int64_t n, int64_t block_size,
   if (n / block_size > 0 && total_bits >= (1LL << 32)) return -7;  // u32 offsets
 
   std::memset(code_bytes_out, 0, total_bytes);
-  uint64_t acc = 0;    // bit accumulator, MSB-aligned in the low `nbits` bits
-  int nbits = 0;       // bits currently buffered
-  int64_t byte_pos = 0;
+  std::vector<uint64_t> pair_tbl(1 << 16);
+  build_pair_entries(ent, pair_tbl.data());
   const int64_t n_blocks = n / block_size;
-  int64_t block_i = 0;
-  int64_t i = 0;
-  while (i < n) {  // block-outer: no per-symbol modulo
-    if (block_i < n_blocks)
-      block_offsets_out[block_i++] =
-          static_cast<uint32_t>(byte_pos * 8 + nbits);
-    const int64_t stop = std::min(i + block_size, n);
-    pack_span(data, i, stop, ent, acc, nbits, byte_pos, code_bytes_out);
-    i = stop;
-  }
-  while (nbits >= 8) {  // tail: flush whole bytes, then the partial byte
-    nbits -= 8;
-    code_bytes_out[byte_pos++] = static_cast<uint8_t>((acc >> nbits) & 0xFF);
-  }
-  if (nbits > 0)
-    code_bytes_out[byte_pos++] = static_cast<uint8_t>((acc << (8 - nbits)) & 0xFF);
+  pack_chunk_or(data, 0, n, block_size, n_blocks, 0, ent, pair_tbl.data(),
+                code_bytes_out, block_offsets_out, nullptr);
   *code_len_out = total_bytes;
   *total_bits_out = total_bits;
   return 0;
@@ -483,11 +548,15 @@ int mht_encode_mt(const uint8_t* data, int64_t n, int64_t block_size,
   if (total_bytes > code_capacity) return -3;
   std::memset(code_bytes_out, 0, total_bytes);
 
-  // pass 2: parallel pack (fast 32-bit packer, see pack_span); the first
-  // partial byte of each chunk is shared with the previous chunk's tail, so
-  // it is diverted to a side slot and OR-merged serially after the join
+  // pass 2: parallel pack (pair-table rolling packer, see pack_chunk_or);
+  // the first partial byte of each chunk is shared with the previous
+  // chunk's tail, so it is diverted to a side slot and OR-merged serially
+  // after the join — no two threads ever write the same byte concurrently.
+  // The 512 KB pair table is built once and read-shared by every thread.
   uint32_t ent[kNumSymbols];
   build_pack_entries(widths_out, codes, ent);
+  std::vector<uint64_t> pair_tbl(1 << 16);
+  build_pair_entries(ent, pair_tbl.data());
   std::vector<uint8_t> head_byte(nc, 0);
   {
     std::vector<std::thread> ths;
@@ -496,74 +565,9 @@ int mht_encode_mt(const uint8_t* data, int64_t n, int64_t block_size,
         const int64_t lo = t * blocks_per_chunk * block_size;
         const int64_t hi =
             (t == nc - 1) ? n : std::min<int64_t>(n, (t + 1) * blocks_per_chunk * block_size);
-        uint64_t acc = 0;
-        int nbits = static_cast<int>(chunk_start[t] & 7);  // lead-in zeros
-        int64_t byte_pos = chunk_start[t] >> 3;
-        // invariant: absolute bit position == byte_pos * 8 + nbits
-        bool first_partial = nbits != 0;
-        int64_t block_i = lo / block_size;
-        int64_t i = lo;
-        // head phase: byte-at-a-time until the shared first byte is
-        // diverted (at most a handful of symbols)
-        while (i < hi && first_partial) {
-          if (block_i < n_blocks && (i % block_size) == 0)
-            block_offsets_out[block_i++] =
-                static_cast<uint32_t>(byte_pos * 8 + nbits);
-          const uint32_t e = ent[data[i]];
-          const int w = e >> 24;
-          acc = (acc << w) | (e & 0xFFFFu);
-          nbits += w;
-          ++i;
-          while (nbits >= 8) {
-            nbits -= 8;
-            const uint8_t byte =
-                static_cast<uint8_t>((acc >> nbits) & 0xFF);
-            if (first_partial) {
-              head_byte[t] = byte;
-              first_partial = false;
-            } else {
-              code_bytes_out[byte_pos] = byte;
-            }
-            ++byte_pos;
-          }
-        }
-        // finish the block the head phase may have stopped inside
-        if (i < hi && (i % block_size) != 0) {
-          const int64_t stop =
-              std::min(hi, (i / block_size + 1) * block_size);
-          pack_span(data, i, stop, ent, acc, nbits, byte_pos,
-                    code_bytes_out);
-          i = stop;
-        }
-        while (i < hi) {  // block-outer main loop
-          if (block_i < n_blocks)
-            block_offsets_out[block_i++] =
-                static_cast<uint32_t>(byte_pos * 8 + nbits);
-          const int64_t stop = std::min(i + block_size, hi);
-          pack_span(data, i, stop, ent, acc, nbits, byte_pos,
-                    code_bytes_out);
-          i = stop;
-        }
-        while (nbits >= 8) {  // tail: whole bytes, then the partial byte
-          nbits -= 8;
-          const uint8_t byte = static_cast<uint8_t>((acc >> nbits) & 0xFF);
-          if (first_partial) {
-            head_byte[t] = byte;
-            first_partial = false;
-          } else {
-            code_bytes_out[byte_pos] = byte;
-          }
-          ++byte_pos;
-        }
-        if (nbits > 0) {
-          const uint8_t byte =
-              static_cast<uint8_t>((acc << (8 - nbits)) & 0xFF);
-          if (first_partial) {
-            head_byte[t] = byte;
-          } else {
-            code_bytes_out[byte_pos] = byte;
-          }
-        }
+        pack_chunk_or(data, lo, hi, block_size, n_blocks, chunk_start[t],
+                      ent, pair_tbl.data(), code_bytes_out,
+                      block_offsets_out, &head_byte[t]);
       });
     }
     for (auto& th : ths) th.join();
