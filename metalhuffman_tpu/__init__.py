@@ -87,11 +87,19 @@ def encode_video(frames, config=None) -> bytes:
         return temporal.encode_temporal_video(frames_arr, config)
     t, h, w = frames_arr.shape
     crc = zlib.crc32(np.ascontiguousarray(frames_arr).tobytes())
+    fcrcs = None
+    if config is not None and config.frame_crcs:
+        # per-frame table (FCRC extension): random access verifies exactly
+        # the frames it touches
+        fcrcs = np.array(
+            [zlib.crc32(np.ascontiguousarray(f).tobytes())
+             for f in frames_arr], np.uint32)
     segs = frame_stream.encode_frames_segmented(frames_arr, config)
     if len(segs) == 1:
         return frame_stream.write_shared(
-            segs[0][0], t, h, w, config, source_crc32=crc)
-    return frame_stream.write_segmented(segs, h, w, config, source_crc32=crc)
+            segs[0][0], t, h, w, config, source_crc32=crc, frame_crcs=fcrcs)
+    return frame_stream.write_segmented(segs, h, w, config, source_crc32=crc,
+                                        frame_crcs=fcrcs)
 
 
 def decode_video(blob: bytes, config=None):

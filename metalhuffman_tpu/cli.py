@@ -55,6 +55,7 @@ def _config(args):
         temporal=getattr(args, "temporal", False),
         keyint=getattr(args, "keyint", 8),
         motion=getattr(args, "motion", False),
+        frame_crcs=getattr(args, "frame_crcs", False),
         backend=args.backend,
         interpret=args.interpret,
     )
@@ -452,14 +453,20 @@ def cmd_encode_video(args) -> int:
         # auto-upgrades to segmented MHV2 when one shared stream could
         # overflow the u32 block-offset index (> ~512 MB compressed)
         crc = zlib.crc32(np.ascontiguousarray(frames).tobytes())
+        fcrcs = None
+        if cfg.frame_crcs:
+            fcrcs = np.array(
+                [zlib.crc32(np.ascontiguousarray(f).tobytes())
+                 for f in frames], np.uint32)
         segs = frame_stream.encode_frames_segmented(frames, cfg)
         if len(segs) == 1:
             blob = frame_stream.write_shared(
-                segs[0][0], t, h, w, cfg, source_crc32=crc)
+                segs[0][0], t, h, w, cfg, source_crc32=crc,
+                frame_crcs=fcrcs)
             kind = "MHTV"
         else:
             blob = frame_stream.write_segmented(
-                segs, h, w, cfg, source_crc32=crc)
+                segs, h, w, cfg, source_crc32=crc, frame_crcs=fcrcs)
             kind = f"MHV2[{len(segs)} segments]"
     dt = time.perf_counter() - t0
     Path(args.output).write_bytes(blob)
@@ -648,16 +655,16 @@ def _cmd_decode_video_temporal(args, data: bytes, cfg, check: bool) -> int:
     """
     from .models import color, temporal
 
-    inner, keyint, tcrc, mvs = temporal.unwrap(data)
-    if check and args.backend != "pallas":
-        raise SystemExit(
-            "--check requires --backend pallas (the on-device integrity "
-            "check is emitted by the TPU decode kernel)")
+    inner, keyint, tcrc, mvs, fcrcs = temporal.unwrap(data)
     if getattr(args, "frame", None) is not None:
-        if check:
+        # --frame --check verifies via the per-frame CRC table (flag bit 1)
+        # — decode_temporal_frame checks it automatically whenever present;
+        # --check just insists the container actually records one
+        if check and fcrcs is None:
             raise SystemExit(
-                "--check verifies whole streams; drop it for --frame "
-                "random access (or run `verify` on the container)")
+                "--frame --check needs a per-frame CRC table; this "
+                "container records none (encode with --frame-crcs), so "
+                "only whole-stream verification is possible (`verify`)")
         t0 = time.perf_counter()
         try:
             img = temporal.decode_temporal_frame(data, args.frame, cfg)
@@ -666,9 +673,14 @@ def _cmd_decode_video_temporal(args, data: bytes, cfg, check: bool) -> int:
         dt = time.perf_counter() - t0
         _save_frame(img, Path(args.output))
         h, w = img.shape[:2]
+        checked = ", frame CRC ok" if fcrcs is not None else ""
         print(f"{args.input}: decoded frame {args.frame} ({h}x{w}, "
-              f"keyint {keyint}) in {dt:.3f} s -> {args.output}")
+              f"keyint {keyint}{checked}) in {dt:.3f} s -> {args.output}")
         return 0
+    if check and args.backend != "pallas":
+        raise SystemExit(
+            "--check requires --backend pallas (the on-device integrity "
+            "check is emitted by the TPU decode kernel)")
     t0 = time.perf_counter()
     if not check:
         # production path: decode AND temporal fold on device, one fetch;
@@ -730,18 +742,21 @@ def cmd_decode_video(args) -> int:
         return _cmd_decode_video_temporal(args, data, cfg, check)
     if data[:4] == color.COLOR_MAGIC:
         return _cmd_decode_video_color(args, data, cfg, check)
-    if check and args.backend != "pallas":
-        # the integrity check is an output of the Pallas kernel (the decode
-        # carry); other backends never compute it — refuse loudly rather
-        # than silently decode unchecked
-        raise SystemExit(
-            "--check requires --backend pallas (the on-device integrity "
-            "check is emitted by the TPU decode kernel)")
     if getattr(args, "frame", None) is not None:
-        if check:
+        from .models import frame_stream
+
+        # --frame verifies against any recorded per-frame CRCs (FCRC
+        # extension / MHTS records) automatically; --check additionally
+        # insists the container records them
+        has_fcrcs = (
+            any(frame_stream.read_stream_crcs(data))
+            if data[:4] == frame_stream.STREAM_MAGIC
+            else frame_stream.read_frame_crcs(data) is not None)
+        if check and not has_fcrcs:
             raise SystemExit(
-                "--check verifies whole streams; drop it for --frame "
-                "random access (or run `verify` on the container)")
+                "--frame --check needs per-frame CRCs; this container "
+                "records none (encode with --frame-crcs), so only "
+                "whole-stream verification is possible (`verify`)")
         t0 = time.perf_counter()
         img, h, w = _decode_one_frame(data, cfg, args.frame)
         dt = time.perf_counter() - t0
@@ -750,9 +765,18 @@ def cmd_decode_video(args) -> int:
             np.save(out, img)
         else:
             imageio.save_grayscale(np.asarray(img), out)
-        print(f"{args.input}: decoded frame {args.frame} ({h}x{w}) "
+        checked = ", frame CRC ok" if has_fcrcs else ""
+        print(f"{args.input}: decoded frame {args.frame} ({h}x{w}{checked}) "
               f"in {dt:.3f} s -> {args.output}")
         return 0
+    if check and args.backend != "pallas":
+        # the whole-stream integrity check is an output of the Pallas
+        # kernel (the decode carry); other backends never compute it —
+        # refuse loudly rather than silently decode unchecked (--frame
+        # --check above is CRC-based and backend-independent)
+        raise SystemExit(
+            "--check requires --backend pallas (the on-device integrity "
+            "check is emitted by the TPU decode kernel)")
     t0 = time.perf_counter()
     frames, t, h, w = _decode_video_frames(data, cfg, check)
     # verify any recorded payload CRC — catches length-preserving corruption
@@ -860,10 +884,10 @@ def cmd_verify(args) -> int:
 
         try:
             wrapper = temporal.describe(data) + " wrapping "
-            inner, keyint, tcrc, mvs = temporal.unwrap(data)
+            inner, keyint, tcrc, mvs, fcrcs = temporal.unwrap(data)
         except ValueError as e:
             raise SystemExit(str(e))
-        temporal_ctx = (keyint, tcrc, mvs)
+        temporal_ctx = (keyint, tcrc, mvs, fcrcs)
         data = inner
     if data[:4] == color.COLOR_MAGIC:
         # verify the inner plane stream; every check (end-bit, CRC) applies
@@ -929,7 +953,7 @@ def cmd_verify(args) -> int:
                 # inner checks cannot see)
                 from .models import temporal
 
-                keyint, tcrc, mvs = temporal_ctx
+                keyint, tcrc, mvs, fcrcs = temporal_ctx
                 res = np.asarray(frames)
                 if mhtc_ctx is not None:
                     res = color.fold_video_planes(res, *mhtc_ctx)
@@ -942,6 +966,10 @@ def cmd_verify(args) -> int:
                         "reconstructed frames fail the MHVT source CRC-32 "
                         "— corrupt container")
                 report("temporal CRC-32", "ok" if tcrc else "absent")
+                temporal._verify_frame_crcs(true, fcrcs)  # ValueError -> exit
+                report("frame CRC table",
+                       f"ok ({fcrcs.shape[0]} frames)" if fcrcs is not None
+                       else "absent")
         else:
             raise SystemExit("not an MHT1/MHTS/MHTV/MHV2 container")
     except ValueError as e:
@@ -1083,6 +1111,11 @@ def main(argv=None) -> int:
                         "each frame's predictor is the previous frame "
                         "circularly shifted by an estimated (dy, dx); "
                         "cancels panning, still lossless")
+    p.add_argument("--frame-crcs", action="store_true",
+                   help="record a per-frame CRC-32 table (4 B/frame) so "
+                        "--frame / range random access verifies exactly "
+                        "the frames it touches (whole-payload CRCs cannot "
+                        "cover a slice)")
     _add_codec_flags(p)
     p.set_defaults(fn=cmd_encode_video)
 

@@ -102,7 +102,7 @@ def _stream_mode(stream: container.EncodedStream, delta: bool) -> int:
 
 def write_shared(stream: container.EncodedStream, num_frames: int, height: int,
                  width: int, config: CodecConfig | None = None,
-                 source_crc32: int = 0) -> bytes:
+                 source_crc32: int = 0, frame_crcs=None) -> bytes:
     """Serialize a shared-table frame sequence to the MHTV container.
 
     The delta byte is a MODE (same scheme as MHT1): 0 = none, 1 = delta,
@@ -126,7 +126,8 @@ def write_shared(stream: container.EncodedStream, num_frames: int, height: int,
             else stream.block_init.astype(np.uint8).tobytes())
     return (head + struct.pack("<I", len(core)) + core
             + stream.block_offsets.astype("<u4").tobytes() + tail
-            + struct.pack("<I", source_crc32 & 0xFFFFFFFF))
+            + struct.pack("<I", source_crc32 & 0xFFFFFFFF)
+            + _frame_crc_blob(frame_crcs))
 
 
 def read_shared(data: bytes):
@@ -159,6 +160,22 @@ def read_shared(data: bytes):
     return stream, t, h, w, bd, bool(mode)
 
 
+def _trailer_offset(data: bytes) -> int:
+    """Byte offset of the source-CRC trailer of an MHTV/MHV2 container."""
+    if data[:4] == SHARED_MAGIC:
+        _t, _h, _w, nb, _bd, mode = struct.unpack_from("<IIIIBB", data, 4)
+        (core_len,) = struct.unpack_from("<I", data, 22)
+        return 26 + core_len + 4 * nb + (nb if mode in (2, 4) else 0)
+    if data[:4] == SEGMENTED_MAGIC:
+        _t, _h, _w, _bd, mode, n_seg = struct.unpack_from("<IIIBBI", data, 4)
+        end = 4 + 18
+        for _ in range(n_seg):
+            _ft, nb, core_len = struct.unpack_from("<III", data, end)
+            end += 12 + core_len + 4 * nb + (nb if mode in (2, 4) else 0)
+        return end
+    raise ValueError("not an MHTV/MHV2 container")
+
+
 def source_crc32(data: bytes) -> int:
     """Recorded source CRC-32 of an MHTV/MHV2 container (0 = unrecorded).
 
@@ -166,21 +183,54 @@ def source_crc32(data: bytes) -> int:
     trailer existed parse as unrecorded); verify with
     :func:`verify_source_crc32` after decoding.
     """
-    if data[:4] == SHARED_MAGIC:
-        _t, _h, _w, nb, _bd, mode = struct.unpack_from("<IIIIBB", data, 4)
-        (core_len,) = struct.unpack_from("<I", data, 22)
-        end = 26 + core_len + 4 * nb + (nb if mode in (2, 4) else 0)
-    elif data[:4] == SEGMENTED_MAGIC:
-        _t, _h, _w, _bd, mode, n_seg = struct.unpack_from("<IIIBBI", data, 4)
-        end = 4 + 18
-        for _ in range(n_seg):
-            _ft, nb, core_len = struct.unpack_from("<III", data, end)
-            end += 12 + core_len + 4 * nb + (nb if mode in (2, 4) else 0)
-    else:
-        raise ValueError("not an MHTV/MHV2 container")
+    end = _trailer_offset(data)
     if len(data) >= end + 4:
         return struct.unpack_from("<I", data, end)[0]
     return 0
+
+
+FRAME_CRC_MAGIC = b"FCRC"
+
+
+def _frame_crc_blob(frame_crcs) -> bytes:
+    """Serialize the optional per-frame CRC extension (after the trailer)."""
+    if frame_crcs is None:
+        return b""
+    fc = np.asarray(frame_crcs, np.uint32).reshape(-1)
+    return (FRAME_CRC_MAGIC + struct.pack("<I", fc.shape[0])
+            + fc.astype("<u4").tobytes())
+
+
+def read_frame_crcs(data: bytes):
+    """Per-frame CRC-32 table of an MHTV/MHV2 container, or None.
+
+    The FCRC extension sits AFTER the source-CRC trailer, so readers that
+    predate it (which parse by offset and ignore trailing bytes) are
+    unaffected; with it, random access (``decode_range``) verifies exactly
+    the frames it returns.
+    """
+    pos = _trailer_offset(data) + 4
+    if len(data) < pos + 8 or data[pos : pos + 4] != FRAME_CRC_MAGIC:
+        return None
+    (t,) = struct.unpack_from("<I", data, pos + 4)
+    if len(data) < pos + 8 + 4 * t:
+        raise ValueError("truncated FCRC extension (table incomplete)")
+    return np.frombuffer(data, dtype="<u4", count=t, offset=pos + 8).copy()
+
+
+def verify_frame_crcs(frames, fcrcs, base: int = 0) -> None:
+    """Check frames [base, base+len) against a per-frame CRC table."""
+    if fcrcs is None:
+        return
+    if fcrcs.shape[0] < base + len(frames):
+        raise ValueError(
+            "corrupt container (frame CRC table shorter than the stream)")
+    for i, f in enumerate(frames):
+        if (zlib.crc32(np.ascontiguousarray(f).tobytes()) & 0xFFFFFFFF
+                != int(fcrcs[base + i])):
+            raise ValueError(
+                f"decoded frame {base + i} fails its recorded CRC-32 — "
+                "the stream is corrupt")
 
 
 def verify_source_crc32(frames: np.ndarray, recorded: int) -> None:
@@ -590,6 +640,7 @@ def encode_frames_segmented(
 def write_segmented(
     segments: list[tuple[container.EncodedStream, int]], height: int,
     width: int, config: CodecConfig | None = None, source_crc32: int = 0,
+    frame_crcs=None,
 ) -> bytes:
     """Serialize segments to the MHV2 container.
 
@@ -619,6 +670,7 @@ def write_segmented(
         if mode in (2, 4):
             out.append(stream.block_init.astype(np.uint8).tobytes())
     out.append(struct.pack("<I", source_crc32 & 0xFFFFFFFF))
+    out.append(_frame_crc_blob(frame_crcs))
     return b"".join(out)
 
 
@@ -878,6 +930,14 @@ def decode_range(data: bytes, a: int, b: int,
 
     cfg = config or CodecConfig()
     fetch = np.asarray if to_host else (lambda x: x)
+
+    def done(frames, h, w):
+        # host results verify against any recorded per-frame CRC table
+        # (FCRC extension) — exactly the frames this call returns
+        if to_host:
+            verify_frame_crcs(frames, read_frame_crcs(data), base=a)
+        return frames, h, w
+
     if data[:4] == SHARED_MAGIC:
         stream, t, h, w, bd, delta = read_shared(data)
         if not 0 <= a < b <= t:
@@ -885,7 +945,7 @@ def decode_range(data: bytes, a: int, b: int,
         cfg = dataclasses.replace(cfg, block_dim=bd, delta=delta,
                                   delta2d=stream.predictor == "2d")
         view = frame_slice(stream, a, b - a, h, w, cfg)
-        return fetch(decode_frames_shared(view, b - a, h, w, cfg)), h, w
+        return done(fetch(decode_frames_shared(view, b - a, h, w, cfg)), h, w)
     if data[:4] == SEGMENTED_MAGIC:
         segs, t, h, w, bd, delta = read_segmented(data)
         if not 0 <= a < b <= t:
@@ -902,9 +962,9 @@ def decode_range(data: bytes, a: int, b: int,
                     decode_frames_shared(view, hi - lo, h, w, cfg)))
             base += ft
         if len(outs) == 1:
-            return outs[0], h, w
+            return done(outs[0], h, w)
         cat = np.concatenate if to_host else jnp.concatenate
-        return cat(outs), h, w
+        return done(cat(outs), h, w)
     raise ValueError("not an MHTV/MHV2 container")
 
 

@@ -54,6 +54,11 @@ class CodecConfig:
     #: is the previous frame circularly shifted by an estimated integer
     #: (dy, dx) (exactly invertible, so still lossless); cancels panning
     motion: bool = False
+    #: record a per-frame CRC-32 table in video containers (MHVT flag bit 1;
+    #: MHTV/MHV2 FCRC extension trailer) so RANDOM ACCESS (--frame / range
+    #: decode) verifies exactly the frames it touches — the whole-payload
+    #: CRC cannot cover a slice. Costs 4 bytes/frame.
+    frame_crcs: bool = False
     table1_bits: int = 8  # HUFF_TABLE1_NUM_BITS (:120)
     table2_bits: int = 8  # HUFF_TABLE2_NUM_BITS (:121)
     backend: str = "pallas"  # 'pallas' (TPU kernel) | 'xla' | 'native' (host C++)

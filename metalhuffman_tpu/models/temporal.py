@@ -57,6 +57,10 @@ _HEADER = "<HHI"  # keyint, flags, inner_len
 _HEADER_SIZE = 4 + struct.calcsize(_HEADER)
 
 FLAG_MOTION = 1  #: header flag: per-frame global motion vectors present
+#: header flag: per-TRUE-frame CRC-32 table present (lets random access
+#: verify exactly the frames it reconstructs — the whole-payload CRCs
+#: cannot cover a slice)
+FLAG_FRAME_CRCS = 2
 
 
 # -- the transform (container-independent) ------------------------------------
@@ -322,12 +326,16 @@ def _jitted(name: str, fn, static=("keyint",)):
 
 
 def wrap(inner: bytes, keyint: int, source_crc32: int = 0,
-         mvs: np.ndarray | None = None) -> bytes:
+         mvs: np.ndarray | None = None,
+         frame_crcs: np.ndarray | None = None) -> bytes:
     """Wrap an inner video container blob in the MHVT header + CRC trailer.
 
     With ``mvs`` (a (T, 2) int16 array of per-frame global motion vectors)
     the header flags bit 0 is set and ``u32 T`` + T x (i16 dy, i16 dx)
-    follow the header before the inner blob.
+    follow the header before the inner blob. With ``frame_crcs`` (a (T,)
+    uint32 array of per-TRUE-frame CRC-32s) flags bit 1 is set and
+    ``u32 T`` + T x u32 follow the motion table — random access then
+    verifies exactly the frames it reconstructs.
     """
     if not 1 <= keyint <= 0xFFFF:
         raise ValueError("keyint must be in 1..65535")
@@ -342,12 +350,19 @@ def wrap(inner: bytes, keyint: int, source_crc32: int = 0,
         mvs = np.asarray(mvs, np.int16).reshape(-1, 2)
         flags |= FLAG_MOTION
         mv_blob = struct.pack("<I", mvs.shape[0]) + mvs.astype("<i2").tobytes()
+    fc_blob = b""
+    if frame_crcs is not None:
+        fc = np.asarray(frame_crcs, np.uint32).reshape(-1)
+        flags |= FLAG_FRAME_CRCS
+        fc_blob = struct.pack("<I", fc.shape[0]) + fc.astype("<u4").tobytes()
     return (TEMPORAL_MAGIC + struct.pack(_HEADER, keyint, flags, len(inner))
-            + mv_blob + inner + struct.pack("<I", source_crc32 & 0xFFFFFFFF))
+            + mv_blob + fc_blob + inner
+            + struct.pack("<I", source_crc32 & 0xFFFFFFFF))
 
 
 def unwrap(blob: bytes):
-    """MHVT blob -> (inner_bytes, keyint, source_crc32, mvs_or_None)."""
+    """MHVT blob -> (inner, keyint, source_crc32, mvs_or_None,
+    frame_crcs_or_None)."""
     if blob[:4] != TEMPORAL_MAGIC:
         raise ValueError("not an MHVT container")
     if len(blob) < _HEADER_SIZE:
@@ -367,11 +382,21 @@ def unwrap(blob: bytes):
         mvs = np.frombuffer(blob, dtype="<i2", count=2 * t,
                             offset=pos).reshape(t, 2).copy()
         pos += 4 * t
+    fcrcs = None
+    if flags & FLAG_FRAME_CRCS:
+        if len(blob) < pos + 4:
+            raise ValueError("truncated MHVT container (frame CRC table)")
+        (t,) = struct.unpack_from("<I", blob, pos)
+        pos += 4
+        if len(blob) < pos + 4 * t:
+            raise ValueError("truncated MHVT container (frame CRC table)")
+        fcrcs = np.frombuffer(blob, dtype="<u4", count=t, offset=pos).copy()
+        pos += 4 * t
     end = pos + inner_len
     if len(blob) < end + 4:
         raise ValueError("truncated MHVT container (inner/trailer missing)")
     (crc,) = struct.unpack_from("<I", blob, end)
-    return blob[pos:end], keyint, crc, mvs
+    return blob[pos:end], keyint, crc, mvs, fcrcs
 
 
 def _inner_config(config: CodecConfig | None) -> CodecConfig:
@@ -382,6 +407,30 @@ def _inner_config(config: CodecConfig | None) -> CodecConfig:
 
 def _crc(frames: np.ndarray) -> int:
     return zlib.crc32(np.ascontiguousarray(frames).tobytes()) & 0xFFFFFFFF
+
+
+def _frame_crcs(frames: np.ndarray, cfg: CodecConfig):
+    """(T,) uint32 per-TRUE-frame CRC table, or None unless cfg asks."""
+    if not cfg.frame_crcs:
+        return None
+    return np.array([zlib.crc32(np.ascontiguousarray(f).tobytes())
+                     for f in frames], np.uint32)
+
+
+def _verify_frame_crcs(frames, fcrcs, base: int = 0) -> None:
+    """Check reconstructed frames [base, base+len) against the CRC table."""
+    if fcrcs is None:
+        return
+    if fcrcs.shape[0] < base + len(frames):
+        raise ValueError(
+            "corrupt MHVT container (frame CRC table shorter than the "
+            "stream)")
+    for i, f in enumerate(frames):
+        if (zlib.crc32(np.ascontiguousarray(f).tobytes()) & 0xFFFFFFFF
+                != int(fcrcs[base + i])):
+            raise ValueError(
+                f"frame {base + i} fails its recorded CRC-32 — the "
+                "container is corrupt")
 
 
 def _residuals(frames: np.ndarray, cfg: CodecConfig,
@@ -413,7 +462,8 @@ def encode_temporal_video(frames: np.ndarray,
     frames = np.asarray(frames)
     res, mvs = _residuals(frames, cfg, mvs)
     return wrap(encode_video(res, _inner_config(cfg)), cfg.keyint,
-                source_crc32=_crc(frames), mvs=mvs)
+                source_crc32=_crc(frames), mvs=mvs,
+                frame_crcs=_frame_crcs(frames, cfg))
 
 
 def encode_temporal_color_video(frames: np.ndarray,
@@ -429,7 +479,8 @@ def encode_temporal_color_video(frames: np.ndarray,
     cs = color.CS_IDENTITY if colorspace is None else colorspace
     inner = color.encode_color_video_to_bytes(res, _inner_config(cfg),
                                               colorspace=cs)
-    return wrap(inner, cfg.keyint, source_crc32=_crc(frames), mvs=mvs)
+    return wrap(inner, cfg.keyint, source_crc32=_crc(frames), mvs=mvs,
+                frame_crcs=_frame_crcs(frames, cfg))
 
 
 def encode_temporal_gray16_video(frames: np.ndarray,
@@ -448,7 +499,8 @@ def encode_temporal_gray16_video(frames: np.ndarray,
         raise ValueError("expected (T, H, W) uint16")
     res, mvs = _residuals(frames, cfg, mvs)
     inner = color.encode_gray16_to_bytes(res, _inner_config(cfg))
-    return wrap(inner, cfg.keyint, source_crc32=_crc(frames), mvs=mvs)
+    return wrap(inner, cfg.keyint, source_crc32=_crc(frames), mvs=mvs,
+                frame_crcs=_frame_crcs(frames, cfg))
 
 
 def _decode_inner(inner: bytes, config: CodecConfig | None) -> np.ndarray:
@@ -561,7 +613,7 @@ def decode_temporal_video(blob: bytes,
     decode that fails the outer CRC re-runs the host path once to localize
     the corruption (inner stream vs wrapper header).
     """
-    inner, keyint, crc, mvs = unwrap(blob)
+    inner, keyint, crc, mvs, fcrcs = unwrap(blob)
     cfg = config or CodecConfig()
     if cfg.backend != "native" and crc:
         if mvs is not None:
@@ -573,6 +625,7 @@ def decode_temporal_video(blob: bytes,
                     "with the frame count)")
         frames = _decode_temporal_device(inner, keyint, mvs, cfg)
         if _crc(frames) == crc:
+            _verify_frame_crcs(frames, fcrcs)
             return frames
         # corrupt: fall through to the host path, whose inner-CRC check
         # localizes the failure (residual stream vs wrapper header)
@@ -586,6 +639,7 @@ def decode_temporal_video(blob: bytes,
             "reconstructed frames fail the MHVT source CRC-32 — corrupt "
             "container (the inner residual stream verified, so the wrapper "
             "header itself is suspect)")
+    _verify_frame_crcs(frames, fcrcs)
     return frames
 
 
@@ -667,7 +721,8 @@ def encode_video_best(frames: np.ndarray, config: CodecConfig | None = None):
         res_mc, mvs = temporal_encode_mc(frames, cfg.keyint)
         cfg_m = _best_precoder(res_mc, cfg)
         blob_m = wrap(encode_video(res_mc, _inner_config(cfg_m)), cfg.keyint,
-                      source_crc32=_crc(frames), mvs=mvs)
+                      source_crc32=_crc(frames), mvs=mvs,
+                      frame_crcs=_frame_crcs(frames, cfg_m))
         candidates.append((blob_m, "temporal+motion", cfg_m))
     return min(candidates, key=lambda c: len(c[0]))
 
@@ -686,7 +741,7 @@ def decode_temporal_range(blob: bytes, a: int, b: int,
 
     if not 0 <= a < b:
         raise ValueError(f"invalid frame range [{a}, {b})")
-    inner, keyint, _crc_, mvs = unwrap(blob)
+    inner, keyint, _crc_, mvs, fcrcs = unwrap(blob)
     kf = (a // keyint) * keyint
     cfg = _inner_config(config)
     device = cfg.backend != "native"
@@ -714,15 +769,20 @@ def decode_temporal_range(blob: bytes, a: int, b: int,
         # the span starts at a keyframe, so the plain group fold applies
         out = (_jitted("fold", temporal_decode_jax)(res, keyint=keyint)
                if device else temporal_decode(res, keyint))
-    return np.asarray(out)[a - kf :]
+    out = np.asarray(out)[a - kf :]
+    # with a recorded per-frame CRC table, random access verifies EXACTLY
+    # the frames it returns (whole-payload CRCs cannot cover a slice)
+    _verify_frame_crcs(out, fcrcs, base=a)
+    return out
 
 
 def describe(blob: bytes) -> str:
     """One-line human description of the MHVT wrapper (for CLI ``info``)."""
-    _, keyint, crc, mvs = unwrap(blob)
+    _, keyint, crc, mvs, fcrcs = unwrap(blob)
     motion = ""
     if mvs is not None:
         moving = int((mvs != 0).any(axis=1).sum())
         motion = f", motion-compensated ({moving}/{mvs.shape[0]} frames move)"
-    return (f"MHVT: temporal prediction, keyframe every {keyint}{motion}, "
+    fc = f", per-frame CRCs ({fcrcs.shape[0]})" if fcrcs is not None else ""
+    return (f"MHVT: temporal prediction, keyframe every {keyint}{motion}{fc}, "
             f"crc32={'recorded' if crc else 'absent'}")

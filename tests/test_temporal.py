@@ -280,7 +280,7 @@ def test_mhvt_motion_container_roundtrip_and_random_access():
     cfg = CodecConfig(backend="native", temporal=True, motion=True, keyint=4)
     blob = mh.encode_video(frames, cfg)
     assert blob[:4] == temporal.TEMPORAL_MAGIC
-    _inner, _k, _crc, mvs = temporal.unwrap(blob)
+    _inner, _k, _crc, mvs, _fc = temporal.unwrap(blob)
     assert mvs is not None and mvs.shape == (10, 2)
     assert np.array_equal(mh.decode_video(blob, CPU), frames)
     for n in (0, 1, 3, 4, 7, 9):

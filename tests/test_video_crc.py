@@ -251,3 +251,100 @@ def test_cli_verify_mhts(tmp_path, capsys):
                      "--interpret"]) == 0
     out = capsys.readouterr().out
     assert out.startswith("MHTS") and "PASS" in out
+
+
+# -- per-frame CRC tables (round 3: random access verifies its slice) ----------
+
+
+def test_fcrc_extension_roundtrip_and_random_access():
+    frames = _frames(6, 24, 32)
+    cfg = CodecConfig(backend="native", frame_crcs=True)
+    blob = mht.encode_video(frames, cfg)
+    fcrcs = frame_stream.read_frame_crcs(blob)
+    assert fcrcs is not None and fcrcs.shape == (6,)
+    # full decode still verifies the whole-payload CRC
+    assert np.array_equal(mht.decode_video(blob, cfg), frames)
+    # range decode verifies exactly its slice
+    got, _h, _w = frame_stream.decode_range(blob, 2, 5, cfg)
+    assert np.array_equal(got, frames[2:5])
+    # a container without the extension parses as None (backward compat)
+    plain = mht.encode_video(frames, CodecConfig(backend="native"))
+    assert frame_stream.read_frame_crcs(plain) is None
+
+
+def test_fcrc_tamper_caught_by_range_decode():
+    frames = _frames(6, 24, 32)
+    cfg = CodecConfig(backend="native", frame_crcs=True)
+    blob = bytearray(mht.encode_video(frames, cfg))
+    # flip one bit in frame 3's recorded CRC: the table itself is the
+    # tamper target (equivalently, a corrupted frame mismatches its entry)
+    pos = frame_stream._trailer_offset(bytes(blob)) + 4 + 8 + 4 * 3
+    blob[pos] ^= 1
+    with pytest.raises(ValueError, match="frame 3 fails"):
+        frame_stream.decode_range(bytes(blob), 3, 4,
+                                  CodecConfig(backend="native"))
+    # frames outside the tampered entry still verify
+    got, _h, _w = frame_stream.decode_range(bytes(blob), 0, 3,
+                                            CodecConfig(backend="native"))
+    assert np.array_equal(got, frames[:3])
+
+
+def test_mhvt_frame_crcs_random_access():
+    from metalhuffman_tpu.models import temporal
+
+    rng = np.random.default_rng(5)
+    base = rng.integers(0, 256, (24, 32), np.uint8)
+    frames = np.stack([np.roll(base, (2 * i, 3 * i), (0, 1))
+                       for i in range(7)])
+    cfg = CodecConfig(backend="native", temporal=True, keyint=3,
+                      motion=True, frame_crcs=True)
+    blob = mht.encode_video(frames, cfg)
+    _i, _k, _c, _m, fcrcs = temporal.unwrap(blob)
+    assert fcrcs is not None and fcrcs.shape == (7,)
+    dec = CodecConfig(backend="native")
+    for n in (0, 3, 6):
+        assert np.array_equal(
+            temporal.decode_temporal_frame(blob, n, dec), frames[n])
+    assert np.array_equal(
+        temporal.decode_temporal_range(blob, 2, 6, dec), frames[2:6])
+    # tamper with frame 4's entry: random access touching it must fail
+    blob2 = bytearray(blob)
+    # layout: magic+8 header | motion table (4 + 7*4) | fcrc (4 + 7*4)
+    pos = 12 + 4 + 7 * 4 + 4 + 4 * 4
+    blob2[pos] ^= 1
+    with pytest.raises(ValueError, match="frame 4 fails"):
+        temporal.decode_temporal_frame(bytes(blob2), 4, dec)
+    with pytest.raises(ValueError, match="frame 4 fails"):
+        temporal.decode_temporal_video(bytes(blob2), dec)
+    # untouched frames still decode
+    assert np.array_equal(
+        temporal.decode_temporal_frame(bytes(blob2), 0, dec), frames[0])
+
+
+def test_cli_frame_crcs_check(tmp_path):
+    from metalhuffman_tpu.cli import main
+
+    frames = _frames(5, 24, 32)
+    src = tmp_path / "v.npy"
+    np.save(src, frames)
+    out = tmp_path / "v.mhvt"
+    main(["encode-video", str(src), str(out), "--temporal", "--keyint", "2",
+          "--frame-crcs", "--backend", "native"])
+    f3 = tmp_path / "f3.npy"
+    main(["decode-video", str(out), str(f3), "--frame", "3",
+          "--check", "--backend", "native"])
+    assert np.array_equal(np.load(f3), frames[3])
+    # plain MHTV with the FCRC extension
+    out2 = tmp_path / "v.mhtv"
+    main(["encode-video", str(src), str(out2), "--frame-crcs",
+          "--backend", "native"])
+    f2 = tmp_path / "f2.npy"
+    main(["decode-video", str(out2), str(f2), "--frame", "2",
+          "--check", "--backend", "native"])
+    assert np.array_equal(np.load(f2), frames[2])
+    # without the table, --frame --check refuses with guidance
+    out3 = tmp_path / "plain.mhtv"
+    main(["encode-video", str(src), str(out3), "--backend", "native"])
+    with pytest.raises(SystemExit, match="frame-crcs"):
+        main(["decode-video", str(out3), str(f2), "--frame", "2",
+              "--check", "--backend", "native"])
