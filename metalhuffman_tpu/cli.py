@@ -409,13 +409,22 @@ def cmd_encode_video(args) -> int:
             "--temporal writes a shared-table MHVT container; drop "
             "--per-frame-tables")
     t0 = time.perf_counter()
-    if getattr(args, "best", False) and cfg.temporal:
+    if getattr(args, "best_fast", False) and not cfg.temporal:
+        raise SystemExit("--best-fast searches temporal candidates; add "
+                         "--temporal (and optionally --motion)")
+    if (getattr(args, "best", False) or getattr(args, "best_fast", False)) \
+            and cfg.temporal:
         # temporal is content-dependent like sub-green (wins on static
         # scenes, loses on global motion) — measure temporal vs plain,
-        # each with its best spatial precoder on its own payload
+        # each with its best spatial precoder on its own payload;
+        # --best-fast ranks candidates on a frame subsample and fully
+        # encodes only the two best (>= 5x less work on long inputs)
         from .models import temporal
 
-        blob, kind, used = temporal.encode_video_best(frames, cfg)
+        search = (temporal.encode_video_best_fast
+                  if getattr(args, "best_fast", False)
+                  else temporal.encode_video_best)
+        blob, kind, used = search(frames, cfg)
         dt = time.perf_counter() - t0
         Path(args.output).write_bytes(blob)
         mode = ("delta2d" if used.delta2d else
@@ -1111,6 +1120,11 @@ def main(argv=None) -> int:
                         "each frame's predictor is the previous frame "
                         "circularly shifted by an estimated (dy, dx); "
                         "cancels panning, still lossless")
+    p.add_argument("--best-fast", action="store_true",
+                   help="with --temporal: like --best but candidate sizes "
+                        "are estimated on a strided frame subsample and "
+                        "only the two best-ranked are fully encoded "
+                        "(>= 5x less encode work on long videos)")
     p.add_argument("--frame-crcs", action="store_true",
                    help="record a per-frame CRC-32 table (4 B/frame) so "
                         "--frame / range random access verifies exactly "

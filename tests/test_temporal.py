@@ -631,3 +631,49 @@ def test_device_corrupt_wrapper_still_localized():
     struct.pack_into("<H", blob, 4, 2)
     with pytest.raises(ValueError, match="wrapper header itself is suspect"):
         temporal.decode_temporal_video(bytes(blob), CodecConfig())
+
+
+# -- fast --best (round 3: subsampled candidate search) -------------------------
+
+
+def test_best_fast_matches_full_on_study_content():
+    # the PERF.md temporal-study content classes: static scene + local
+    # motion (temporal wins), pan (MC wins), temporal noise (plain wins) —
+    # the subsampled search must pick the same coding mode as the full one
+    cfg = CodecConfig(backend="native", temporal=True, motion=True,
+                      keyint=4)
+    cases = {
+        "static+motion": _video(t=12),
+        "pan": _pan_video(t=12),
+    }
+    rng = np.random.default_rng(9)
+    cases["noise"] = rng.integers(0, 256, (12, 40, 48), np.uint8)
+    for name, frames in cases.items():
+        blob_f, kind_f, _ = temporal.encode_video_best(frames, cfg)
+        blob_q, kind_q, _ = temporal.encode_video_best_fast(frames, cfg)
+        assert kind_q == kind_f, (name, kind_q, kind_f)
+        # the fast winner decodes bit-exact through the normal path
+        assert np.array_equal(mh.decode_video(blob_q, CPU), frames), name
+
+
+def test_best_fast_tiny_input_falls_back():
+    frames = _video(t=3)
+    cfg = CodecConfig(backend="native", temporal=True, keyint=2)
+    blob, kind, _ = temporal.encode_video_best_fast(frames, cfg)
+    assert np.array_equal(mh.decode_video(blob, CPU), frames)
+
+
+def test_cli_best_fast(tmp_path, capsys):
+    frames = _video(t=10)
+    src = tmp_path / "v.npy"
+    np.save(src, frames)
+    out = tmp_path / "v.mhvt"
+    _run_cli(["encode-video", str(src), str(out), "--temporal",
+              "--best-fast", "--keyint", "4", "--backend", "native"])
+    blob = out.read_bytes()
+    dec = (temporal.decode_temporal_video(blob, CPU)
+           if blob[:4] == temporal.TEMPORAL_MAGIC else mh.decode_video(blob, CPU))
+    assert np.array_equal(dec, frames)
+    with pytest.raises(SystemExit, match="temporal"):
+        _run_cli(["encode-video", str(src), str(out), "--best-fast",
+                  "--backend", "native"])
