@@ -146,6 +146,118 @@ def huffman_code_lengths(
     return lengths
 
 
+def cluster_widths(freqs: np.ndarray, k: int = 6,
+                   max_len: int = MAX_CODE_LENGTH) -> np.ndarray:
+    """Best complete canonical width table using <= k DISTINCT code lengths.
+
+    The TPU decode kernel pays one fused compare term per distinct active
+    code length (``ops.decode_pallas._make_kernel``), so re-quantizing the
+    table to fewer lengths shortens its per-symbol chain — a measured
+    size<->speed trade, the moral twin of the reference's own empirical
+    table-split tuning (``AAPLShaderTypes.h:114-118``). Returns the optimal
+    table unchanged when it already uses <= k lengths.
+
+    Method: candidate allowed-length sets come from a contiguous-partition
+    DP over the optimal table's distinct widths (each group rounds up to
+    its deepest member — minimal mass-weighted round-up cost); the best
+    few candidates are then tightened to the Kraft EQUALITY the decoders
+    assume, via an exact branch-and-bound over per-length code counts
+    (shorter lengths go to more frequent symbols). Cost is exact, so
+    callers can compare total bits against the optimum and decide.
+    """
+    freqs = np.asarray(freqs, dtype=np.int64)
+    opt = huffman_code_lengths(freqs, max_len)
+    active = np.nonzero(freqs)[0]
+    n = int(active.size)
+    ds = np.unique(opt[active]).astype(np.int64)
+    if n <= 2 or ds.size <= k:
+        return opt
+    order = active[np.lexsort((active, -freqs[active]))]  # freq desc, sym asc
+    f_sorted = freqs[order]
+    f_suffix = np.concatenate([np.cumsum(f_sorted[::-1])[::-1], [0]])
+    smax_min = int(np.ceil(np.log2(n)))  # n codes must fit the deepest level
+
+    # -- candidate sets: contiguous partitions of the distinct widths -------
+    mass = np.array([int(freqs[active[opt[active] == w]].sum()) for w in ds],
+                    dtype=np.int64)
+
+    def roundup_cost(i, j):  # widths ds[i..j] -> ds[j]
+        return int((mass[i : j + 1] * (ds[j] - ds[i : j + 1])).sum())
+
+    d = ds.size
+    INF = float("inf")
+    dp = [[INF] * (d + 1) for _ in range(k + 1)]
+    cut = [[0] * (d + 1) for _ in range(k + 1)]
+    dp[0][0] = 0.0
+    for g in range(1, k + 1):
+        for j in range(1, d + 1):
+            for i in range(g - 1, j):
+                c = dp[g - 1][i] + roundup_cost(i, j - 1)
+                if c < dp[g][j]:
+                    dp[g][j] = c
+                    cut[g][j] = i
+    cands = []
+    for g in range(2, k + 1):
+        if dp[g][d] == INF:
+            continue
+        S, j = [], d
+        for gg in range(g, 0, -1):
+            S.append(int(ds[j - 1]))
+            j = cut[gg][j]
+        S = sorted(set(S))
+        S[-1] = min(max_len, max(S[-1], smax_min))
+        cands.append(tuple(sorted(set(S))))
+
+    # -- exact tightening: optimal complete counts for an allowed set -------
+    def counts_cost(lengths):
+        units = [1 << (max_len - s) for s in lengths]
+        target = 1 << max_len
+        best = [None, float("inf")]
+        stack = []
+
+        def dfs(i, used, left_units, cost):
+            # admissible bound: every remaining symbol at the current
+            # (shortest remaining) length
+            if cost + int(f_suffix[used]) * lengths[i] >= best[1]:
+                return
+            rem = n - used
+            if i == len(lengths) - 1:
+                if rem * units[i] == left_units:
+                    best[0] = tuple(stack) + (rem,)
+                    best[1] = cost + int(f_suffix[used]) * lengths[i]
+                return
+            u = units[i]
+            for c in range(min(rem, left_units // u), -1, -1):
+                if left_units - c * u > (rem - c) * units[i + 1]:
+                    break  # tail cannot absorb the rest; fewer c is worse
+                stack.append(c)
+                dfs(i + 1, used + c, left_units - c * u,
+                    cost + int(f_sorted[used : used + c].sum()) * lengths[i])
+                stack.pop()
+
+        dfs(0, 0, target, 0)
+        return (best[0], best[1]) if best[0] is not None else None
+
+    best_widths, best_cost = None, float("inf")
+    for S in dict.fromkeys(cands):
+        r = counts_cost(list(S))
+        if r is None:
+            continue
+        counts, cost = r
+        if cost < best_cost:
+            best_cost = cost
+            widths = np.zeros(NUM_SYMBOLS, np.uint8)
+            pos = 0
+            for s_len, c in zip(S, counts):
+                widths[order[pos : pos + c]] = s_len
+                pos += c
+            best_widths = widths
+    if best_widths is None:
+        return opt  # no feasible clustered table: keep the optimum
+    validate_widths(best_widths)
+    return best_widths
+
+
 def validate_widths(widths: np.ndarray) -> None:
     """Check the width table satisfies the Kraft equality (complete code)."""
     widths = np.asarray(widths, dtype=np.int64)

@@ -75,6 +75,10 @@ def _build() -> ctypes.CDLL | None:
         u8p, i64, i64, u8p, u8p, i64, ctypes.POINTER(i64),
         ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(i64), ctypes.c_int,
     ]
+    lib.mht_encode_fixed.argtypes = [
+        u8p, i64, i64, u8p, u8p, i64, ctypes.POINTER(i64),
+        ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(i64),
+    ]
     lib.mht_decode_blocks.argtypes = [
         u8p, i64, u8p, ctypes.POINTER(ctypes.c_uint32), i64, i64,
         ctypes.c_int, u8p, ctypes.c_int,
@@ -98,7 +102,8 @@ def _build() -> ctypes.CDLL | None:
         lib.mht_code_lengths, lib.mht_canonical_codes, lib.mht_encode,
         lib.mht_decode_serial, lib.mht_delta_encode, lib.mht_delta_decode,
         lib.mht_delta2d_encode, lib.mht_delta2d_decode,
-        lib.mht_encode_mt, lib.mht_decode_blocks, lib.mht_build_split_tables,
+        lib.mht_encode_mt, lib.mht_encode_fixed,
+        lib.mht_decode_blocks, lib.mht_build_split_tables,
         lib.mht_decode_serial_split, lib.mht_symbol_bit_offsets,
         lib.mht_merge_rows,
     ):
@@ -159,11 +164,15 @@ def canonical_codes(widths: np.ndarray) -> np.ndarray:
 
 
 def encode_symbols(data: np.ndarray, block_size: int = 64,
-                   n_threads: int = 0):
+                   n_threads: int = 0, widths: np.ndarray | None = None):
     """Native full encode -> EncodedStream; NumPy fallback otherwise.
 
     ``n_threads``: 0 = auto (hardware concurrency); 1 = the serial encoder.
     Output is identical for any thread count (two-pass deterministic pack).
+    With ``widths`` (a Kraft-valid 256-entry canonical width table covering
+    every present symbol) the tree build is skipped and the stream packs
+    under the CALLER'S table — the fixed/shared-table entry used by the
+    width-clustering encoder (``core.canonical.cluster_widths``).
     """
     from ..core.container import EncodedStream
 
@@ -172,9 +181,19 @@ def encode_symbols(data: np.ndarray, block_size: int = 64,
         raise ValueError("empty input")
     lib = _lib()
     if lib is None:
-        from ..core import encode
+        from ..core import bitstream, canonical, encode
 
-        return encode.encode_symbols(data, block_size)
+        if widths is None:
+            return encode.encode_symbols(data, block_size)
+        widths = np.ascontiguousarray(widths, np.uint8)
+        canonical.validate_widths(widths)
+        codes = canonical.canonical_codes(widths)
+        packed, offs = bitstream.pack_bits(data, codes, widths)
+        return EncodedStream(
+            num_symbols=data.size, widths=widths, code_bytes=packed,
+            block_offsets=bitstream.block_bit_offsets(offs, block_size))
+    if widths is not None:
+        return _encode_symbols_fixed(lib, data, block_size, widths)
 
     widths = np.zeros(256, dtype=np.uint8)
     capacity = 2 * data.size + 16
@@ -214,6 +233,42 @@ def encode_symbols(data: np.ndarray, block_size: int = 64,
         num_symbols=data.size,
         widths=widths,
         code_bytes=code_bytes,
+        block_offsets=offsets[:n_blocks],
+    )
+
+
+def _encode_symbols_fixed(lib, data: np.ndarray, block_size: int,
+                          widths: np.ndarray):
+    """Pack under a caller-provided canonical width table (no tree build)."""
+    from ..core import canonical
+    from ..core.container import EncodedStream
+
+    widths = np.ascontiguousarray(widths, np.uint8)
+    canonical.validate_widths(widths)
+    capacity = 2 * data.size + 16
+    code_bytes = np.empty(capacity, dtype=np.uint8)
+    n_blocks = data.size // block_size
+    offsets = np.empty(max(n_blocks, 1), dtype=np.uint32)
+    code_len = ctypes.c_int64()
+    total_bits = ctypes.c_int64()
+    rc = lib.mht_encode_fixed(
+        _u8p(data), data.size, block_size, _u8p(widths), _u8p(code_bytes),
+        capacity, ctypes.byref(code_len),
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        ctypes.byref(total_bits),
+    )
+    if rc == -8:
+        raise ValueError(
+            "width table does not cover every symbol present in the data")
+    if rc == -7:
+        raise ValueError(
+            "stream exceeds 2^32 bits — u32 block offsets overflow; "
+            "split the input (e.g. per-frame or segmented MHTV)")
+    if rc:
+        raise RuntimeError(f"mht_encode_fixed failed: {rc}")
+    code_bytes.resize(code_len.value, refcheck=False)
+    return EncodedStream(
+        num_symbols=data.size, widths=widths, code_bytes=code_bytes,
         block_offsets=offsets[:n_blocks],
     )
 

@@ -373,6 +373,58 @@ int mht_encode(const uint8_t* data, int64_t n, int64_t block_size,
   return 0;
 }
 
+// Encode with a CALLER-PROVIDED canonical width table (no tree build):
+// the fixed/shared-table entry point. Used by the width-clustering path
+// (encoder-side table requantization trades a few size points for a
+// shorter decode compare chain) and by anything reusing one table across
+// streams. Widths must be Kraft-valid and cover every present symbol
+// (error -8 otherwise); output is byte-identical to what mht_encode
+// would produce given the same table.
+int mht_encode_fixed(const uint8_t* data, int64_t n, int64_t block_size,
+                     const uint8_t* widths, uint8_t* code_bytes_out,
+                     int64_t code_capacity, int64_t* code_len_out,
+                     uint32_t* block_offsets_out, int64_t* total_bits_out) {
+  if (n <= 0) return -1;
+  std::vector<int64_t> hist(4 * kNumSymbols, 0);
+  {
+    int64_t* h0 = hist.data();
+    int64_t* h1 = h0 + kNumSymbols;
+    int64_t* h2 = h1 + kNumSymbols;
+    int64_t* h3 = h2 + kNumSymbols;
+    int64_t i = 0;
+    for (; i + 3 < n; i += 4) {
+      ++h0[data[i]];
+      ++h1[data[i + 1]];
+      ++h2[data[i + 2]];
+      ++h3[data[i + 3]];
+    }
+    for (; i < n; ++i) ++h0[data[i]];
+  }
+  int64_t total_bits = 0;
+  for (int s = 0; s < kNumSymbols; ++s) {
+    const int64_t f = hist[s] + hist[kNumSymbols + s] +
+                      hist[2 * kNumSymbols + s] + hist[3 * kNumSymbols + s];
+    if (f > 0 && widths[s] == 0) return -8;  // table does not cover the data
+    total_bits += f * static_cast<int64_t>(widths[s]);
+  }
+  const int64_t total_bytes = (total_bits + 7) / 8 + 2;
+  if (total_bytes > code_capacity) return -3;
+  if (n / block_size > 0 && total_bits >= (1LL << 32)) return -7;
+
+  uint16_t codes[kNumSymbols];
+  canonical_codes_impl(widths, codes);
+  uint32_t ent[kNumSymbols];
+  build_pack_entries(widths, codes, ent);
+  std::memset(code_bytes_out, 0, total_bytes);
+  std::vector<uint64_t> pair_tbl(1 << 16);
+  build_pair_entries(ent, pair_tbl.data());
+  pack_chunk_or(data, 0, n, block_size, n / block_size, 0, ent,
+                pair_tbl.data(), code_bytes_out, block_offsets_out, nullptr);
+  *code_len_out = total_bytes;
+  *total_bits_out = total_bits;
+  return 0;
+}
+
 // Serial decode via an internally built full 16-bit table (the oracle path).
 int mht_decode_serial(const uint8_t* code_bytes, int64_t n_code_bytes,
                       const uint8_t* widths, int64_t num_symbols,

@@ -314,3 +314,64 @@ class TestContainer:
     def test_trailing_pad_bytes_present(self, stream):
         enc = encode_symbols(stream)
         assert enc.code_bytes[-1] == 0 and enc.code_bytes[-2] == 0
+
+
+# -- width clustering (round 3: decode compare-chain length trade) --------------
+
+
+def test_cluster_widths_complete_and_bounded():
+    from metalhuffman_tpu.core import canonical
+
+    rng = np.random.default_rng(0)
+    # photo-like geometric delta distribution: many distinct widths
+    syms = np.clip(rng.normal(0, 12, 200_000), -127, 127).astype(np.int16)
+    freqs = np.bincount(syms.astype(np.uint8), minlength=256).astype(np.int64)
+    opt = canonical.huffman_code_lengths(freqs)
+    active = np.nonzero(freqs)[0]
+    assert np.unique(opt[active]).size > 6  # the premise
+    for k in (4, 5, 6):
+        cw = canonical.cluster_widths(freqs, k)
+        canonical.validate_widths(cw)  # complete prefix code (Kraft equality)
+        assert np.unique(cw[active]).size <= k
+        assert (cw[active] > 0).all()
+        bits_o = int((freqs * opt.astype(np.int64)).sum())
+        bits_c = int((freqs * cw.astype(np.int64)).sum())
+        assert bits_c >= bits_o  # never better than optimal
+        assert bits_c < 1.25 * bits_o, (k, bits_c / bits_o)
+    # already-few-widths tables come back unchanged
+    f2 = np.zeros(256, np.int64)
+    f2[:4] = [100, 50, 25, 25]
+    assert np.array_equal(canonical.cluster_widths(f2, 6),
+                          canonical.huffman_code_lengths(f2))
+
+
+def test_encode_with_fixed_widths_roundtrip():
+    from metalhuffman_tpu import native
+    from metalhuffman_tpu.core import canonical
+
+    rng = np.random.default_rng(1)
+    syms = (rng.normal(0, 10, 64 * 64) % 256).astype(np.uint8)
+    freqs = np.bincount(syms, minlength=256).astype(np.int64)
+    cw = canonical.cluster_widths(freqs, 5)
+    enc = native.encode_symbols(syms, widths=cw)
+    assert np.array_equal(enc.widths, cw)
+    dec = native.decode_blocks(enc, delta=False)
+    assert np.array_equal(dec.reshape(-1), syms)
+    # the stream decodes through the standard device path too (the image
+    # decoder reorders blocks into raster positions — compare against the
+    # same reorder of the raw block payload)
+    from metalhuffman_tpu.core import blocks as blocks_mod
+    from metalhuffman_tpu.core.container import EncodedStream
+    from metalhuffman_tpu.models import CodecConfig, ImageCodec
+
+    stream = EncodedStream(enc.num_symbols, enc.widths, enc.code_bytes,
+                           enc.block_offsets)
+    codec = ImageCodec(CodecConfig(backend="xla", delta=False))
+    out = np.asarray(codec.decode_step(codec.prepare(stream, 64, 64)))
+    want = blocks_mod.blocks_to_image(syms.reshape(-1, 64), 64, 64, 8)
+    assert np.array_equal(out, want)
+    # a table not covering a present symbol errors cleanly
+    bad = cw.copy()
+    bad[int(syms[0])] = 0
+    with pytest.raises(ValueError):
+        native.encode_symbols(syms, widths=bad)
