@@ -115,6 +115,7 @@ def temporal_decode_jax(residuals, keyint: int = 8):
     prediction on the accelerator too (``AAPLShaders.metal:260-265``) —
     reconstruction belongs next to the decode, not across a host transfer.
     """
+    import jax
     import jax.numpy as jnp
 
     if keyint < 1:
@@ -123,7 +124,16 @@ def temporal_decode_jax(residuals, keyint: int = 8):
     pad = (-t) % keyint
     x = jnp.pad(residuals, [(0, pad)] + [(0, 0)] * (residuals.ndim - 1))
     grp = x.reshape((x.shape[0] // keyint, keyint) + x.shape[1:])
-    out = jnp.cumsum(grp, axis=1, dtype=residuals.dtype)
+
+    # fori over the group axis (keyint-1 single-slot wrapping adds) — the
+    # same shape that beat associative_scan/cumsum on the packed-word fold
+    # (scratch/ablate_fold.py); dtype-generic, wraps in the input dtype
+    def body(i, acc):
+        prev = jax.lax.dynamic_index_in_dim(acc, i - 1, 1, keepdims=False)
+        cur = jax.lax.dynamic_index_in_dim(acc, i, 1, keepdims=False)
+        return jax.lax.dynamic_update_index_in_dim(acc, prev + cur, i, 1)
+
+    out = jax.lax.fori_loop(1, keyint, body, grp)
     return out.reshape((-1,) + x.shape[1:])[:t]
 
 
@@ -141,10 +151,15 @@ def _swar_add8(a, b):
 def temporal_fold_words_jax(words, keyint: int):
     """Group fold on PACKED image words: (T, rows, W//4) int32 -> same.
 
-    ``jax.lax.associative_scan`` over the SWAR byte add — O(log keyint)
-    elementwise passes, all on-device, operating on the decode kernel's raw
-    strip output so reconstruction never leaves the packed layout the
-    kernel emitted (the production zero-relayout path)."""
+    A ``fori_loop`` of keyint-1 SWAR byte adds, each touching one frame
+    slot per group — ~2x(keyint-1)/keyint total HBM traffic. Measured 25.3
+    GB/s on the TPU pipeline vs 16.1 for ``lax.associative_scan`` over the
+    same add (the scan's log-depth passes re-touch the whole array) and
+    1.6 for a tril-matmul MXU variant (an (8, N) int8 einsum does not map
+    to the MXU; scratch/ablate_fold.py holds the A/B). Operates on the
+    decode kernel's raw strip output so reconstruction never leaves the
+    packed layout the kernel emitted (the production zero-relayout path).
+    """
     import jax
     import jax.numpy as jnp
 
@@ -154,7 +169,14 @@ def temporal_fold_words_jax(words, keyint: int):
     pad = (-t) % keyint
     x = jnp.pad(words, [(0, pad), (0, 0), (0, 0)])
     grp = x.reshape((x.shape[0] // keyint, keyint) + x.shape[1:])
-    out = jax.lax.associative_scan(_swar_add8, grp, axis=1)
+
+    def body(i, acc):
+        prev = jax.lax.dynamic_index_in_dim(acc, i - 1, 1, keepdims=False)
+        cur = jax.lax.dynamic_index_in_dim(acc, i, 1, keepdims=False)
+        return jax.lax.dynamic_update_index_in_dim(
+            acc, _swar_add8(prev, cur), i, 1)
+
+    out = jax.lax.fori_loop(1, keyint, body, grp)
     return out.reshape((-1,) + x.shape[1:])[:t]
 
 
