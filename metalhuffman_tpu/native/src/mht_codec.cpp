@@ -651,47 +651,111 @@ int mht_decode_blocks(const uint8_t* code_bytes, int64_t n_code_bytes,
   }
   uint16_t codes[kNumSymbols];
   canonical_codes_impl(widths, codes);
-  std::vector<uint8_t> sym_plane(1 << 16, 0), w_plane(1 << 16, 0);
+  // ONE fused 64K u16 table (width << 8 | symbol): half the loads of the
+  // two-plane layout, and the per-symbol serial chain (window -> table
+  // load -> bits advance) is latency-bound on it — which is also why the
+  // hot loop below interleaves FOUR independent block chains per thread
+  // (the per-block offset index makes every chain independent; measured
+  // ~3x over the single-chain loop on this host, see PERF.md round 3).
+  std::vector<uint16_t> tab(1 << 16, 0);
   for (int s = 0; s < kNumSymbols; ++s) {
     const int w = widths[s];
     if (w == 0) continue;
     const uint32_t start = codes[s];
     const uint32_t span = 1u << (16 - w);
-    std::fill(sym_plane.begin() + start, sym_plane.begin() + start + span,
-              static_cast<uint8_t>(s));
-    std::fill(w_plane.begin() + start, w_plane.begin() + start + span,
-              static_cast<uint8_t>(w));
+    std::fill(tab.begin() + start, tab.begin() + start + span,
+              static_cast<uint16_t>((w << 8) | s));
   }
   if (n_threads <= 0)
     n_threads = std::max(1u, std::thread::hardware_concurrency());
   const int64_t per = (n_blocks + n_threads - 1) / std::max(1, n_threads);
   std::vector<int> rcs(n_threads, 0);
+
+  // careful single-block decode (per-symbol bounds checks): used for
+  // blocks whose worst-case bit span could run past the buffer, and as
+  // the leftover path
+  auto decode_one_checked = [&](int64_t b) -> int {
+    int64_t bits = block_offsets[b];
+    uint8_t prev = 0;
+    uint8_t* o = out + b * block_size;
+    for (int64_t i = 0; i < block_size; ++i) {
+      const int64_t byte_i = bits >> 3;
+      if (byte_i + 2 >= n_code_bytes) return -5;
+      const uint32_t w24 =
+          (static_cast<uint32_t>(code_bytes[byte_i]) << 16) |
+          (static_cast<uint32_t>(code_bytes[byte_i + 1]) << 8) |
+          static_cast<uint32_t>(code_bytes[byte_i + 2]);
+      const uint16_t e =
+          tab[static_cast<uint16_t>((w24 >> (8 - (bits & 7))) & 0xFFFF)];
+      const int w = e >> 8;
+      if (w == 0) return -6;
+      const uint8_t sym = static_cast<uint8_t>(e & 0xFF);
+      prev = delta == 1 ? static_cast<uint8_t>(prev + sym) : sym;
+      o[i] = prev;
+      bits += w;
+    }
+    return 0;
+  };
+
+  // a block is fast-eligible when even 16-bit codes for every symbol plus
+  // the 4-byte window load cannot leave the buffer
+  const int64_t fast_bit_limit =
+      8 * n_code_bytes - 16 * block_size - 32;
+
   std::vector<std::thread> ths;
   for (int t = 0; t < n_threads; ++t) {
     ths.emplace_back([&, t]() {
       const int64_t blo = t * per;
       const int64_t bhi = std::min<int64_t>(n_blocks, blo + per);
-      for (int64_t b = blo; b < bhi; ++b) {
-        int64_t bits = block_offsets[b];
-        uint8_t prev = 0;
+      int64_t b = blo;
+      for (; b + 4 <= bhi; b += 4) {
+        bool fast = true;
+        for (int c = 0; c < 4; ++c)
+          fast = fast &&
+                 static_cast<int64_t>(block_offsets[b + c]) <= fast_bit_limit;
+        if (!fast) break;  // the tail of the stream finishes checked
+        int64_t p0 = block_offsets[b], p1 = block_offsets[b + 1];
+        int64_t p2 = block_offsets[b + 2], p3 = block_offsets[b + 3];
+        uint8_t v0 = 0, v1 = 0, v2 = 0, v3 = 0;
         uint8_t* o = out + b * block_size;
-        for (int64_t i = 0; i < block_size; ++i) {
-          const int64_t byte_i = bits >> 3;
-          if (byte_i + 2 >= n_code_bytes) { rcs[t] = -5; return; }
-          const uint32_t w24 =
-              (static_cast<uint32_t>(code_bytes[byte_i]) << 16) |
-              (static_cast<uint32_t>(code_bytes[byte_i + 1]) << 8) |
-              static_cast<uint32_t>(code_bytes[byte_i + 2]);
-          const uint16_t window =
-              static_cast<uint16_t>((w24 >> (8 - (bits & 7))) & 0xFFFF);
-          const int w = w_plane[window];
-          if (w == 0) { rcs[t] = -6; return; }
-          const uint8_t sym = sym_plane[window];
-          prev = delta == 1 ? static_cast<uint8_t>(prev + sym) : sym;
-          o[i] = prev;
-          bits += w;
+        int bad = 0;
+#define MHT_DEC_STEP(pp, vv, oo)                                          \
+        {                                                                 \
+          uint32_t word;                                                  \
+          std::memcpy(&word, code_bytes + ((pp) >> 3), 4);                \
+          word = __builtin_bswap32(word);                                 \
+          const uint16_t e = tab[static_cast<uint16_t>(                   \
+              (word >> (16 - ((pp) & 7))) & 0xFFFF)];                     \
+          const int w = e >> 8;                                           \
+          bad |= (w == 0);                                                \
+          const uint8_t sym = static_cast<uint8_t>(e & 0xFF);             \
+          (vv) = delta == 1 ? static_cast<uint8_t>((vv) + sym) : sym;     \
+          (oo)[i] = (vv);                                                 \
+          (pp) += w;                                                      \
         }
-        if (delta == 2) {  // invert the 2-D predictor in place
+        for (int64_t i = 0; i < block_size; ++i) {
+          MHT_DEC_STEP(p0, v0, o)
+          MHT_DEC_STEP(p1, v1, o + block_size)
+          MHT_DEC_STEP(p2, v2, o + 2 * block_size)
+          MHT_DEC_STEP(p3, v3, o + 3 * block_size)
+        }
+#undef MHT_DEC_STEP
+        if (bad) { rcs[t] = -6; return; }
+        if (delta == 2) {
+          for (int c = 0; c < 4; ++c) {
+            uint8_t* oc = out + (b + c) * block_size;
+            for (int64_t x = 1; x < bd; ++x)
+              oc[x] = static_cast<uint8_t>(oc[x] + oc[x - 1]);
+            for (int64_t i2 = bd; i2 < block_size; ++i2)
+              oc[i2] = static_cast<uint8_t>(oc[i2] + oc[i2 - bd]);
+          }
+        }
+      }
+      for (; b < bhi; ++b) {  // leftovers + near-end blocks, checked
+        const int rc = decode_one_checked(b);
+        if (rc) { rcs[t] = rc; return; }
+        if (delta == 2) {
+          uint8_t* o = out + b * block_size;
           for (int64_t x = 1; x < bd; ++x)
             o[x] = static_cast<uint8_t>(o[x] + o[x - 1]);
           for (int64_t i = bd; i < block_size; ++i)
