@@ -740,6 +740,65 @@ def _cmd_decode_video_temporal(args, data: bytes, cfg, check: bool) -> int:
     return 0
 
 
+def _cmd_decode_video_region(args, data: bytes, cfg) -> int:
+    """decode-video --region [--frame N]: spatio-temporal ROI decode."""
+    import struct as struct_mod
+
+    from .models import color, frame_stream, temporal
+
+    y0, x0, rhh, rww = args.region
+    if getattr(args, "check", False):
+        raise SystemExit(
+            "--check verifies whole streams; per-frame CRCs cannot cover a "
+            "crop — drop it for --region access")
+    t0 = time.perf_counter()
+    try:
+        if data[:4] == temporal.TEMPORAL_MAGIC:
+            total = temporal._inner_frame_count(temporal.unwrap(data)[0])
+            a = args.frame if args.frame is not None else 0
+            b = a + 1 if args.frame is not None else total
+            out = temporal.decode_temporal_video_region(
+                data, a, b, y0, x0, rhh, rww, cfg)
+        elif data[:4] == color.COLOR_MAGIC:
+            inner, ch, layout, kind, _cs = color.unwrap(data)
+            if layout != color.LAYOUT_VIDEO:
+                raise SystemExit("--region needs a video container; use "
+                                 "the library decode_region for images")
+            (planes,) = struct_mod.unpack_from("<I", inner, 4)
+            total = planes // (2 if kind == color.KIND_U16 else ch)
+            a = args.frame if args.frame is not None else 0
+            b = a + 1 if args.frame is not None else total
+            out = color.decode_color_video_region(
+                data, a, b, y0, x0, rhh, rww, cfg)
+        elif data[:4] in (frame_stream.SHARED_MAGIC,
+                          frame_stream.SEGMENTED_MAGIC):
+            (total,) = struct_mod.unpack_from("<I", data, 4)
+            a = args.frame if args.frame is not None else 0
+            b = a + 1 if args.frame is not None else total
+            out = frame_stream.decode_video_region(
+                data, a, b, y0, x0, rhh, rww, cfg)
+        else:
+            raise SystemExit(
+                "--region supports MHTV/MHV2/MHTC/MHVT containers")
+    except ValueError as e:
+        raise SystemExit(str(e))
+    dt = time.perf_counter() - t0
+    outp = Path(args.output)
+    if args.frame is not None:
+        _save_frame(out[0], outp)
+    elif outp.suffix == ".npy":
+        np.save(outp, out)
+    else:
+        outp.mkdir(parents=True, exist_ok=True)
+        for i, f in enumerate(out):
+            _save_frame(f, outp / f"frame_{i:05d}.png")
+    which = (f"frame {args.frame}" if args.frame is not None
+             else f"frames [{a}, {b})")
+    print(f"{args.input}: decoded {rhh}x{rww} region at ({y0}, {x0}) of "
+          f"{which} in {dt:.3f} s -> {args.output}")
+    return 0
+
+
 def cmd_decode_video(args) -> int:
     from .models import color, temporal
     from .utils import imageio
@@ -747,6 +806,8 @@ def cmd_decode_video(args) -> int:
     data = Path(args.input).read_bytes()
     cfg = _config(args)
     check = getattr(args, "check", False)
+    if getattr(args, "region", None) is not None:
+        return _cmd_decode_video_region(args, data, cfg)
     if data[:4] == temporal.TEMPORAL_MAGIC:
         return _cmd_decode_video_temporal(args, data, cfg, check)
     if data[:4] == color.COLOR_MAGIC:
@@ -1144,6 +1205,12 @@ def main(argv=None) -> int:
     p.add_argument("--frame", type=int, default=None, metavar="N",
                    help="decode ONLY frame N (temporal random access via "
                         "the block offset index; output is one image/.npy)")
+    p.add_argument("--region", type=int, nargs=4, default=None,
+                   metavar=("Y", "X", "H", "W"),
+                   help="decode ONLY the (H, W) crop at (Y, X) — combined "
+                        "with --frame this touches just that frame's "
+                        "region blocks (spatio-temporal random access); "
+                        "MHTV/MHV2/MHTC/MHVT containers")
     _add_codec_flags(p)
     p.set_defaults(fn=cmd_decode_video)
 

@@ -356,6 +356,24 @@ def decode_color_frame(blob: bytes, n: int, config: CodecConfig | None = None) -
     return fold_video_planes(planes, channels, kind, cs)[0]
 
 
+def decode_color_video_region(blob: bytes, a: int, b: int, y0: int, x0: int,
+                              rh: int, rw: int,
+                              config: CodecConfig | None = None) -> np.ndarray:
+    """Spatio-temporal ROI of an MHTC video: the (rh, rw) crop of frames
+    [a, b) -> (b-a, rh, rw, C) uint8 or (b-a, rh, rw) uint16.
+
+    Planes are per-pixel transforms (hi/lo split, sub-green), so cropping
+    commutes with the fold — only the region's blocks of the touched
+    frames' planes decode (``frame_stream.decode_video_region``).
+    """
+    inner, channels, layout, kind, cs = unwrap(blob)
+    if layout != LAYOUT_VIDEO:
+        raise ValueError("MHTC blob is a single image (no frame axis)")
+    planes = frame_stream.decode_video_region(
+        inner, a * channels, b * channels, y0, x0, rh, rw, config)
+    return fold_video_planes(planes, channels, kind, cs)
+
+
 def describe(blob: bytes) -> str:
     """One-line human description of the MHTC wrapper (for CLI ``info``)."""
     _, channels, layout, kind, cs = unwrap(blob)

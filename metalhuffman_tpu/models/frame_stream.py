@@ -968,6 +968,62 @@ def decode_range(data: bytes, a: int, b: int,
     raise ValueError("not an MHTV/MHV2 container")
 
 
+def decode_video_region(data: bytes, a: int, b: int, y0: int, x0: int,
+                        rh: int, rw: int,
+                        config: CodecConfig | None = None) -> np.ndarray:
+    """Spatio-temporal ROI: the (rh, rw) crop of frames [a, b) of an
+    MHTV/MHV2 container -> (b-a, rh, rw) uint8.
+
+    Only the blocks covering the region IN THOSE FRAMES decode — the full
+    random-access power of the per-block offset index (time via
+    whole-frame slices, space via the block grid), in ONE decode dispatch
+    per segment (the selection is frame-major, so the combined block grid
+    is just a taller image). The reference re-crops a fully decoded
+    texture every tick (``AAPLShaders.metal:108-123``); here neither the
+    rest of the frame nor the other frames are ever touched. Per-frame
+    CRCs (FCRC) cannot cover a crop, so no integrity check applies.
+    """
+    import dataclasses
+
+    from .image_codec import decode_blocks_selection
+
+    if data[:4] == SHARED_MAGIC:
+        stream, t, h, w, bd, delta = read_shared(data)
+        segs = [(stream, t)]
+    elif data[:4] == SEGMENTED_MAGIC:
+        segs, t, h, w, bd, delta = read_segmented(data)
+    else:
+        raise ValueError("not an MHTV/MHV2 container")
+    if not 0 <= a < b <= t:
+        raise ValueError(f"frames [{a}, {b}) out of range ({t} frames)")
+    if not (0 <= y0 and y0 + rh <= h and 0 <= x0 and x0 + rw <= w):
+        raise ValueError("region out of bounds")
+    cfg = dataclasses.replace(
+        config or CodecConfig(), block_dim=bd, delta=delta,
+        delta2d=bool(segs) and segs[0][0].predictor == "2d")
+    bh, bw = blocks.block_grid(h, w, bd)
+    per = bh * bw
+    by0, bx0 = y0 // bd, x0 // bd
+    by1, bx1 = (y0 + rh - 1) // bd + 1, (x0 + rw - 1) // bd + 1
+    frame_sel = (np.arange(by0, by1)[:, None] * bw
+                 + np.arange(bx0, bx1)[None, :]).ravel()
+    rbh, rbw = by1 - by0, bx1 - bx0
+    oy, ox = y0 - by0 * bd, x0 - bx0 * bd
+    outs, base = [], 0
+    for stream, ft in segs:  # a range may straddle segments
+        lo, hi = max(a, base), min(b, base + ft)
+        if lo < hi:
+            tt = hi - lo
+            sel = (frame_sel[None, :]
+                   + per * np.arange(lo - base, hi - base)[:, None]).ravel()
+            grid = decode_blocks_selection(
+                stream, sel, tt * rbh * bd, rbw * bd, cfg)
+            outs.append(grid.reshape(tt, rbh * bd, rbw * bd))
+        base += ft
+    out = outs[0] if len(outs) == 1 else np.concatenate(outs)
+    return out[:, oy : oy + rh, ox : ox + rw]
+
+
 def decode_container_device(data: bytes, config: CodecConfig | None = None):
     """MHTV/MHV2 container bytes -> (T, H, W) uint8 DEVICE array.
 

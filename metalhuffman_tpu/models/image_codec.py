@@ -335,68 +335,10 @@ class ImageCodec:
         sel = (
             np.arange(by0, by1)[:, None] * bw + np.arange(bx0, bx1)[None, :]
         ).ravel()
-        sub_offsets = stream.block_offsets[sel]
-        sub_init = (None if stream.block_init is None
-                    else stream.block_init[sel])
         gh, gw = (by1 - by0) * bd, (bx1 - bx0) * bd  # region block grid px
         oy, ox = y0 - by0 * bd, x0 - bx0 * bd
-        kdelta = cfg.delta and not cfg.delta2d
-
-        if cfg.backend == "native":
-            sub = container.EncodedStream(
-                sel.size * cfg.block_size, stream.widths, stream.code_bytes,
-                sub_offsets.astype(np.uint32), predictor=stream.predictor)
-            blk = native.decode_blocks(
-                sub, delta=kdelta, block_size=cfg.block_size,
-                delta2d=cfg.delta2d)
-            if sub_init is not None:
-                blk = delta_mod.apply_block_init(blk, sub_init)
-            region = blocks.blocks_to_image(blk, gh, gw, bd)
-            return region[oy : oy + rh, ox : ox + rw]
-
-        total_bits = 8 * (stream.code_bytes.size - bitstream.READ_AHEAD_PAD_BYTES)
-        wpr = layout_mod.words_per_block(
-            layout_mod.max_block_bits(stream.block_offsets, total_bits),
-            symbols_per_block=cfg.block_size,
-        )
-        words = bitstream.bytes_to_be_words(stream.code_bytes, pad_words=wpr)
-        # stage only the word range the selected blocks can touch (a crop
-        # of a long stream should not upload the whole code stream)
-        lo_word = int(sub_offsets.min()) // 32
-        hi_word = int(sub_offsets.max()) // 32 + wpr + 1
-        words = words[lo_word:hi_word]
-        sub_offsets = (sub_offsets.astype(np.int64) - 32 * lo_word).astype(
-            np.int32)
-        interpret = cfg.interpret
-        backend = cfg.backend
-        if backend == "pallas":
-            if not interpret and jax.default_backend() in ("cpu", "gpu"):
-                interpret = True
-            meta = decode_pallas.canonical_meta(stream.widths)
-            rows, init, _ = decode_pallas.tile_layout_jax(
-                jnp.asarray(words),
-                jnp.asarray(sub_offsets.astype(np.int32)), wpr)
-            device_args = (rows, init, jnp.asarray(meta.pair_table))
-            static_meta = (meta.bounds, meta.adj_inc, None)  # generic path
-        else:
-            t1, t2 = decode_xla.prepare_tables(
-                stream.widths, cfg.table1_bits, cfg.table2_bits)
-            rows, bit_init = layout_mod.build_layout_jax(
-                jnp.asarray(words),
-                jnp.asarray(sub_offsets.astype(np.int32)), wpr)
-            device_args = (rows, bit_init, jnp.asarray(t1), jnp.asarray(t2))
-            static_meta = ()
-        out = _decode_step_jit(
-            device_args, backend=backend, height=gh, width=gw,
-            n_blocks=int(sel.size), block_dim=bd, delta=kdelta,
-            delta2d=cfg.delta2d, interpret=interpret,
-            static_meta=static_meta, words_per_row=wpr,
-        )
-        if sub_init is not None:
-            out = _apply_init_image_jit(
-                out, jnp.asarray(sub_init), block_dim=bd, height=gh,
-                width=gw)
-        return np.asarray(out)[oy : oy + rh, ox : ox + rw]
+        region = decode_blocks_selection(stream, sel, gh, gw, cfg)
+        return region[oy : oy + rh, ox : ox + rw]
 
     def roundtrip_verify(self, img: np.ndarray) -> container.EncodedStream:
         """Encode+decode+byte-compare (reference: ``AAPLRenderer.m:1849-1876``)."""
@@ -406,6 +348,80 @@ class ImageCodec:
             diff = int(np.sum(out != img))
             raise AssertionError(f"roundtrip mismatch: {diff} bytes differ")
         return stream
+
+
+def decode_blocks_selection(stream: container.EncodedStream,
+                            sel: np.ndarray, gh: int, gw: int,
+                            cfg: CodecConfig) -> np.ndarray:
+    """Decode an arbitrary SELECTION of a stream's blocks -> (gh, gw) uint8.
+
+    ``sel`` indexes ``stream.block_offsets`` in the row-major order of the
+    (gh//bd, gw//bd) output grid. The selection rides the SAME decode path
+    as a full frame per backend (the Pallas kernel treats it as just a
+    shorter offset index), and device staging uploads only the word range
+    the selected blocks can touch. This is the engine under every
+    random-access surface: spatial ROI (``ImageCodec.decode_region``) and
+    the spatio-temporal video ROI (``frame_stream.decode_video_region``).
+    """
+    from ..core import delta as delta_mod
+
+    bd = cfg.block_dim
+    sub_offsets = stream.block_offsets[sel]
+    sub_init = (None if stream.block_init is None
+                else stream.block_init[sel])
+    kdelta = cfg.delta and not cfg.delta2d
+
+    if cfg.backend == "native":
+        sub = container.EncodedStream(
+            sel.size * cfg.block_size, stream.widths, stream.code_bytes,
+            sub_offsets.astype(np.uint32), predictor=stream.predictor)
+        blk = native.decode_blocks(
+            sub, delta=kdelta, block_size=cfg.block_size,
+            delta2d=cfg.delta2d)
+        if sub_init is not None:
+            blk = delta_mod.apply_block_init(blk, sub_init)
+        return blocks.blocks_to_image(blk, gh, gw, bd)
+
+    total_bits = 8 * (stream.code_bytes.size - bitstream.READ_AHEAD_PAD_BYTES)
+    wpr = layout_mod.words_per_block(
+        layout_mod.max_block_bits(stream.block_offsets, total_bits),
+        symbols_per_block=cfg.block_size,
+    )
+    words = bitstream.bytes_to_be_words(stream.code_bytes, pad_words=wpr)
+    # stage only the word range the selected blocks can touch (a crop of a
+    # long stream should not upload the whole code stream)
+    lo_word = int(sub_offsets.min()) // 32
+    hi_word = int(sub_offsets.max()) // 32 + wpr + 1
+    words = words[lo_word:hi_word]
+    sub_offsets = (sub_offsets.astype(np.int64) - 32 * lo_word).astype(
+        np.int32)
+    interpret = cfg.interpret
+    backend = cfg.backend
+    if backend == "pallas":
+        if not interpret and jax.default_backend() in ("cpu", "gpu"):
+            interpret = True
+        meta = decode_pallas.canonical_meta(stream.widths)
+        rows, init, _ = decode_pallas.tile_layout_jax(
+            jnp.asarray(words), jnp.asarray(sub_offsets), wpr)
+        device_args = (rows, init, jnp.asarray(meta.pair_table))
+        static_meta = (meta.bounds, meta.adj_inc, None)  # generic path
+    else:
+        t1, t2 = decode_xla.prepare_tables(
+            stream.widths, cfg.table1_bits, cfg.table2_bits)
+        rows, bit_init = layout_mod.build_layout_jax(
+            jnp.asarray(words), jnp.asarray(sub_offsets), wpr)
+        device_args = (rows, bit_init, jnp.asarray(t1), jnp.asarray(t2))
+        static_meta = ()
+    out = _decode_step_jit(
+        device_args, backend=backend, height=gh, width=gw,
+        n_blocks=int(sel.size), block_dim=bd, delta=kdelta,
+        delta2d=cfg.delta2d, interpret=interpret,
+        static_meta=static_meta, words_per_row=wpr,
+    )
+    if sub_init is not None:
+        out = _apply_init_image_jit(
+            out, jnp.asarray(sub_init), block_dim=bd, height=gh, width=gw)
+    return np.asarray(out)
 
 
 @partial(jax.jit, static_argnames=("block_dim", "height", "width"))

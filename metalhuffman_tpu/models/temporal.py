@@ -943,6 +943,41 @@ def decode_temporal_range(blob: bytes, a: int, b: int,
     return out
 
 
+def decode_temporal_video_region(blob: bytes, a: int, b: int, y0: int,
+                                 x0: int, rh: int, rw: int,
+                                 config: CodecConfig | None = None
+                                 ) -> np.ndarray:
+    """Spatio-temporal ROI of an MHVT video: the (rh, rw) crop of frames
+    [a, b), reconstructed.
+
+    Plain temporal prediction is PIXEL-WISE, so cropping commutes with the
+    group fold: only the region's blocks of frames [keyframe(a), b)
+    decode, then the crop folds. Motion compensation rolls pixels across
+    the crop boundary, so the MC path falls back to full-frame range
+    reconstruction (still only frames [keyframe(a), b)) and crops.
+    """
+    from . import color, frame_stream
+
+    if not 0 <= a < b:
+        raise ValueError(f"invalid frame range [{a}, {b})")
+    inner, keyint, _crc_, mvs, _fcrcs = unwrap(blob)
+    if mvs is not None:
+        out = decode_temporal_range(blob, a, b, config)
+        if not (0 <= y0 and y0 + rh <= out.shape[1]
+                and 0 <= x0 and x0 + rw <= out.shape[2]):
+            raise ValueError("region out of bounds")
+        return out[:, y0 : y0 + rh, x0 : x0 + rw]
+    kf = (a // keyint) * keyint
+    cfg = _inner_config(config)
+    if inner[:4] == color.COLOR_MAGIC:
+        res = color.decode_color_video_region(
+            inner, kf, b, y0, x0, rh, rw, cfg)
+    else:
+        res = frame_stream.decode_video_region(
+            inner, kf, b, y0, x0, rh, rw, cfg)
+    return temporal_decode(res, keyint)[a - kf :]
+
+
 def describe(blob: bytes) -> str:
     """One-line human description of the MHVT wrapper (for CLI ``info``)."""
     _, keyint, crc, mvs, fcrcs = unwrap(blob)

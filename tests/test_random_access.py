@@ -12,6 +12,7 @@ the temporal analog of ``ImageCodec.decode_region``.
 import numpy as np
 import pytest
 
+import metalhuffman_tpu as mht
 from metalhuffman_tpu.models import frame_stream
 from metalhuffman_tpu.models.image_codec import CodecConfig
 
@@ -139,3 +140,97 @@ def test_mixed_predictor_mhts_decodes_per_frame(tmp_path):
         assert cli.main(["decode-video", str(mhts), str(out),
                          "--backend", backend, "--interpret"]) == 0
         np.testing.assert_array_equal(np.load(out), frames)
+
+
+# -- spatio-temporal ROI (round 3: crop x frame-range random access) -----------
+
+
+def _region_frames(t=7, h=40, w=56, seed=3):
+    rng = np.random.default_rng(seed)
+    base = rng.integers(0, 256, (h, w), np.uint8)
+    return np.stack([np.roll(base, (3 * i, 5 * i), (0, 1)) for i in range(t)])
+
+
+@pytest.mark.parametrize("backend", ["native", "pallas", "xla"])
+def test_video_region_gray(backend):
+    frames = _region_frames()
+    cfg = CodecConfig(backend=backend)
+    blob = mht.encode_video(frames, CodecConfig(backend="native"))
+    for a, b, y0, x0, rh, rw in [(0, 7, 0, 0, 40, 56), (2, 5, 11, 13, 17, 23),
+                                 (6, 7, 32, 48, 8, 8)]:
+        got = frame_stream.decode_video_region(blob, a, b, y0, x0, rh, rw, cfg)
+        np.testing.assert_array_equal(
+            got, frames[a:b, y0 : y0 + rh, x0 : x0 + rw])
+    with pytest.raises(ValueError):
+        frame_stream.decode_video_region(blob, 0, 2, 30, 0, 20, 8, cfg)
+    with pytest.raises(ValueError):
+        frame_stream.decode_video_region(blob, 5, 9, 0, 0, 8, 8, cfg)
+
+
+def test_video_region_segmented_and_delta2d():
+    frames = _region_frames(t=6, h=24, w=32)
+    cfg = CodecConfig(backend="native", delta2d=True)
+    segs = frame_stream.encode_frames_segmented(frames, cfg,
+                                                max_segment_bits=16_000)
+    assert len(segs) > 1
+    blob = frame_stream.write_segmented(segs, 24, 32, cfg)
+    got = frame_stream.decode_video_region(
+        blob, 1, 5, 5, 9, 12, 15, CodecConfig(backend="native"))
+    np.testing.assert_array_equal(got, frames[1:5, 5:17, 9:24])
+
+
+def test_video_region_color_and_u16():
+    from metalhuffman_tpu.models import color
+
+    rng = np.random.default_rng(4)
+    cframes = np.stack([np.roll(rng.integers(0, 256, (24, 32, 3), np.uint8),
+                                i, 0) for i in range(5)])
+    # sub-green: the crop must still invert correctly (per-pixel transform)
+    blob = color.encode_color_video_to_bytes(
+        cframes, CodecConfig(backend="native"),
+        colorspace=color.CS_SUBGREEN)
+    got = color.decode_color_video_region(
+        blob, 1, 4, 3, 5, 10, 12, CodecConfig(backend="native"))
+    np.testing.assert_array_equal(got, cframes[1:4, 3:13, 5:17])
+    g16 = rng.integers(0, 1 << 16, (4, 16, 24)).astype(np.uint16)
+    gblob = color.encode_gray16_to_bytes(g16, CodecConfig(backend="native"))
+    got16 = color.decode_color_video_region(
+        gblob, 0, 4, 2, 3, 8, 9, CodecConfig(backend="native"))
+    assert got16.dtype == np.uint16
+    np.testing.assert_array_equal(got16, g16[:, 2:10, 3:12])
+
+
+def test_video_region_temporal_plain_and_mc():
+    from metalhuffman_tpu.models import temporal
+
+    frames = _region_frames(t=9)
+    # plain temporal: only the region's blocks decode (pixel-wise fold)
+    blob = mht.encode_video(frames, CodecConfig(
+        backend="native", temporal=True, keyint=4))
+    got = temporal.decode_temporal_video_region(
+        blob, 3, 8, 9, 10, 14, 21, CodecConfig(backend="native"))
+    np.testing.assert_array_equal(got, frames[3:8, 9:23, 10:31])
+    # MC: falls back to full-frame range + crop, still exact
+    mblob = mht.encode_video(frames, CodecConfig(
+        backend="native", temporal=True, motion=True, keyint=4))
+    got2 = temporal.decode_temporal_video_region(
+        mblob, 2, 6, 0, 8, 16, 16, CodecConfig(backend="native"))
+    np.testing.assert_array_equal(got2, frames[2:6, 0:16, 8:24])
+
+
+def test_cli_region(tmp_path):
+    from metalhuffman_tpu.cli import main
+
+    frames = _region_frames(t=5)
+    src = tmp_path / "v.npy"
+    np.save(src, frames)
+    out = tmp_path / "v.mhtv"
+    main(["encode-video", str(src), str(out), "--backend", "native"])
+    crop = tmp_path / "crop.npy"
+    main(["decode-video", str(out), str(crop), "--region", "8", "8", "16",
+          "24", "--frame", "3", "--backend", "native"])
+    np.testing.assert_array_equal(np.load(crop), frames[3, 8:24, 8:32])
+    allc = tmp_path / "all.npy"
+    main(["decode-video", str(out), str(allc), "--region", "0", "0", "8",
+          "8", "--backend", "native"])
+    np.testing.assert_array_equal(np.load(allc), frames[:, :8, :8])
