@@ -375,3 +375,30 @@ def test_encode_with_fixed_widths_roundtrip():
     bad[int(syms[0])] = 0
     with pytest.raises(ValueError):
         native.encode_symbols(syms, widths=bad)
+
+
+def test_cluster_widths_fuzz():
+    # many random shapes of frequency distribution: the result must always
+    # be a complete prefix code with <= k distinct lengths covering every
+    # present symbol
+    from metalhuffman_tpu.core import canonical
+
+    rng = np.random.default_rng(42)
+    for trial in range(30):
+        n_sym = int(rng.integers(2, 257))
+        kind = trial % 3
+        if kind == 0:  # geometric-ish
+            f = np.floor(1e6 * 0.7 ** np.arange(n_sym)).astype(np.int64) + 1
+        elif kind == 1:  # uniform-ish with jitter
+            f = rng.integers(1, 1000, n_sym).astype(np.int64)
+        else:  # heavy head + long rare tail
+            f = np.concatenate([[10**6], rng.integers(1, 5, n_sym - 1)])
+        syms = rng.choice(256, size=n_sym, replace=False)
+        freqs = np.zeros(256, np.int64)
+        freqs[syms] = f
+        k = int(rng.integers(3, 7))
+        cw = canonical.cluster_widths(freqs, k)
+        canonical.validate_widths(cw)
+        assert (cw[syms] > 0).all(), trial
+        assert np.unique(cw[syms]).size <= max(
+            k, np.unique(canonical.huffman_code_lengths(freqs)[syms]).size)
