@@ -486,27 +486,60 @@ def cmd_encode_video(args) -> int:
     return 0
 
 
-def _decode_video_frames(data: bytes, cfg, check: bool):
-    """Decode any MHTV/MHV2/MHTS container -> (frames, t, h, w).
+def _decode_video_frames(data: bytes, cfg, check: bool,
+                         salvage: bool = False):
+    """Decode any MHTV/MHV2/MHTS container -> (frames, t, h, w, n_corrupt).
 
     ``check=True`` runs the on-device per-block end-bit integrity check
-    (Pallas backend only) and raises SystemExit naming the corrupt blocks.
-    Shared by ``decode-video`` and ``verify``.
+    (Pallas backend only) and raises SystemExit naming the corrupt blocks;
+    with ``salvage=True`` corrupt blocks are zero-filled instead and their
+    count returned (best-effort serving decode — a stream consumer would
+    rather show black squares than drop the batch). Shared by
+    ``decode-video`` and ``verify``.
     """
     from .models import frame_stream
 
     import dataclasses
+
+    n_corrupt = 0
+
+    def handle_err(frames, err, where=""):
+        nonlocal n_corrupt
+        if not err.any():
+            return frames
+        idx = np.nonzero(err)[0]
+        if salvage:
+            frames, n = frame_stream.salvage_blocks(frames, err,
+                                                    cfg.block_dim)
+            n_corrupt += n
+            print(f"salvaged {idx.size} corrupt block(s){where}, first at "
+                  f"{idx[:8].tolist()} (zero-filled)", file=sys.stderr)
+            return frames
+        raise SystemExit(
+            f"stream integrity check failed{where}: {idx.size} corrupt "
+            f"block(s), first at {idx[:8].tolist()}")
 
     if data[:4] == frame_stream.SEGMENTED_MAGIC:
         segs, t, h, w, bd, delta = frame_stream.read_segmented(data)
         cfg = dataclasses.replace(
             cfg, block_dim=bd, delta=delta,
             delta2d=bool(segs) and segs[0][0].predictor == "2d")
-        try:
-            frames = frame_stream.decode_frames_segmented(
-                segs, h, w, cfg, check=check)
-        except ValueError as e:
-            raise SystemExit(str(e))
+        if check:
+            # per-segment checked decode with salvage support
+            outs = []
+            for si, (stream, ft) in enumerate(segs):
+                prep = frame_stream.prepare_shared(stream, ft, h, w, cfg,
+                                                   check=True)
+                fr, err = frame_stream.decode_shared_step_checked(prep, cfg)
+                fr = handle_err(np.asarray(fr), err, f" in segment {si}")
+                outs.append(fr)
+            frames = np.concatenate(outs)
+        else:
+            try:
+                frames = frame_stream.decode_frames_segmented(
+                    segs, h, w, cfg, check=False)
+            except ValueError as e:
+                raise SystemExit(str(e))
     elif data[:4] == frame_stream.SHARED_MAGIC:
         stream, t, h, w, bd, delta = frame_stream.read_shared(data)
         # the container header is authoritative for block_dim/delta/mode
@@ -522,12 +555,7 @@ def _decode_video_frames(data: bytes, cfg, check: bool):
             prep = frame_stream.prepare_shared(stream, t, h, w, cfg,
                                                check=True)
             frames, err = frame_stream.decode_shared_step_checked(prep, cfg)
-            frames = np.asarray(frames)
-            if err.any():
-                idx = np.nonzero(err)[0]
-                raise SystemExit(
-                    f"stream integrity check failed: {idx.size} corrupt "
-                    f"block(s), first at {idx[:8].tolist()}")
+            frames = handle_err(np.asarray(frames), err)
         else:
             frames = np.asarray(
                 frame_stream.decode_frames_shared(stream, t, h, w, cfg))
@@ -549,13 +577,9 @@ def _decode_video_frames(data: bytes, cfg, check: bool):
                 prep = frame_stream.prepare_shared(s, 1, h, w, fcfg,
                                                    check=True)
                 img, err = frame_stream.decode_shared_step_checked(prep, fcfg)
-                if err.any():
-                    idx = np.nonzero(err)[0]
-                    raise SystemExit(
-                        f"stream integrity check failed in frame {fi}: "
-                        f"{idx.size} corrupt block(s), first at "
-                        f"{idx[:8].tolist()}")
-                frames.append(np.asarray(img).reshape(h, w))
+                img = handle_err(np.asarray(img).reshape(1, h, w), err,
+                                 f" in frame {fi}")
+                frames.append(img.reshape(h, w))
             frames = np.stack(frames)
         elif cfg.backend == "xla":
             prep = frame_stream.prepare_batch(streams, h, w, cfg)
@@ -575,7 +599,7 @@ def _decode_video_frames(data: bytes, cfg, check: bool):
         t = len(streams)
     else:
         raise SystemExit("not an MHTV/MHV2/MHTS container")
-    return frames, t, h, w
+    return frames, t, h, w, n_corrupt
 
 
 def _verify_video_crc(data: bytes, frames) -> bool:
@@ -655,7 +679,8 @@ def _save_frame(img: np.ndarray, out: Path) -> None:
         imageio.save_grayscale(np.asarray(img), out)
 
 
-def _cmd_decode_video_temporal(args, data: bytes, cfg, check: bool) -> int:
+def _cmd_decode_video_temporal(args, data: bytes, cfg, check: bool,
+                               salvage: bool = False) -> int:
     """decode-video on an MHVT container: full decode, --frame, --check.
 
     Every device-side check (end-bit, inner CRC) runs on the residual
@@ -707,13 +732,17 @@ def _cmd_decode_video_temporal(args, data: bytes, cfg, check: bool) -> int:
             inner2, channels, layout, kind, cs = color.unwrap(inner)
             if layout != color.LAYOUT_VIDEO:
                 raise SystemExit("MHVT inner MHTC container is not a video")
-            planes, _n, h, w = _decode_video_frames(inner2, cfg, check)
-            _verify_video_crc(inner2, planes)
+            planes, _n, h, w, bad = _decode_video_frames(
+                inner2, cfg, check, salvage)
+            if not bad:
+                _verify_video_crc(inner2, planes)
             res = color.fold_video_planes(np.asarray(planes), channels,
                                           kind, cs)
         else:
-            res, _t, h, w = _decode_video_frames(inner, cfg, check)
-            _verify_video_crc(inner, res)
+            res, _t, h, w, bad = _decode_video_frames(inner, cfg, check,
+                                                      salvage)
+            if not bad:
+                _verify_video_crc(inner, res)
             res = np.asarray(res)
         try:
             frames = (temporal.temporal_decode_mc(res, keyint, mvs)
@@ -721,7 +750,11 @@ def _cmd_decode_video_temporal(args, data: bytes, cfg, check: bool) -> int:
                       else temporal.temporal_decode(res, keyint))
         except ValueError as e:  # e.g. truncated/corrupt motion table
             raise SystemExit(str(e))
-        if tcrc and zlib.crc32(
+        if bad:
+            print("salvaged output: CRC checks skipped "
+                  f"({bad} zero-filled block(s) in the residual stream)",
+                  file=sys.stderr)
+        elif tcrc and zlib.crc32(
                 np.ascontiguousarray(frames).tobytes()) != tcrc:
             raise SystemExit(
                 "reconstructed frames fail the MHVT source CRC-32 — corrupt "
@@ -806,12 +839,16 @@ def cmd_decode_video(args) -> int:
     data = Path(args.input).read_bytes()
     cfg = _config(args)
     check = getattr(args, "check", False)
+    salvage = getattr(args, "salvage", False)
+    if salvage and not check:
+        raise SystemExit("--salvage needs --check (it zero-fills blocks "
+                         "the on-device integrity check flags)")
     if getattr(args, "region", None) is not None:
         return _cmd_decode_video_region(args, data, cfg)
     if data[:4] == temporal.TEMPORAL_MAGIC:
-        return _cmd_decode_video_temporal(args, data, cfg, check)
+        return _cmd_decode_video_temporal(args, data, cfg, check, salvage)
     if data[:4] == color.COLOR_MAGIC:
-        return _cmd_decode_video_color(args, data, cfg, check)
+        return _cmd_decode_video_color(args, data, cfg, check, salvage)
     if getattr(args, "frame", None) is not None:
         from .models import frame_stream
 
@@ -848,10 +885,16 @@ def cmd_decode_video(args) -> int:
             "--check requires --backend pallas (the on-device integrity "
             "check is emitted by the TPU decode kernel)")
     t0 = time.perf_counter()
-    frames, t, h, w = _decode_video_frames(data, cfg, check)
+    frames, t, h, w, bad = _decode_video_frames(data, cfg, check,
+                                                salvage)
     # verify any recorded payload CRC — catches length-preserving corruption
-    # the on-device end-bit check cannot see (same-width code substitutions)
-    _verify_video_crc(data, frames)
+    # the on-device end-bit check cannot see (same-width code substitutions);
+    # salvaged output would trivially mismatch, so the check is skipped
+    if bad:
+        print(f"salvaged output: CRC checks skipped ({bad} zero-filled "
+              "block(s))", file=sys.stderr)
+    else:
+        _verify_video_crc(data, frames)
     dt = time.perf_counter() - t0
     out = Path(args.output)
     if out.suffix == ".npy":
@@ -864,7 +907,8 @@ def cmd_decode_video(args) -> int:
     return 0
 
 
-def _cmd_decode_video_color(args, data: bytes, cfg, check: bool) -> int:
+def _cmd_decode_video_color(args, data: bytes, cfg, check: bool,
+                            salvage: bool = False) -> int:
     """decode-video on an MHTC container: full decode, --frame, --check.
 
     The wrapper delegates to the grayscale machinery on the inner MHTV/MHV2
@@ -905,8 +949,13 @@ def _cmd_decode_video_color(args, data: bytes, cfg, check: bool) -> int:
               f"in {dt:.3f} s -> {args.output}")
         return 0
     t0 = time.perf_counter()
-    planes, n, h, w = _decode_video_frames(inner, cfg, check)
-    _verify_video_crc(inner, planes)
+    planes, n, h, w, bad = _decode_video_frames(inner, cfg, check,
+                                                salvage)
+    if bad:
+        print(f"salvaged output: CRC checks skipped ({bad} zero-filled "
+              "block(s))", file=sys.stderr)
+    else:
+        _verify_video_crc(inner, planes)
     frames = color.fold_video_planes(np.asarray(planes), channels, kind, cs)
     t = frames.shape[0]
     dt = time.perf_counter() - t0
@@ -1010,7 +1059,8 @@ def cmd_verify(args) -> int:
             kind = {frame_stream.SHARED_MAGIC: "MHTV",
                     frame_stream.SEGMENTED_MAGIC: "MHV2",
                     frame_stream.STREAM_MAGIC: "MHTS"}[bytes(data[:4])]
-            frames, t, h, w = _decode_video_frames(data, cfg, check=pallas)
+            frames, t, h, w, _bad = _decode_video_frames(
+                data, cfg, check=pallas)
             head = f"{kind}: {t} frames {h}x{w}"
             report("end-bit check",
                    "ok" if pallas else "skipped (needs --backend pallas)")
@@ -1205,6 +1255,10 @@ def main(argv=None) -> int:
     p.add_argument("--frame", type=int, default=None, metavar="N",
                    help="decode ONLY frame N (temporal random access via "
                         "the block offset index; output is one image/.npy)")
+    p.add_argument("--salvage", action="store_true",
+                   help="with --check: zero-fill corrupt blocks and keep "
+                        "decoding instead of failing (best-effort serving; "
+                        "CRC checks are skipped and the count reported)")
     p.add_argument("--region", type=int, nargs=4, default=None,
                    metavar=("Y", "X", "H", "W"),
                    help="decode ONLY the (H, W) crop at (Y, X) — combined "

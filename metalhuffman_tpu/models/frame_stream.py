@@ -968,6 +968,32 @@ def decode_range(data: bytes, a: int, b: int,
     raise ValueError("not an MHTV/MHV2 container")
 
 
+def salvage_blocks(frames: np.ndarray, err: np.ndarray, block_dim: int):
+    """Zero-fill corrupt blocks (best-effort serving decode).
+
+    ``err`` is the stream-order per-block mask from
+    :func:`decode_shared_step_checked`. A production stream consumer would
+    rather show a black 8x8 square than drop the whole batch. Returns
+    ``(frames, n_corrupt)`` — the array is copied first when the input is
+    read-only (device fetches are), else patched in place. The reference's
+    verify path simply asserts on the first bad byte (``AAPLRenderer.m:1849``).
+    """
+    idx = np.nonzero(np.asarray(err))[0]
+    if idx.size == 0:
+        return frames, 0
+    if not frames.flags.writeable:
+        frames = frames.copy()
+    t, h, w = frames.shape
+    bd = block_dim
+    bh, bw = -(-h // bd), -(-w // bd)
+    per = bh * bw
+    for i in idx:
+        f, r = divmod(int(i), per)
+        by, bx = divmod(r, bw)
+        frames[f, by * bd : (by + 1) * bd, bx * bd : (bx + 1) * bd] = 0
+    return frames, int(idx.size)
+
+
 def decode_video_region(data: bytes, a: int, b: int, y0: int, x0: int,
                         rh: int, rw: int,
                         config: CodecConfig | None = None) -> np.ndarray:

@@ -169,3 +169,61 @@ def test_last_block_window_image_path():
     prep_bad = frame_stream.prepare_shared(bad, 2, 16, 1024, cfg, check=True)
     _, err2 = frame_stream.decode_shared_step_checked(prep_bad, cfg)
     assert err2[-1]
+
+
+# -- salvage (round 3: best-effort serving decode) -------------------------------
+
+
+def _corrupt_video_blob(frames, cfg, block=5):
+    import metalhuffman_tpu as mh
+
+    blob = bytearray(mh.encode_video(frames, cfg))
+    # locate the code bytes inside the MHTV container and wreck one block
+    stream, t, h, w, bd, delta = frame_stream.read_shared(bytes(blob))
+    start_bit = int(stream.block_offsets[block])
+    # core blob layout: 26-byte MHTV head + u32 core_len... find code start
+    import struct
+
+    (core_len,) = struct.unpack_from("<I", bytes(blob), 22)
+    # core blob: 8-byte header + 256-byte table, then code bytes
+    code_off = 26 + 8 + 256 + start_bit // 8 + 2
+    blob[code_off : code_off + 8] = b"\xff" * 8
+    return bytes(blob)
+
+
+def test_cli_salvage(tmp_path, capsys):
+    from metalhuffman_tpu.cli import main
+
+    rng = np.random.default_rng(7)
+    frames = np.minimum(
+        rng.integers(0, 256, (3, 32, 64), np.uint8),
+        rng.integers(0, 256, (3, 32, 64), np.uint8))
+    cfg = CodecConfig(backend="native")
+    blob = _corrupt_video_blob(frames, cfg)
+    bad = tmp_path / "bad.mhtv"
+    bad.write_bytes(blob)
+    out = tmp_path / "out.npy"
+    # without --salvage: the check fails loudly
+    with pytest.raises(SystemExit, match="integrity check failed"):
+        main(["decode-video", str(bad), str(out), "--check"])
+    # with --salvage: decodes, zero-fills the flagged blocks, still exits 0
+    main(["decode-video", str(bad), str(out), "--check", "--salvage"])
+    got = np.load(out)
+    assert got.shape == frames.shape
+    # undamaged blocks are intact; at least one block was zero-filled
+    diff_blocks = (got != frames).reshape(3, 4, 8, 8, 8).any((2, 4)).sum()
+    assert 1 <= diff_blocks <= 8, diff_blocks
+    # --salvage without --check refuses
+    with pytest.raises(SystemExit, match="salvage needs --check"):
+        main(["decode-video", str(bad), str(out), "--salvage"])
+
+
+def test_salvage_blocks_inplace():
+    frames = np.ones((2, 16, 24), np.uint8)
+    err = np.zeros(2 * 2 * 3, bool)  # 8x8 blocks: 2x3 grid per frame
+    err[[1, 7]] = True  # frame 0 block (0,1); frame 1 block (0,1)
+    frames, n = frame_stream.salvage_blocks(frames, err, 8)
+    assert n == 2
+    assert (frames[0, 0:8, 8:16] == 0).all()
+    assert (frames[1, 0:8, 8:16] == 0).all()
+    assert frames.sum() == 2 * 16 * 24 - 2 * 64  # everything else untouched
