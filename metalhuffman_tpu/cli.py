@@ -1067,6 +1067,13 @@ def cmd_verify(args) -> int:
             report("decode", f"ok ({t} frames, {args.backend})")
             recorded = _verify_video_crc(data, frames)
             report("source CRC-32", "ok" if recorded else "absent")
+            if data[:4] in (frame_stream.SHARED_MAGIC,
+                            frame_stream.SEGMENTED_MAGIC):
+                fcrcs = frame_stream.read_frame_crcs(data)
+                frame_stream.verify_frame_crcs(np.asarray(frames), fcrcs)
+                report("frame CRC table",
+                       f"ok ({fcrcs.shape[0]} frames)" if fcrcs is not None
+                       else "absent")
             if temporal_ctx is not None:
                 # reconstruct the true frames and pin them against the
                 # MHVT outer CRC (catches wrapper-header corruption the
@@ -1087,7 +1094,7 @@ def cmd_verify(args) -> int:
                         "— corrupt container")
                 report("temporal CRC-32", "ok" if tcrc else "absent")
                 temporal._verify_frame_crcs(true, fcrcs)  # ValueError -> exit
-                report("frame CRC table",
+                report("temporal frame CRCs",
                        f"ok ({fcrcs.shape[0]} frames)" if fcrcs is not None
                        else "absent")
         else:
