@@ -331,6 +331,10 @@ def cmd_encode_video(args) -> int:
                 or getattr(args, "subgreen", False)):
             raise SystemExit(
                 "--best/--subgreen apply to u8 color input, not --gray16")
+        if getattr(args, "best_fast", False):
+            raise SystemExit(
+                "--best-fast searches grayscale temporal candidates; for "
+                "--color/--gray16 use --best (full measurement)")
     if getattr(args, "gray16", False):
         from .models import color as color_mod
 
@@ -788,6 +792,9 @@ def _cmd_decode_video_region(args, data: bytes, cfg) -> int:
     try:
         if data[:4] == temporal.TEMPORAL_MAGIC:
             total = temporal._inner_frame_count(temporal.unwrap(data)[0])
+            if total is None:
+                raise SystemExit(
+                    "corrupt MHVT container (unrecognized inner stream)")
             a = args.frame if args.frame is not None else 0
             b = a + 1 if args.frame is not None else total
             out = temporal.decode_temporal_video_region(

@@ -387,12 +387,16 @@ def decode_blocks_selection(stream: container.EncodedStream,
         layout_mod.max_block_bits(stream.block_offsets, total_bits),
         symbols_per_block=cfg.block_size,
     )
-    words = bitstream.bytes_to_be_words(stream.code_bytes, pad_words=wpr)
-    # stage only the word range the selected blocks can touch (a crop of a
-    # long stream should not upload the whole code stream)
+    # stage (and CONVERT) only the word range the selected blocks can
+    # touch: a crop of a long stream pays neither the whole-stream word
+    # conversion nor the upload (the slice is word-aligned, so rebasing
+    # offsets by a multiple of 32 bits preserves all //32 and %32 math;
+    # bytes_to_be_words zero-pads past the slice exactly as it pads past
+    # the stream end)
     lo_word = int(sub_offsets.min()) // 32
     hi_word = int(sub_offsets.max()) // 32 + wpr + 1
-    words = words[lo_word:hi_word]
+    words = bitstream.bytes_to_be_words(
+        stream.code_bytes[4 * lo_word : 4 * hi_word], pad_words=wpr)
     sub_offsets = (sub_offsets.astype(np.int64) - 32 * lo_word).astype(
         np.int32)
     interpret = cfg.interpret

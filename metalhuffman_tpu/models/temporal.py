@@ -441,9 +441,14 @@ def unwrap(blob: bytes):
 
 
 def _inner_config(config: CodecConfig | None) -> CodecConfig:
-    """The config the inner (residual) encode/decode runs under."""
+    """The config the inner (residual) encode/decode runs under.
+
+    ``frame_crcs`` is cleared too: the MHVT wrapper records the per-TRUE-
+    frame table (the one random access verifies), so an inner per-RESIDUAL
+    table would just double the cost the config documents (4 B/frame).
+    """
     return dataclasses.replace(config or CodecConfig(), temporal=False,
-                               motion=False)
+                               motion=False, frame_crcs=False)
 
 
 def _crc(frames: np.ndarray) -> int:
@@ -755,8 +760,18 @@ def _estimate_candidate_bits(blk: np.ndarray, cfg: CodecConfig) -> float:
 
 
 def _sample_indices(t: int, keyint: int, max_samples: int = 12) -> list[int]:
-    """Strided frame indices preserving the keyframe/residual mixture."""
+    """Strided frame indices preserving the keyframe/residual mixture.
+
+    The stride is nudged COPRIME with keyint — a stride that is a multiple
+    of keyint would sample (almost) only keyframes, estimating every
+    candidate on literal content instead of the stream's true
+    keyframe:residual mix (round-3 review finding).
+    """
+    import math
+
     stride = max(1, t // max_samples)
+    while stride > 1 and math.gcd(stride, keyint) != 1:
+        stride += 1
     idx = list(range(0, t, stride))
     if all(i % keyint == 0 for i in idx) and t > 1:
         idx.append(1)  # ensure at least one residual frame is sampled

@@ -677,3 +677,27 @@ def test_cli_best_fast(tmp_path, capsys):
     with pytest.raises(SystemExit, match="temporal"):
         _run_cli(["encode-video", str(src), str(out), "--best-fast",
                   "--backend", "native"])
+
+
+def test_sample_indices_never_alias_with_keyint():
+    # a stride that is a multiple of keyint would sample (almost) only
+    # keyframes — the estimator must see the true keyframe:residual mix
+    for t in (96, 100, 192, 200, 13):
+        for keyint in (2, 4, 8):
+            idx = temporal._sample_indices(t, keyint)
+            n_res = sum(1 for i in idx if i % keyint)
+            assert n_res >= max(1, len(idx) // 3), (t, keyint, idx)
+
+
+def test_inner_config_clears_frame_crcs():
+    # the MHVT wrapper records the per-TRUE-frame table; the inner residual
+    # stream must not duplicate it (4 B/frame documented cost)
+    from metalhuffman_tpu.models import frame_stream
+
+    frames = _video(t=6)
+    cfg = CodecConfig(backend="native", temporal=True, keyint=3,
+                      frame_crcs=True)
+    blob = mh.encode_video(frames, cfg)
+    inner, _k, _c, _m, fcrcs = temporal.unwrap(blob)
+    assert fcrcs is not None and fcrcs.shape == (6,)
+    assert frame_stream.read_frame_crcs(inner) is None
