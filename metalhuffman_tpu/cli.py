@@ -694,6 +694,29 @@ def _cmd_decode_video_temporal(args, data: bytes, cfg, check: bool,
     from .models import color, temporal
 
     inner, keyint, tcrc, mvs, fcrcs = temporal.unwrap(data)
+    if getattr(args, "frames", None) is not None:
+        if check:
+            raise SystemExit(
+                "--check verifies whole streams; --frames range access "
+                "verifies any recorded per-frame CRCs automatically")
+        a, b = args.frames
+        t0 = time.perf_counter()
+        try:
+            frames = temporal.decode_temporal_range(data, a, b, cfg)
+        except ValueError as e:
+            raise SystemExit(str(e))
+        dt = time.perf_counter() - t0
+        out = Path(args.output)
+        if out.suffix == ".npy":
+            np.save(out, frames)
+        else:
+            out.mkdir(parents=True, exist_ok=True)
+            for i, f in enumerate(frames):
+                _save_frame(f, out / f"frame_{a + i:05d}.png")
+        checked = ", frame CRCs ok" if fcrcs is not None else ""
+        print(f"{args.input}: decoded frames [{a}, {b}) (keyint {keyint}"
+              f"{checked}) in {dt:.3f} s -> {args.output}")
+        return 0
     if getattr(args, "frame", None) is not None:
         # --frame --check verifies via the per-frame CRC table (flag bit 1)
         # — decode_temporal_frame checks it automatically whenever present;
@@ -777,8 +800,18 @@ def _cmd_decode_video_temporal(args, data: bytes, cfg, check: bool,
     return 0
 
 
+def _frame_span(args, total: int):
+    """Frame range selected by --frame / --frames (default: all frames)."""
+    if args.frame is not None:
+        return args.frame, args.frame + 1
+    fr = getattr(args, "frames", None)
+    if fr is not None:
+        return fr[0], fr[1]
+    return 0, total
+
+
 def _cmd_decode_video_region(args, data: bytes, cfg) -> int:
-    """decode-video --region [--frame N]: spatio-temporal ROI decode."""
+    """decode-video --region [--frame N | --frames A B]: ROI decode."""
     import struct as struct_mod
 
     from .models import color, frame_stream, temporal
@@ -788,6 +821,8 @@ def _cmd_decode_video_region(args, data: bytes, cfg) -> int:
         raise SystemExit(
             "--check verifies whole streams; per-frame CRCs cannot cover a "
             "crop — drop it for --region access")
+    if args.frame is not None and getattr(args, "frames", None) is not None:
+        raise SystemExit("--frame and --frames are mutually exclusive")
     t0 = time.perf_counter()
     try:
         if data[:4] == temporal.TEMPORAL_MAGIC:
@@ -795,8 +830,7 @@ def _cmd_decode_video_region(args, data: bytes, cfg) -> int:
             if total is None:
                 raise SystemExit(
                     "corrupt MHVT container (unrecognized inner stream)")
-            a = args.frame if args.frame is not None else 0
-            b = a + 1 if args.frame is not None else total
+            a, b = _frame_span(args, total)
             out = temporal.decode_temporal_video_region(
                 data, a, b, y0, x0, rhh, rww, cfg)
         elif data[:4] == color.COLOR_MAGIC:
@@ -806,15 +840,13 @@ def _cmd_decode_video_region(args, data: bytes, cfg) -> int:
                                  "the library decode_region for images")
             (planes,) = struct_mod.unpack_from("<I", inner, 4)
             total = planes // (2 if kind == color.KIND_U16 else ch)
-            a = args.frame if args.frame is not None else 0
-            b = a + 1 if args.frame is not None else total
+            a, b = _frame_span(args, total)
             out = color.decode_color_video_region(
                 data, a, b, y0, x0, rhh, rww, cfg)
         elif data[:4] in (frame_stream.SHARED_MAGIC,
                           frame_stream.SEGMENTED_MAGIC):
             (total,) = struct_mod.unpack_from("<I", data, 4)
-            a = args.frame if args.frame is not None else 0
-            b = a + 1 if args.frame is not None else total
+            a, b = _frame_span(args, total)
             out = frame_stream.decode_video_region(
                 data, a, b, y0, x0, rhh, rww, cfg)
         else:
@@ -883,6 +915,30 @@ def cmd_decode_video(args) -> int:
         print(f"{args.input}: decoded frame {args.frame} ({h}x{w}{checked}) "
               f"in {dt:.3f} s -> {args.output}")
         return 0
+    if getattr(args, "frames", None) is not None:
+        from .models import frame_stream
+
+        if check:
+            raise SystemExit(
+                "--check verifies whole streams; --frames range access "
+                "verifies any recorded per-frame CRCs automatically")
+        a, b = args.frames
+        t0 = time.perf_counter()
+        try:
+            frames, h, w = frame_stream.decode_range(data, a, b, cfg)
+        except ValueError as e:
+            raise SystemExit(str(e))
+        dt = time.perf_counter() - t0
+        out = Path(args.output)
+        if out.suffix == ".npy":
+            np.save(out, frames)
+        else:
+            out.mkdir(parents=True, exist_ok=True)
+            for i, f in enumerate(frames):
+                imageio.save_grayscale(f, out / f"frame_{a + i:05d}.png")
+        print(f"{args.input}: decoded frames [{a}, {b}) ({h}x{w}) in "
+              f"{dt:.3f} s -> {args.output}")
+        return 0
     if check and args.backend != "pallas":
         # the whole-stream integrity check is an output of the Pallas
         # kernel (the decode carry); other backends never compute it —
@@ -933,6 +989,34 @@ def _cmd_decode_video_color(args, data: bytes, cfg, check: bool,
         raise SystemExit(
             "--check requires --backend pallas (the on-device integrity "
             "check is emitted by the TPU decode kernel)")
+    if getattr(args, "frames", None) is not None:
+        from .models import frame_stream
+
+        if check:
+            raise SystemExit(
+                "--check verifies whole streams; --frames range access "
+                "verifies any recorded per-frame CRCs automatically")
+        a, b = args.frames
+        t0 = time.perf_counter()
+        try:
+            planes, _h, _w = frame_stream.decode_range(
+                inner, a * channels, b * channels, cfg)
+            frames = color.fold_video_planes(planes, channels, kind, cs)
+        except ValueError as e:
+            raise SystemExit(str(e))
+        dt = time.perf_counter() - t0
+        out = Path(args.output)
+        if out.suffix == ".npy":
+            np.save(out, frames)
+        else:
+            out.mkdir(parents=True, exist_ok=True)
+            save = (imageio.save_gray16 if kind == color.KIND_U16
+                    else imageio.save_color)
+            for i, f in enumerate(frames):
+                save(f, out / f"frame_{a + i:05d}.png")
+        print(f"{args.input}: decoded frames [{a}, {b}) in {dt:.3f} s "
+              f"-> {args.output}")
+        return 0
     if getattr(args, "frame", None) is not None:
         if check:
             raise SystemExit(
@@ -1273,12 +1357,17 @@ def main(argv=None) -> int:
                    help="with --check: zero-fill corrupt blocks and keep "
                         "decoding instead of failing (best-effort serving; "
                         "CRC checks are skipped and the count reported)")
+    p.add_argument("--frames", type=int, nargs=2, default=None,
+                   metavar=("A", "B"),
+                   help="decode ONLY frames [A, B) (range random access "
+                        "via the block offset index; verifies per-frame "
+                        "CRCs when the container records them)")
     p.add_argument("--region", type=int, nargs=4, default=None,
                    metavar=("Y", "X", "H", "W"),
                    help="decode ONLY the (H, W) crop at (Y, X) — combined "
-                        "with --frame this touches just that frame's "
-                        "region blocks (spatio-temporal random access); "
-                        "MHTV/MHV2/MHTC/MHVT containers")
+                        "with --frame/--frames this touches just those "
+                        "frames' region blocks (spatio-temporal random "
+                        "access); MHTV/MHV2/MHTC/MHVT containers")
     _add_codec_flags(p)
     p.set_defaults(fn=cmd_decode_video)
 

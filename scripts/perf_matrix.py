@@ -43,14 +43,14 @@ def main():
     rows = []
     for h, w in ((1536, 2048), (1080, 1920)):
         for content in ("synthetic", "photo"):
-            gbps = bench.run_video(
+            gbps, _reps, _spread = bench.run_video(
                 h, w, args.frames, args.iters, verbose=False,
                 content=content, variants=args.variants,
             )
             rows.append((f"{w}x{h}", content, "Pallas TPU kernel", gbps))
 
     # delta2d precoder (mode 3): in-register reconstruction — expect parity
-    gbps = bench.run_video(
+    gbps, _reps, _spread = bench.run_video(
         1536, 2048, args.frames, args.iters, verbose=False,
         content="photo", variants=args.variants, precoder="delta2d",
     )

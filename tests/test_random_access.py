@@ -234,3 +234,36 @@ def test_cli_region(tmp_path):
     main(["decode-video", str(out), str(allc), "--region", "0", "0", "8",
           "8", "--backend", "native"])
     np.testing.assert_array_equal(np.load(allc), frames[:, :8, :8])
+
+
+def test_cli_frames_range(tmp_path):
+    from metalhuffman_tpu.cli import main
+    from metalhuffman_tpu.models import temporal
+
+    frames = _region_frames(t=7)
+    src = tmp_path / "v.npy"
+    np.save(src, frames)
+    # plain MHTV range (with FCRC verification)
+    out = tmp_path / "v.mhtv"
+    main(["encode-video", str(src), str(out), "--frame-crcs",
+          "--backend", "native"])
+    got = tmp_path / "r.npy"
+    main(["decode-video", str(out), str(got), "--frames", "2", "5",
+          "--backend", "native"])
+    np.testing.assert_array_equal(np.load(got), frames[2:5])
+    # MHVT range
+    outv = tmp_path / "v.mhvt"
+    main(["encode-video", str(src), str(outv), "--temporal", "--keyint",
+          "3", "--backend", "native"])
+    main(["decode-video", str(outv), str(got), "--frames", "1", "6",
+          "--backend", "native"])
+    np.testing.assert_array_equal(np.load(got), frames[1:6])
+    # range + region combined
+    main(["decode-video", str(out), str(got), "--frames", "1", "4",
+          "--region", "8", "8", "16", "24", "--backend", "native"])
+    np.testing.assert_array_equal(np.load(got), frames[1:4, 8:24, 8:32])
+    # --frame and --frames conflict
+    with pytest.raises(SystemExit, match="mutually exclusive"):
+        main(["decode-video", str(out), str(got), "--frames", "1", "4",
+              "--frame", "2", "--region", "0", "0", "8", "8",
+              "--backend", "native"])
