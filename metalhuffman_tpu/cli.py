@@ -1064,6 +1064,41 @@ def _cmd_decode_video_color(args, data: bytes, cfg, check: bool,
     return 0
 
 
+def cmd_extract(args) -> int:
+    """Cut frames [A, B) out of a video container WITHOUT re-encoding."""
+    from .models import surgery
+
+    data = Path(args.input).read_bytes()
+    a, b = args.frames
+    t0 = time.perf_counter()
+    try:
+        out = surgery.extract_video(data, a, b)
+    except ValueError as e:
+        raise SystemExit(str(e))
+    Path(args.output).write_bytes(out)
+    print(f"{args.input}: extracted frames [{a}, {b}) -> "
+          f"{args.output} ({len(out)} bytes, no re-encode, "
+          f"{(time.perf_counter() - t0) * 1e3:.1f} ms)")
+    return 0
+
+
+def cmd_concat(args) -> int:
+    """Splice video containers end to end WITHOUT re-encoding."""
+    from .models import surgery
+
+    blobs = [Path(x).read_bytes() for x in args.inputs]
+    t0 = time.perf_counter()
+    try:
+        out = surgery.concat_videos(blobs)
+    except ValueError as e:
+        raise SystemExit(str(e))
+    Path(args.output).write_bytes(out)
+    print(f"spliced {len(blobs)} container(s) -> {args.output} "
+          f"({len(out)} bytes, no re-encode, "
+          f"{(time.perf_counter() - t0) * 1e3:.1f} ms)")
+    return 0
+
+
 def cmd_verify(args) -> int:
     """Decode a container with every applicable integrity check and report.
 
@@ -1370,6 +1405,26 @@ def main(argv=None) -> int:
                         "access); MHTV/MHV2/MHTC/MHVT containers")
     _add_codec_flags(p)
     p.set_defaults(fn=cmd_decode_video)
+
+    p = sub.add_parser(
+        "extract",
+        help="cut frames [A, B) out of a video container WITHOUT "
+             "re-encoding (bit-identical code spans; CRCs combine "
+             "algebraically from any per-frame table)")
+    p.add_argument("input")
+    p.add_argument("output")
+    p.add_argument("--frames", type=int, nargs=2, required=True,
+                   metavar=("A", "B"))
+    p.set_defaults(fn=cmd_extract)
+
+    p = sub.add_parser(
+        "concat",
+        help="splice video containers end to end WITHOUT re-encoding "
+             "(each input's streams become MHV2 segments with their own "
+             "canonical tables)")
+    p.add_argument("output")
+    p.add_argument("inputs", nargs="+")
+    p.set_defaults(fn=cmd_concat)
 
     p = sub.add_parser("info", help="describe an MHT1/MHTS container")
     p.add_argument("input")

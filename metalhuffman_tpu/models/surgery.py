@@ -1,0 +1,227 @@
+"""Lossless container surgery: extract frame ranges and splice containers
+WITHOUT re-encoding.
+
+The per-block bit-offset index makes every frame's bits an addressable
+span, so a frame range can be cut out of a container by TRIMMING the code
+bytes and rebasing the offsets — no decode, no encode, bit-identical
+payloads. Splicing goes the other way: each input becomes (or contributes)
+MHV2 segments, each keeping its own canonical table. Integrity metadata
+survives for free: whole-payload CRCs combine algebraically
+(``core.crc.crc32_combine``) from the inputs' recorded CRCs or a sliced
+per-frame FCRC table — gigabytes of video are never re-read.
+
+The reference has no containers at all (its encoded stream lives only in
+memory, ``AAPLRenderer.m:577-585``); this is the editing/ingestion surface
+a production codec needs. CLI: ``mht extract`` / ``mht concat``.
+
+Supported: MHTV, MHV2, MHTC video (plane ranges), MHVT (extract requires a
+keyint-aligned start; concat requires keyint-aligned input lengths — the
+group fold restarts cleanly only at keyframe boundaries).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from ..core import bitstream, blocks, container
+from ..core.crc import crc32_concat
+from .image_codec import CodecConfig
+from . import color as color_mod, frame_stream, temporal as temporal_mod
+
+
+def _trim_stream(stream: container.EncodedStream, b0: int, b1: int,
+                 block_size: int) -> container.EncodedStream:
+    """Sub-stream of whole blocks [b0, b1) with TRIMMED code bytes.
+
+    The slice starts at the first block's byte, offsets rebase by that
+    whole-byte amount (preserving all //8 and %8 math), bits of foreign
+    blocks in the final byte are masked to zero (byte-deterministic
+    output), and the read-ahead pad is re-appended.
+    """
+    nb = int(stream.block_offsets.size)
+    offs = stream.block_offsets.astype(np.int64)
+    start_bit = int(offs[b0])
+    total_bits = 8 * (stream.code_bytes.size - bitstream.READ_AHEAD_PAD_BYTES)
+    end_bit = int(offs[b1]) if b1 < nb else total_bits
+    lo_byte = start_bit // 8
+    hi_byte = -(-end_bit // 8)
+    code = np.concatenate([
+        np.asarray(stream.code_bytes[lo_byte:hi_byte], np.uint8),
+        np.zeros(bitstream.READ_AHEAD_PAD_BYTES, np.uint8)])
+    if end_bit % 8:  # mask the next block's bits out of the final byte
+        keep = end_bit % 8
+        code[hi_byte - lo_byte - 1] &= (0xFF00 >> keep) & 0xFF
+    init = None if stream.block_init is None else stream.block_init[b0:b1]
+    return container.EncodedStream(
+        (b1 - b0) * block_size, stream.widths, code,
+        (offs[b0:b1] - 8 * lo_byte).astype(np.uint32), init,
+        predictor=stream.predictor)
+
+
+def _frame_nbytes(blob: bytes) -> int:
+    """Raw byte length of ONE frame unit of a video container (for CRC
+    combination): gray h*w, color h*w*C, u16 h*w*2."""
+    if blob[:4] == color_mod.COLOR_MAGIC:
+        inner, ch, _layout, kind, _cs = color_mod.unwrap(blob)
+        per_plane = _frame_nbytes(inner)
+        return per_plane * (2 if kind == color_mod.KIND_U16 else ch)
+    if blob[:4] == frame_stream.SHARED_MAGIC:
+        _s, _t, h, w, _bd, _d = frame_stream.read_shared(blob)
+        return h * w
+    segs, _t, h, w, _bd, _d = frame_stream.read_segmented(blob)
+    return h * w
+
+
+def extract_video(data: bytes, a: int, b: int) -> bytes:
+    """Frames [a, b) of a video container -> a NEW standalone container,
+    without re-encoding (bit-identical code spans, trimmed + rebased).
+
+    The output records a whole-payload CRC combined from the input's
+    per-frame FCRC table when present (and the sliced table itself);
+    without a table the CRC is unrecorded (0) — extraction never decodes.
+    MHVT extraction requires ``a`` on a keyframe boundary (residual frames
+    reference their predecessors; a keyframe start is self-contained).
+    """
+    if data[:4] == temporal_mod.TEMPORAL_MAGIC:
+        inner, keyint, _crc, mvs, fcrcs = temporal_mod.unwrap(data)
+        if a % keyint:
+            raise ValueError(
+                f"MHVT extraction must start on a keyframe boundary "
+                f"(a={a} is not a multiple of keyint={keyint}); re-encode "
+                "or pick an aligned start")
+        t_total = temporal_mod._inner_frame_count(inner)
+        if t_total is None or not 0 <= a < b <= t_total:
+            raise ValueError(f"frames [{a}, {b}) out of range")
+        # frame indices pass through: the MHTC branch multiplies to plane
+        # indices itself, and _frame_nbytes already returns TRUE-frame bytes
+        new_inner = extract_video(inner, a, b)
+        fc = None if fcrcs is None else fcrcs[a:b]
+        fb = _frame_nbytes(inner)
+        crc = (crc32_concat([(int(c), fb) for c in fc])
+               if fc is not None and fc.size else 0)
+        mv = None if mvs is None else mvs[a:b]
+        return temporal_mod.wrap(new_inner, keyint, source_crc32=crc,
+                                 mvs=mv, frame_crcs=fc)
+    if data[:4] == color_mod.COLOR_MAGIC:
+        inner, ch, layout, kind, cs = color_mod.unwrap(data)
+        if layout != color_mod.LAYOUT_VIDEO:
+            raise ValueError("extract_video needs a video container")
+        n = 2 if kind == color_mod.KIND_U16 else ch
+        return color_mod.wrap(extract_video(inner, a * n, b * n), ch,
+                              layout, kind, cs)
+    if data[:4] == frame_stream.SHARED_MAGIC:
+        stream, t, h, w, bd, delta = frame_stream.read_shared(data)
+        segs = [(stream, t)]
+    elif data[:4] == frame_stream.SEGMENTED_MAGIC:
+        segs, t, h, w, bd, delta = frame_stream.read_segmented(data)
+    else:
+        raise ValueError("not a video container")
+    if not 0 <= a < b <= t:
+        raise ValueError(f"frames [{a}, {b}) out of range ({t} frames)")
+    bh, bw = blocks.block_grid(h, w, bd)
+    per = bh * bw
+    out_segs, base = [], 0
+    for stream, ft in segs:
+        lo, hi = max(a, base), min(b, base + ft)
+        if lo < hi:
+            out_segs.append((_trim_stream(
+                stream, (lo - base) * per, (hi - base) * per, bd * bd),
+                hi - lo))
+        base += ft
+    cfg = dataclasses.replace(CodecConfig(), block_dim=bd, delta=delta)
+    fcrcs = frame_stream.read_frame_crcs(data)
+    fc = None if fcrcs is None else fcrcs[a:b]
+    crc = (crc32_concat([(int(c), h * w) for c in fc])
+           if fc is not None and fc.size else 0)
+    if len(out_segs) == 1:
+        return frame_stream.write_shared(
+            out_segs[0][0], b - a, h, w, cfg, source_crc32=crc,
+            frame_crcs=fc)
+    return frame_stream.write_segmented(out_segs, h, w, cfg,
+                                        source_crc32=crc, frame_crcs=fc)
+
+
+def concat_videos(blobs: list[bytes]) -> bytes:
+    """Splice video containers end to end WITHOUT re-encoding.
+
+    Inputs must agree on geometry, block_dim, and precoder mode; each
+    input's streams become MHV2 segments keeping their own canonical
+    tables. Whole-payload CRC combines from the inputs' recorded CRCs
+    (recorded only when EVERY input records one); FCRC tables concatenate
+    when every input has one. MHVT inputs must agree on keyint/motion
+    presence and every input but the last must contain whole keyframe
+    groups (the group fold restarts only at keyframe boundaries).
+    """
+    if not blobs:
+        raise ValueError("nothing to concatenate")
+    if len(blobs) == 1:
+        return blobs[0]
+    kind = blobs[0][:4]
+    if any(x[:4] != kind for x in blobs):
+        raise ValueError("cannot concatenate different container kinds")
+    if kind == temporal_mod.TEMPORAL_MAGIC:
+        parts = [temporal_mod.unwrap(x) for x in blobs]
+        keyint = parts[0][1]
+        if any(p[1] != keyint for p in parts):
+            raise ValueError("MHVT inputs must share one keyint")
+        has_mv = [p[3] is not None for p in parts]
+        if any(has_mv) != all(has_mv):
+            raise ValueError(
+                "cannot mix motion-compensated and plain MHVT inputs")
+        counts = [temporal_mod._inner_frame_count(p[0]) for p in parts]
+        if any(c is None for c in counts):
+            raise ValueError("corrupt MHVT container (unrecognized inner)")
+        for c in counts[:-1]:
+            if c % keyint:
+                raise ValueError(
+                    "every MHVT input but the last must contain whole "
+                    f"keyframe groups (length {c} is not a multiple of "
+                    f"keyint {keyint})")
+        inner = concat_videos([p[0] for p in parts])
+        mvs = (np.concatenate([p[3] for p in parts])
+               if all(has_mv) else None)
+        fcs = [p[4] for p in parts]
+        fc = np.concatenate(fcs) if all(f is not None for f in fcs) else None
+        fb = _frame_nbytes(parts[0][0])
+        crcs = [p[2] for p in parts]
+        crc = (crc32_concat(
+            [(c, n * fb) for c, n in zip(crcs, counts)])
+            if all(crcs) else 0)
+        return temporal_mod.wrap(inner, keyint, source_crc32=crc, mvs=mvs,
+                                 frame_crcs=fc)
+    if kind == color_mod.COLOR_MAGIC:
+        parts = [color_mod.unwrap(x) for x in blobs]
+        meta = {(p[1], p[2], p[3], p[4]) for p in parts}
+        if len(meta) != 1:
+            raise ValueError(
+                "MHTC inputs must share channels/layout/kind/colorspace")
+        ch, layout, k2, cs = meta.pop()
+        if layout != color_mod.LAYOUT_VIDEO:
+            raise ValueError("concat_videos needs video containers")
+        return color_mod.wrap(concat_videos([p[0] for p in parts]), ch,
+                              layout, k2, cs)
+    all_segs, geom, crc_parts, fcs = [], None, [], []
+    for x in blobs:
+        if x[:4] == frame_stream.SHARED_MAGIC:
+            stream, t, h, w, bd, delta = frame_stream.read_shared(x)
+            segs = [(stream, t)]
+        elif x[:4] == frame_stream.SEGMENTED_MAGIC:
+            segs, t, h, w, bd, delta = frame_stream.read_segmented(x)
+        else:
+            raise ValueError("not a video container")
+        if geom is None:
+            geom = (h, w, bd, delta)
+        elif geom != (h, w, bd, delta):
+            raise ValueError(
+                f"geometry/mode mismatch: {geom} vs {(h, w, bd, delta)}")
+        all_segs.extend(segs)
+        crc_parts.append((frame_stream.source_crc32(x), t * h * w))
+        fcs.append(frame_stream.read_frame_crcs(x))
+    h, w, bd, delta = geom
+    cfg = dataclasses.replace(CodecConfig(), block_dim=bd, delta=delta)
+    crc = (crc32_concat(crc_parts) if all(c for c, _ in crc_parts) else 0)
+    fc = (np.concatenate(fcs) if all(f is not None for f in fcs) else None)
+    return frame_stream.write_segmented(all_segs, h, w, cfg,
+                                        source_crc32=crc, frame_crcs=fc)

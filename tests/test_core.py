@@ -402,3 +402,20 @@ def test_cluster_widths_fuzz():
         assert (cw[syms] > 0).all(), trial
         assert np.unique(cw[syms]).size <= max(
             k, np.unique(canonical.huffman_code_lengths(freqs)[syms]).size)
+
+
+def test_crc32_combine_matches_zlib():
+    import zlib
+
+    from metalhuffman_tpu.core.crc import crc32_combine, crc32_concat
+
+    rng = np.random.default_rng(11)
+    for _ in range(25):
+        a = rng.integers(0, 256, int(rng.integers(0, 4000)), np.uint8).tobytes()
+        b = rng.integers(0, 256, int(rng.integers(1, 4000)), np.uint8).tobytes()
+        assert crc32_combine(zlib.crc32(a), zlib.crc32(b),
+                             len(b)) == zlib.crc32(a + b)
+    parts = [rng.integers(0, 256, 64 * (i + 1), np.uint8).tobytes()
+             for i in range(6)]
+    assert crc32_concat(
+        [(zlib.crc32(p), len(p)) for p in parts]) == zlib.crc32(b"".join(parts))
