@@ -211,8 +211,13 @@ def cmd_info(args) -> int:
                 else "zero-init"
         return base
 
-    def crc_str(recorded) -> str:
-        return f", crc32={'recorded' if recorded else 'absent'}"
+    def crc_str(recorded, blob=None) -> str:
+        out = f", crc32={'recorded' if recorded else 'absent'}"
+        if blob is not None:
+            fc = frame_stream.read_frame_crcs(blob)
+            if fc is not None:
+                out += f", frame-crcs={fc.shape[0]}"
+        return out
 
     if data[:4] == frame_stream.SEGMENTED_MAGIC:
         segs, t, h, w, bd, delta = frame_stream.read_segmented(data)
@@ -225,7 +230,7 @@ def cmd_info(args) -> int:
             f"MHV2: {t} frames {h}x{w} in {len(segs)} shared-table segments, "
             f"block_dim={bd}, delta={mode}, {total} compressed bytes"
             f"{pct(total, t*h*w)}"
-            f"{crc_str(frame_stream.source_crc32(data))} [{per}]"
+            f"{crc_str(frame_stream.source_crc32(data), data)} [{per}]"
         )
         return 0
     if data[:4] == frame_stream.SHARED_MAGIC:
@@ -236,7 +241,7 @@ def cmd_info(args) -> int:
             f"{stream.compressed_size} compressed bytes"
             f"{pct(stream.compressed_size, t*h*w)}, "
             f"{stream.block_offsets.size} blocks"
-            f"{crc_str(frame_stream.source_crc32(data))}"
+            f"{crc_str(frame_stream.source_crc32(data), data)}"
         )
         return 0
     if data[:4] == frame_stream.STREAM_MAGIC:
