@@ -227,3 +227,37 @@ def test_salvage_blocks_inplace():
     assert (frames[0, 0:8, 8:16] == 0).all()
     assert (frames[1, 0:8, 8:16] == 0).all()
     assert frames.sum() == 2 * 16 * 24 - 2 * 64  # everything else untouched
+
+
+def test_cli_salvage_segmented(tmp_path):
+    from metalhuffman_tpu.cli import main
+
+    rng = np.random.default_rng(9)
+    frames = np.minimum(
+        rng.integers(0, 256, (6, 24, 32), np.uint8),
+        rng.integers(0, 256, (6, 24, 32), np.uint8))
+    cfg = CodecConfig(backend="native")
+    segs = frame_stream.encode_frames_segmented(frames, cfg,
+                                                max_segment_bits=16_000)
+    assert len(segs) > 1
+    blob = bytearray(frame_stream.write_segmented(segs, 24, 32, cfg))
+    # wreck one block inside the SECOND segment's code bytes
+    import struct
+
+    pos = 4 + 18  # MHV2 head
+    ft0, nb0, cl0 = struct.unpack_from("<III", bytes(blob), pos)
+    pos += 12 + cl0 + 4 * nb0  # past segment 0
+    ft1, nb1, cl1 = struct.unpack_from("<III", bytes(blob), pos)
+    seg1_stream = segs[1][0]
+    code_off = pos + 12 + 8 + 256 + int(seg1_stream.block_offsets[2]) // 8 + 2
+    blob[code_off : code_off + 6] = b"\xff" * 6
+    bad = tmp_path / "bad.mhv2"
+    bad.write_bytes(bytes(blob))
+    out = tmp_path / "out.npy"
+    with pytest.raises(SystemExit, match="segment 1"):
+        main(["decode-video", str(bad), str(out), "--check"])
+    main(["decode-video", str(bad), str(out), "--check", "--salvage"])
+    got = np.load(out)
+    assert got.shape == frames.shape
+    # segment 0's frames are untouched
+    assert np.array_equal(got[0], frames[0])
