@@ -194,8 +194,8 @@ def run_temporal(height: int, width: int, frames: int, iters: int,
     """Temporal (MHVT) decode throughput: kernel decode + ON-DEVICE fold.
 
     The production MHVT path (``models.temporal._decode_temporal_device``):
-    the Pallas kernel emits raw packed image words, the SWAR associative
-    scan reconstructs the keyint groups in the packed layout, and the host
+    the Pallas kernel emits raw packed image words, a fori-loop of
+    single-slot SWAR adds reconstructs the keyint groups in place, and the host
     views bytes for free — one fused jit program per dispatch. The stderr
     diagnostic reports the plain (fold-less) rate from the same staged
     inputs so the fold's cost is measured, not guessed (VERDICT round-2

@@ -91,9 +91,7 @@ def encode_video(frames, config=None) -> bytes:
     if config is not None and config.frame_crcs:
         # per-frame table (FCRC extension): random access verifies exactly
         # the frames it touches
-        fcrcs = np.array(
-            [zlib.crc32(np.ascontiguousarray(f).tobytes())
-             for f in frames_arr], np.uint32)
+        fcrcs = frame_stream.compute_frame_crcs(frames_arr)
     segs = frame_stream.encode_frames_segmented(frames_arr, config)
     if len(segs) == 1:
         return frame_stream.write_shared(

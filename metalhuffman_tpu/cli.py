@@ -214,7 +214,12 @@ def cmd_info(args) -> int:
     def crc_str(recorded, blob=None) -> str:
         out = f", crc32={'recorded' if recorded else 'absent'}"
         if blob is not None:
-            fc = frame_stream.read_frame_crcs(blob)
+            try:
+                fc = frame_stream.read_frame_crcs(blob)
+            except ValueError:
+                # info is the tool users reach for on DAMAGED files:
+                # report the truncation instead of crashing
+                return out + ", frame-crcs=TRUNCATED"
             if fc is not None:
                 out += f", frame-crcs={fc.shape[0]}"
         return out
@@ -471,11 +476,8 @@ def cmd_encode_video(args) -> int:
         # auto-upgrades to segmented MHV2 when one shared stream could
         # overflow the u32 block-offset index (> ~512 MB compressed)
         crc = zlib.crc32(np.ascontiguousarray(frames).tobytes())
-        fcrcs = None
-        if cfg.frame_crcs:
-            fcrcs = np.array(
-                [zlib.crc32(np.ascontiguousarray(f).tobytes())
-                 for f in frames], np.uint32)
+        fcrcs = (frame_stream.compute_frame_crcs(frames)
+                 if cfg.frame_crcs else None)
         segs = frame_stream.encode_frames_segmented(frames, cfg)
         if len(segs) == 1:
             blob = frame_stream.write_shared(
@@ -899,10 +901,13 @@ def cmd_decode_video(args) -> int:
         # --frame verifies against any recorded per-frame CRCs (FCRC
         # extension / MHTS records) automatically; --check additionally
         # insists the container records them
-        has_fcrcs = (
-            any(frame_stream.read_stream_crcs(data))
-            if data[:4] == frame_stream.STREAM_MAGIC
-            else frame_stream.read_frame_crcs(data) is not None)
+        try:
+            has_fcrcs = (
+                any(frame_stream.read_stream_crcs(data))
+                if data[:4] == frame_stream.STREAM_MAGIC
+                else frame_stream.read_frame_crcs(data) is not None)
+        except ValueError as e:  # not a video container / truncated FCRC
+            raise SystemExit(str(e))
         if check and not has_fcrcs:
             raise SystemExit(
                 "--frame --check needs per-frame CRCs; this container "

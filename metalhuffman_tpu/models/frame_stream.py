@@ -218,6 +218,14 @@ def read_frame_crcs(data: bytes):
     return np.frombuffer(data, dtype="<u4", count=t, offset=pos + 8).copy()
 
 
+def compute_frame_crcs(frames) -> np.ndarray:
+    """(T,) uint32 per-frame CRC-32 table of a frame stack — THE one
+    recipe every writer (library encode_video, CLI, MHVT wrapper) shares,
+    so tables written by any surface verify on any other."""
+    return np.array([zlib.crc32(np.ascontiguousarray(f).tobytes())
+                     for f in frames], np.uint32)
+
+
 def verify_frame_crcs(frames, fcrcs, base: int = 0) -> None:
     """Check frames [base, base+len) against a per-frame CRC table."""
     if fcrcs is None:
@@ -965,7 +973,29 @@ def decode_range(data: bytes, a: int, b: int,
             return done(outs[0], h, w)
         cat = np.concatenate if to_host else jnp.concatenate
         return done(cat(outs), h, w)
-    raise ValueError("not an MHTV/MHV2 container")
+    if data[:4] == STREAM_MAGIC:
+        # per-frame-table MHTS: a range is a loop of single-frame decodes
+        # (each stream has its own canonical table — no shared batch), each
+        # verified against its MHT1 record's CRC when recorded
+        streams, h, w, bd, delta = read_stream(data)
+        if not 0 <= a < b <= len(streams):
+            raise ValueError(
+                f"frames [{a}, {b}) out of range ({len(streams)} frames)")
+        crcs = read_stream_crcs(data)
+        outs = []
+        for i in range(a, b):
+            scfg = dataclasses.replace(
+                cfg, block_dim=bd, delta=delta,
+                delta2d=streams[i].predictor == "2d")
+            img = decode_frame(streams[i], 0, h, w, scfg)
+            if crcs[i] and zlib.crc32(
+                    np.ascontiguousarray(img).tobytes()) != crcs[i]:
+                raise ValueError(
+                    f"decoded frame {i} fails its recorded CRC-32 — the "
+                    "stream is corrupt")
+            outs.append(np.asarray(img))
+        return np.stack(outs), h, w
+    raise ValueError("not an MHTV/MHV2/MHTS container")
 
 
 def salvage_blocks(frames: np.ndarray, err: np.ndarray, block_dim: int):

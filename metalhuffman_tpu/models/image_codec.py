@@ -323,8 +323,6 @@ class ImageCodec:
         multithreaded C++ decoder on native, the portable XLA path
         otherwise. Returns the (rh, rw) uint8 crop.
         """
-        from ..core import delta as delta_mod
-
         cfg = self.config
         bd = cfg.block_dim
         bh, bw = blocks.block_grid(height, width, bd)

@@ -459,24 +459,17 @@ def _frame_crcs(frames: np.ndarray, cfg: CodecConfig):
     """(T,) uint32 per-TRUE-frame CRC table, or None unless cfg asks."""
     if not cfg.frame_crcs:
         return None
-    return np.array([zlib.crc32(np.ascontiguousarray(f).tobytes())
-                     for f in frames], np.uint32)
+    from . import frame_stream
+
+    return frame_stream.compute_frame_crcs(frames)
 
 
 def _verify_frame_crcs(frames, fcrcs, base: int = 0) -> None:
-    """Check reconstructed frames [base, base+len) against the CRC table."""
-    if fcrcs is None:
-        return
-    if fcrcs.shape[0] < base + len(frames):
-        raise ValueError(
-            "corrupt MHVT container (frame CRC table shorter than the "
-            "stream)")
-    for i, f in enumerate(frames):
-        if (zlib.crc32(np.ascontiguousarray(f).tobytes()) & 0xFFFFFFFF
-                != int(fcrcs[base + i])):
-            raise ValueError(
-                f"frame {base + i} fails its recorded CRC-32 — the "
-                "container is corrupt")
+    """Check reconstructed frames [base, base+len) against the CRC table
+    (one shared implementation: ``frame_stream.verify_frame_crcs``)."""
+    from . import frame_stream
+
+    frame_stream.verify_frame_crcs(frames, fcrcs, base)
 
 
 def _residuals(frames: np.ndarray, cfg: CodecConfig,

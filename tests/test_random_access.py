@@ -267,3 +267,23 @@ def test_cli_frames_range(tmp_path):
         main(["decode-video", str(out), str(got), "--frames", "1", "4",
               "--frame", "2", "--region", "0", "0", "8", "8",
               "--backend", "native"])
+
+
+def test_frames_range_mhts(tmp_path):
+    # per-frame-table MHTS: decode_range loops single-frame decodes and
+    # verifies each frame's recorded CRC (round-3 review finding)
+    from metalhuffman_tpu.cli import main
+
+    frames = _region_frames(t=5)
+    src = tmp_path / "v.npy"
+    np.save(src, frames)
+    out = tmp_path / "v.mhts"
+    main(["encode-video", str(src), str(out), "--per-frame-tables",
+          "--backend", "native"])
+    got, h, w = frame_stream.decode_range(
+        out.read_bytes(), 1, 4, CodecConfig(backend="native"))
+    np.testing.assert_array_equal(got, frames[1:4])
+    dst = tmp_path / "r.npy"
+    main(["decode-video", str(out), str(dst), "--frames", "1", "4",
+          "--backend", "native"])
+    np.testing.assert_array_equal(np.load(dst), frames[1:4])
