@@ -78,6 +78,25 @@ def main():
     print(f"temporal best: kept {kind}, {len(tblob)} bytes "
           f"({len(tblob)/frames.size:.1%} vs {len(blob)/frames.size:.1%} "
           f"plain) — bit-exact incl. random access")
+
+    # 8. spatio-temporal ROI: a 256x256 crop of frames [2, 5) — neither
+    #    the rest of each frame nor the other frames are ever decoded
+    roi = frame_stream.decode_video_region(blob, 2, 5, 512, 512, 256, 256,
+                                           cfg)
+    assert np.array_equal(roi, frames[2:5, 512:768, 512:768])
+    print("spatio-temporal ROI: bit-exact (region blocks only)")
+
+    # 9. lossless container surgery: cut frames [1, 5) and splice — no
+    #    re-encode, CRCs combine algebraically
+    from metalhuffman_tpu.models import surgery
+
+    part = surgery.extract_video(blob, 1, 5)
+    assert np.array_equal(mht.decode_video(part, cfg), frames[1:5])
+    joined = surgery.concat_videos([part, blob])
+    assert np.array_equal(mht.decode_video(joined, cfg),
+                          np.concatenate([frames[1:5], frames]))
+    print(f"surgery: extract+concat bit-exact, zero re-encode "
+          f"({len(part)} + {len(blob)} -> {len(joined)} bytes)")
     print("video pipeline OK")
 
 
