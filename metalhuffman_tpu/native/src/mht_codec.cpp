@@ -598,7 +598,8 @@ int mht_encode_mt(const uint8_t* data, int64_t n, int64_t block_size,
   if (n_blocks > 0 && total_bits >= (1LL << 32)) return -7;  // u32 offsets
   const int64_t total_bytes = (total_bits + 7) / 8 + 2;
   if (total_bytes > code_capacity) return -3;
-  std::memset(code_bytes_out, 0, total_bytes);
+  // no serial memset here: each pass-2 thread zeroes ITS OWN byte range
+  // before packing (a serial memset of the output was ~10% of encode time)
 
   // pass 2: parallel pack (pair-table rolling packer, see pack_chunk_or);
   // the first partial byte of each chunk is shared with the previous
@@ -617,6 +618,16 @@ int mht_encode_mt(const uint8_t* data, int64_t n, int64_t block_size,
         const int64_t lo = t * blocks_per_chunk * block_size;
         const int64_t hi =
             (t == nc - 1) ? n : std::min<int64_t>(n, (t + 1) * blocks_per_chunk * block_size);
+        // zero THIS thread's byte range first: every write below is an OR
+        // (or a rolling store of accumulated bits) into its own bytes, so
+        // per-thread zeroing composes exactly like the old global memset.
+        // A chunk's shared first byte belongs to the PREVIOUS thread's
+        // range (its tail bits live there; ours divert to head_byte).
+        const int64_t z_lo = (chunk_start[t] + 7) / 8;
+        const int64_t z_hi =
+            (t == nc - 1) ? total_bytes : (chunk_start[t + 1] + 7) / 8;
+        if (z_hi > z_lo)
+          std::memset(code_bytes_out + z_lo, 0, z_hi - z_lo);
         pack_chunk_or(data, lo, hi, block_size, n_blocks, chunk_start[t],
                       ent, pair_tbl.data(), code_bytes_out,
                       block_offsets_out, &head_byte[t]);
