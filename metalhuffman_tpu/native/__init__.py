@@ -307,7 +307,9 @@ def decode_blocks(stream, *, delta: bool = True, block_size: int = 64,
     code_bytes = np.ascontiguousarray(stream.code_bytes, dtype=np.uint8)
     widths = np.ascontiguousarray(stream.widths, dtype=np.uint8)
     offsets = np.ascontiguousarray(stream.block_offsets, dtype=np.uint32)
-    out = np.zeros((nb, block_size), dtype=np.uint8)
+    # np.empty: the C decoder writes every output byte (or errors out), so
+    # pre-zeroing the n-sized buffer is pure tax (as in encode_symbols)
+    out = np.empty((nb, block_size), dtype=np.uint8)
     rc = lib.mht_decode_blocks(
         _u8p(code_bytes), code_bytes.size, _u8p(widths),
         offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
