@@ -491,7 +491,7 @@ def delta_encode(data: np.ndarray, block_size: int = 64) -> np.ndarray:
         pad = (-n) % block_size
         padded = np.pad(data, (0, pad)).reshape(-1, block_size)
         return delta.delta_encode_blocks(padded).ravel()[:n]
-    out = np.zeros_like(data)
+    out = np.empty_like(data)  # C writes every byte
     lib.mht_delta_encode(_u8p(data), data.size, block_size, _u8p(out))
     return out
 
@@ -506,7 +506,7 @@ def delta_decode(deltas: np.ndarray, block_size: int = 64) -> np.ndarray:
         pad = (-n) % block_size
         padded = np.pad(deltas, (0, pad)).reshape(-1, block_size)
         return delta.delta_decode_blocks(padded).ravel()[:n]
-    out = np.zeros_like(deltas)
+    out = np.empty_like(deltas)  # C writes every byte
     lib.mht_delta_decode(_u8p(deltas), deltas.size, block_size, _u8p(out))
     return out
 
@@ -520,7 +520,7 @@ def delta2d_encode(data: np.ndarray, block_dim: int = 8) -> np.ndarray:
 
         return delta.delta2d_encode_blocks(
             data.reshape(-1, block_dim * block_dim), block_dim).ravel()
-    out = np.zeros_like(data)
+    out = np.empty_like(data)  # C validates, then writes every byte
     rc = lib.mht_delta2d_encode(_u8p(data), data.size, block_dim, _u8p(out))
     if rc:
         raise ValueError("delta2d needs a whole number of blocks")
@@ -536,7 +536,7 @@ def delta2d_decode(res: np.ndarray, block_dim: int = 8) -> np.ndarray:
 
         return delta.delta2d_decode_blocks(
             res.reshape(-1, block_dim * block_dim), block_dim).ravel()
-    out = np.zeros_like(res)
+    out = np.empty_like(res)  # C validates, then writes every byte
     rc = lib.mht_delta2d_decode(_u8p(res), res.size, block_dim, _u8p(out))
     if rc:
         raise ValueError("delta2d needs a whole number of blocks")
