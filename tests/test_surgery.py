@@ -153,3 +153,35 @@ def test_cli_extract_concat(tmp_path):
         np.load(got), np.concatenate([frames[1:4], frames]))
     # verify passes on surgical outputs (all integrity metadata intact)
     main(["verify", str(joined), "--backend", "native"])
+
+
+def test_extract_zero_init_and_no_delta():
+    frames = _frames(t=6)
+    # zero-init (mode 2): block_init root bytes must slice with the blocks
+    zi = mh.encode_video(frames, CodecConfig(backend="native",
+                                             zero_init=True))
+    out = surgery.extract_video(zi, 1, 5)
+    np.testing.assert_array_equal(mh.decode_video(out, CPU), frames[1:5])
+    stream, _t, _h, _w, _bd, _d = frame_stream.read_shared(out)
+    assert stream.block_init is not None
+    # no-delta (mode 0)
+    nd = mh.encode_video(frames, CodecConfig(backend="native", delta=False))
+    out2 = surgery.extract_video(nd, 2, 6)
+    np.testing.assert_array_equal(mh.decode_video(out2, CPU), frames[2:6])
+    # extracted containers decode through the device path too
+    np.testing.assert_array_equal(
+        mh.decode_video(out, CodecConfig()), frames[1:5])
+
+
+def test_concat_zero_init_and_mixed_mode_refused():
+    frames_a = _frames(t=3, seed=7)
+    frames_b = _frames(t=4, seed=8)
+    zi = CodecConfig(backend="native", zero_init=True)
+    spliced = surgery.concat_videos([mh.encode_video(frames_a, zi),
+                                     mh.encode_video(frames_b, zi)])
+    np.testing.assert_array_equal(
+        mh.decode_video(spliced, CPU), np.concatenate([frames_a, frames_b]))
+    # mixing precoder modes must refuse (write_segmented's mode gate)
+    plain = mh.encode_video(frames_b, CPU)
+    with pytest.raises(ValueError):
+        surgery.concat_videos([mh.encode_video(frames_a, zi), plain])
