@@ -6,13 +6,12 @@ exact), --frame N --check, --region on MHVT and MHTV through the kernel,
 chain. Run from anywhere (sys.path pins the repo); one TPU process only.
 """
 import sys; sys.path.insert(0, "/root/repo")
-import subprocess, time
+import subprocess
 import numpy as np
-from PIL import Image
 import jax
 print("devices:", jax.devices(), flush=True)
 from metalhuffman_tpu.utils import fixtures
-from metalhuffman_tpu.models import CodecConfig, frame_stream, temporal
+from metalhuffman_tpu.models import frame_stream
 import metalhuffman_tpu as mh
 
 img = fixtures.render_frame("bridge")
