@@ -6,7 +6,7 @@ exact), --frame N --check, --region on MHVT and MHTV through the kernel,
 chain. Run from anywhere (sys.path pins the repo); one TPU process only.
 """
 import sys; sys.path.insert(0, "/root/repo")
-import subprocess
+import subprocess, time
 import numpy as np
 import jax
 print("devices:", jax.devices(), flush=True)
