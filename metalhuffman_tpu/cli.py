@@ -162,6 +162,21 @@ def cmd_roundtrip(args) -> int:
     from .models import ImageCodec, color
     from .utils import imageio
 
+    if getattr(args, "gray16", False):
+        img = imageio.load_gray16(args.input)
+        if img.ndim != 2:
+            raise SystemExit("--gray16 roundtrip takes one (H, W) frame")
+        cfg = _config(args)
+        blob = color.encode_gray16_to_bytes(img, cfg)
+        out = color.decode_gray16_from_bytes(blob, cfg)
+        if not np.array_equal(out, img):
+            raise SystemExit(f"{args.input}: gray16 roundtrip MISMATCH")
+        print(
+            f"{args.input}: {img.shape[0]}x{img.shape[1]} u16 bit-exact on "
+            f"{args.backend}; {len(blob)} bytes "
+            f"({len(blob)/(img.size*2):.1%})"
+        )
+        return 0
     if getattr(args, "color", False):
         img = imageio.load_color(args.input)
         cfg = _config(args)
@@ -1340,6 +1355,9 @@ def main(argv=None) -> int:
     p.add_argument("input")
     p.add_argument("--color", action="store_true",
                    help="roundtrip in color (MHTC planar channels)")
+    p.add_argument("--gray16", action="store_true",
+                   help="roundtrip 16-bit grayscale (MHTC hi/lo planes; "
+                        "input: uint16 .npy or 16-bit PNG)")
     _add_codec_flags(p)
     p.set_defaults(fn=cmd_roundtrip)
 
