@@ -1,0 +1,132 @@
+"""Randomized pipeline composition fuzz: container kind x precoder x
+temporal x surgery x random access, checked for end-to-end consistency.
+
+Each trial builds a random clip, encodes it under a random configuration,
+optionally performs lossless surgery, then cross-checks full decode,
+range decode, single-frame access, and a random spatial crop against the
+source. A fixed seed keeps failures reproducible; the native backend keeps
+the loop fast (device paths are gated bit-exact against it elsewhere).
+"""
+
+import numpy as np
+
+import metalhuffman_tpu as mh
+from metalhuffman_tpu.models import CodecConfig, frame_stream, surgery, temporal
+from metalhuffman_tpu.models import color as color_mod
+
+BACK = dict(backend="native")
+
+
+def _random_clip(rng):
+    t = int(rng.integers(2, 9))
+    h = int(rng.integers(9, 41))
+    w = int(rng.integers(9, 49))
+    kind = rng.choice(["gray", "color", "u16"])
+    if kind == "gray":
+        base = rng.integers(0, 256, (h, w), np.uint8)
+    elif kind == "color":
+        base = rng.integers(0, 256, (h, w, 3), np.uint8)
+    else:
+        base = rng.integers(0, 1 << 16, (h, w)).astype(np.uint16)
+    frames = np.stack([np.roll(base, (int(rng.integers(-3, 4)) * i,
+                                      int(rng.integers(-3, 4)) * i),
+                               (0, 1)) for i in range(t)])
+    return kind, frames
+
+
+def _encode(kind, frames, rng):
+    precoder = rng.choice(["none", "delta", "delta2d", "zero_init"])
+    cfg = CodecConfig(
+        **BACK,
+        delta=precoder != "none",
+        delta2d=precoder == "delta2d",
+        zero_init=precoder == "zero_init",
+        temporal=bool(rng.integers(0, 2)),
+        motion=bool(rng.integers(0, 2)),
+        keyint=int(rng.integers(1, 5)),
+        frame_crcs=bool(rng.integers(0, 2)),
+    )
+    if kind == "gray":
+        return mh.encode_video(frames, cfg), cfg
+    if kind == "color":
+        cs = (color_mod.CS_SUBGREEN if rng.integers(0, 2)
+              else color_mod.CS_IDENTITY)
+        if cfg.temporal:
+            return temporal.encode_temporal_color_video(
+                frames, cfg, colorspace=cs), cfg
+        return color_mod.encode_color_video_to_bytes(
+            frames, cfg, colorspace=cs), cfg
+    if cfg.temporal:
+        return temporal.encode_temporal_gray16_video(frames, cfg), cfg
+    return color_mod.encode_gray16_to_bytes(frames, cfg), cfg
+
+
+def _decode(kind, blob):
+    dec = CodecConfig(**BACK)
+    if blob[:4] == temporal.TEMPORAL_MAGIC:
+        return temporal.decode_temporal_video(blob, dec)
+    if kind == "gray":
+        return mh.decode_video(blob, dec)
+    if kind == "color":
+        return color_mod.decode_color_video_from_bytes(blob, dec)
+    return color_mod.decode_gray16_from_bytes(blob, dec)
+
+
+def test_pipeline_fuzz():
+    rng = np.random.default_rng(2026)
+    for trial in range(60):
+        kind, frames = _random_clip(rng)
+        t, h, w = frames.shape[:3]
+        blob, cfg = _encode(kind, frames, rng)
+        ctx = f"trial {trial}: {kind} {frames.shape} cfg={cfg}"
+
+        # full decode
+        got = _decode(kind, blob)
+        assert np.array_equal(got, frames), f"full decode, {ctx}"
+
+        # random frame access
+        n = int(rng.integers(0, t))
+        if blob[:4] == temporal.TEMPORAL_MAGIC:
+            one = temporal.decode_temporal_frame(blob, n, CodecConfig(**BACK))
+        elif kind == "gray":
+            one, _h, _w = frame_stream.decode_range(
+                blob, n, n + 1, CodecConfig(**BACK))
+            one = one[0]
+        else:
+            one = color_mod.decode_color_frame(blob, n, CodecConfig(**BACK))
+        assert np.array_equal(one, frames[n]), f"frame access, {ctx}"
+
+        # random spatial crop of a random frame range
+        a = int(rng.integers(0, t))
+        b = int(rng.integers(a + 1, t + 1))
+        y0 = int(rng.integers(0, h))
+        x0 = int(rng.integers(0, w))
+        rh = int(rng.integers(1, h - y0 + 1))
+        rw = int(rng.integers(1, w - x0 + 1))
+        if blob[:4] == temporal.TEMPORAL_MAGIC:
+            crop = temporal.decode_temporal_video_region(
+                blob, a, b, y0, x0, rh, rw, CodecConfig(**BACK))
+        elif kind == "gray":
+            crop = frame_stream.decode_video_region(
+                blob, a, b, y0, x0, rh, rw, CodecConfig(**BACK))
+        else:
+            crop = color_mod.decode_color_video_region(
+                blob, a, b, y0, x0, rh, rw, CodecConfig(**BACK))
+        assert np.array_equal(
+            crop, frames[a:b, y0 : y0 + rh, x0 : x0 + rw]), f"region, {ctx}"
+
+        # lossless surgery when the container supports this range
+        ki = cfg.keyint
+        sa = (int(rng.integers(0, t // ki + 1)) * ki
+              if blob[:4] == temporal.TEMPORAL_MAGIC else
+              int(rng.integers(0, t)))
+        if sa < t:
+            sb = int(rng.integers(sa + 1, t + 1))
+            part = surgery.extract_video(blob, sa, sb)
+            assert np.array_equal(_decode(kind, part),
+                                  frames[sa:sb]), f"extract, {ctx}"
+            if blob[:4] != temporal.TEMPORAL_MAGIC or t % ki == 0:
+                joined = surgery.concat_videos([blob, blob])
+                assert np.array_equal(
+                    _decode(kind, joined),
+                    np.concatenate([frames, frames])), f"concat, {ctx}"
