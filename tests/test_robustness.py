@@ -56,3 +56,57 @@ def test_decode_without_crc_still_works():
     blob = container.write_frame(stream, *img.shape, 8, True)  # crc=0
     out = codec.decode(blob)
     np.testing.assert_array_equal(out, img)
+
+
+def test_truncation_fuzz_every_container_kind():
+    """Truncating ANY container at ANY point must raise a clean ValueError
+    (or decode to a wrong payload that the CRC catches) — never a raw
+    IndexError/struct.error/TypeError crash (round-3 robustness net across
+    MHT1/MHTV/MHV2/MHTS/MHTC/MHVT incl. motion + FCRC tables)."""
+    import metalhuffman_tpu as mh
+    from metalhuffman_tpu.models import CodecConfig, color, frame_stream, temporal
+
+    rng = np.random.default_rng(5)
+    base = rng.integers(0, 256, (20, 24), np.uint8)
+    frames = np.stack([np.roll(base, i, 0) for i in range(5)])
+    cfg_n = CodecConfig(backend="native")
+    blobs = {
+        "MHT1": mh.encode_image(base, cfg_n),
+        "MHTV": mh.encode_video(frames, CodecConfig(
+            backend="native", frame_crcs=True)),
+        "MHTS": frame_stream.write_stream(
+            frame_stream.encode_frames(frames, cfg_n), 20, 24, cfg_n),
+        "MHTC": color.encode_color_video_to_bytes(
+            np.repeat(frames[..., None], 3, -1), cfg_n),
+        "MHVT": mh.encode_video(frames, CodecConfig(
+            backend="native", temporal=True, motion=True, keyint=2,
+            frame_crcs=True)),
+    }
+
+    def try_decode(name, data):
+        if name == "MHT1":
+            return mh.decode_image(data, cfg_n)
+        if name == "MHTC":
+            return color.decode_color_video_from_bytes(data, cfg_n)
+        if name == "MHVT":
+            return temporal.decode_temporal_video(data, cfg_n)
+        return mh.decode_video(data, cfg_n)
+
+    want = {"MHT1": base, "MHTC": np.repeat(frames[..., None], 3, -1)}
+    for name, blob in blobs.items():
+        expected = want.get(name, frames)
+        cuts = sorted({int(c) for c in rng.integers(0, len(blob), 25)})
+        for cut in cuts:
+            try:
+                got = try_decode(name, blob[:cut])
+            except (ValueError, RuntimeError):
+                continue  # clean, expected
+            except Exception as e:  # noqa: BLE001 — the point of the test
+                raise AssertionError(
+                    f"{name} truncated at {cut}/{len(blob)} raised "
+                    f"{type(e).__name__}: {e}") from e
+            # decoding "succeeded": only acceptable as GRACEFUL degradation
+            # — the cut removed optional trailing metadata and the payload
+            # still reconstructs exactly (e.g. a truncated FCRC extension
+            # parses as absent; the mandatory CRC trailer still verified)
+            assert np.array_equal(got, expected), (name, cut, len(blob))
