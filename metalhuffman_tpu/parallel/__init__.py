@@ -7,6 +7,7 @@ axis, with the code-word stream and decode tables replicated over ICI and the
 decoded spans gathered back in stream order.
 """
 
-from . import mesh, multihost, shard_decode  # noqa: F401
+from . import mesh, multihost, shard_decode, shard_encode  # noqa: F401
 from .mesh import make_mesh  # noqa: F401
 from .shard_decode import decode_blocks_sharded  # noqa: F401
+from .shard_encode import encode_symbols_sharded  # noqa: F401
