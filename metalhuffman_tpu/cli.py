@@ -839,10 +839,11 @@ def _cmd_decode_video_region(args, data: bytes, cfg) -> int:
     from .models import color, frame_stream, temporal
 
     y0, x0, rhh, rww = args.region
-    if getattr(args, "check", False):
+    check = getattr(args, "check", False)
+    if getattr(args, "salvage", False):
         raise SystemExit(
-            "--check verifies whole streams; per-frame CRCs cannot cover a "
-            "crop — drop it for --region access")
+            "--salvage applies to whole-stream decode; --region --check "
+            "fails fast on the touched blocks instead")
     if args.frame is not None and getattr(args, "frames", None) is not None:
         raise SystemExit("--frame and --frames are mutually exclusive")
     t0 = time.perf_counter()
@@ -854,7 +855,7 @@ def _cmd_decode_video_region(args, data: bytes, cfg) -> int:
                     "corrupt MHVT container (unrecognized inner stream)")
             a, b = _frame_span(args, total)
             out = temporal.decode_temporal_video_region(
-                data, a, b, y0, x0, rhh, rww, cfg)
+                data, a, b, y0, x0, rhh, rww, cfg, check=check)
         elif data[:4] == color.COLOR_MAGIC:
             inner, ch, layout, kind, _cs = color.unwrap(data)
             if layout != color.LAYOUT_VIDEO:
@@ -864,13 +865,13 @@ def _cmd_decode_video_region(args, data: bytes, cfg) -> int:
             total = planes // (2 if kind == color.KIND_U16 else ch)
             a, b = _frame_span(args, total)
             out = color.decode_color_video_region(
-                data, a, b, y0, x0, rhh, rww, cfg)
+                data, a, b, y0, x0, rhh, rww, cfg, check=check)
         elif data[:4] in (frame_stream.SHARED_MAGIC,
                           frame_stream.SEGMENTED_MAGIC):
             (total,) = struct_mod.unpack_from("<I", data, 4)
             a, b = _frame_span(args, total)
             out = frame_stream.decode_video_region(
-                data, a, b, y0, x0, rhh, rww, cfg)
+                data, a, b, y0, x0, rhh, rww, cfg, check=check)
         else:
             raise SystemExit(
                 "--region supports MHTV/MHV2/MHTC/MHVT containers")
@@ -888,8 +889,9 @@ def _cmd_decode_video_region(args, data: bytes, cfg) -> int:
             _save_frame(f, outp / f"frame_{i:05d}.png")
     which = (f"frame {args.frame}" if args.frame is not None
              else f"frames [{a}, {b})")
+    checked = " (end-bit integrity check: ok)" if check else ""
     print(f"{args.input}: decoded {rhh}x{rww} region at ({y0}, {x0}) of "
-          f"{which} in {dt:.3f} s -> {args.output}")
+          f"{which} in {dt:.3f} s{checked} -> {args.output}")
     return 0
 
 
@@ -1430,7 +1432,9 @@ def main(argv=None) -> int:
                    help="decode ONLY the (H, W) crop at (Y, X) — combined "
                         "with --frame/--frames this touches just those "
                         "frames' region blocks (spatio-temporal random "
-                        "access); MHTV/MHV2/MHTC/MHVT containers")
+                        "access); MHTV/MHV2/MHTC/MHVT containers. With "
+                        "--check the end-bit integrity check verifies "
+                        "exactly the touched blocks")
     _add_codec_flags(p)
     p.set_defaults(fn=cmd_decode_video)
 

@@ -358,19 +358,23 @@ def decode_color_frame(blob: bytes, n: int, config: CodecConfig | None = None) -
 
 def decode_color_video_region(blob: bytes, a: int, b: int, y0: int, x0: int,
                               rh: int, rw: int,
-                              config: CodecConfig | None = None) -> np.ndarray:
+                              config: CodecConfig | None = None,
+                              check: bool = False) -> np.ndarray:
     """Spatio-temporal ROI of an MHTC video: the (rh, rw) crop of frames
     [a, b) -> (b-a, rh, rw, C) uint8 or (b-a, rh, rw) uint16.
 
     Planes are per-pixel transforms (hi/lo split, sub-green), so cropping
     commutes with the fold — only the region's blocks of the touched
     frames' planes decode (``frame_stream.decode_video_region``).
+    ``check`` runs the end-bit integrity check over exactly the touched
+    plane blocks.
     """
     inner, channels, layout, kind, cs = unwrap(blob)
     if layout != LAYOUT_VIDEO:
         raise ValueError("MHTC blob is a single image (no frame axis)")
     planes = frame_stream.decode_video_region(
-        inner, a * channels, b * channels, y0, x0, rh, rw, config)
+        inner, a * channels, b * channels, y0, x0, rh, rw, config,
+        check=check)
     return fold_video_planes(planes, channels, kind, cs)
 
 

@@ -1026,7 +1026,8 @@ def salvage_blocks(frames: np.ndarray, err: np.ndarray, block_dim: int):
 
 def decode_video_region(data: bytes, a: int, b: int, y0: int, x0: int,
                         rh: int, rw: int,
-                        config: CodecConfig | None = None) -> np.ndarray:
+                        config: CodecConfig | None = None,
+                        check: bool = False) -> np.ndarray:
     """Spatio-temporal ROI: the (rh, rw) crop of frames [a, b) of an
     MHTV/MHV2 container -> (b-a, rh, rw) uint8.
 
@@ -1036,8 +1037,18 @@ def decode_video_region(data: bytes, a: int, b: int, y0: int, x0: int,
     per segment (the selection is frame-major, so the combined block grid
     is just a taller image). The reference re-crops a fully decoded
     texture every tick (``AAPLShaders.metal:108-123``); here neither the
-    rest of the frame nor the other frames are ever touched. Per-frame
-    CRCs (FCRC) cannot cover a crop, so no integrity check applies.
+    rest of the frame nor the other frames are ever touched.
+
+    Per-frame CRCs cannot cover a crop, so with ``check`` the end-bit
+    integrity check verifies exactly the touched blocks (raising
+    ValueError naming the corrupt frames). Detection power: corruption
+    outside the region never trips it; corruption inside is caught
+    whenever it shifts the block's end position (truncation, burst
+    damage, lost/inserted bits). A corruption that re-synchronizes at the
+    same net bit length is itself a valid encoding of wrong content and
+    is undetectable without stored redundancy — that is what the
+    whole-stream CRC surfaces are for (``ops.decode_pallas`` integrity
+    notes).
     """
     import dataclasses
 
@@ -1072,8 +1083,19 @@ def decode_video_region(data: bytes, a: int, b: int, y0: int, x0: int,
             tt = hi - lo
             sel = (frame_sel[None, :]
                    + per * np.arange(lo - base, hi - base)[:, None]).ravel()
-            grid = decode_blocks_selection(
-                stream, sel, tt * rbh * bd, rbw * bd, cfg)
+            if check:
+                grid, err = decode_blocks_selection(
+                    stream, sel, tt * rbh * bd, rbw * bd, cfg, check=True)
+                if err.any():
+                    bad_frames = lo + np.unique(
+                        np.flatnonzero(err) // frame_sel.size)
+                    raise ValueError(
+                        f"region integrity check failed: {int(err.sum())} "
+                        f"of {sel.size} touched blocks corrupt (frames "
+                        f"{bad_frames.tolist()})")
+            else:
+                grid = decode_blocks_selection(
+                    stream, sel, tt * rbh * bd, rbw * bd, cfg)
             outs.append(grid.reshape(tt, rbh * bd, rbw * bd))
         base += ft
     out = outs[0] if len(outs) == 1 else np.concatenate(outs)

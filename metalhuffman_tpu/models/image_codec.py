@@ -311,6 +311,7 @@ class ImageCodec:
         x0: int,
         rh: int,
         rw: int,
+        check: bool = False,
     ) -> np.ndarray:
         """Decode only the blocks covering a region of interest.
 
@@ -322,6 +323,12 @@ class ImageCodec:
         shorter offset index; the kernel never knows it's a crop), the
         multithreaded C++ decoder on native, the portable XLA path
         otherwise. Returns the (rh, rw) uint8 crop.
+
+        With ``check`` the end-bit integrity check verifies exactly the
+        touched blocks (the device analog of the reference's
+        verify-what-you-render assert, ``AAPLRenderer.m:1849-1876``) and
+        raises ValueError on corruption — whole-payload CRCs cannot cover
+        a crop, so this is the ROI integrity surface.
         """
         cfg = self.config
         bd = cfg.block_dim
@@ -335,7 +342,17 @@ class ImageCodec:
         ).ravel()
         gh, gw = (by1 - by0) * bd, (bx1 - bx0) * bd  # region block grid px
         oy, ox = y0 - by0 * bd, x0 - bx0 * bd
-        region = decode_blocks_selection(stream, sel, gh, gw, cfg)
+        if check:
+            region, err = decode_blocks_selection(
+                stream, sel, gh, gw, cfg, check=True)
+            if err.any():
+                bad = sel[err]
+                raise ValueError(
+                    f"region integrity check failed: {int(err.sum())} of "
+                    f"{sel.size} touched blocks corrupt (first at block "
+                    f"row {int(bad[0]) // bw}, col {int(bad[0]) % bw})")
+        else:
+            region = decode_blocks_selection(stream, sel, gh, gw, cfg)
         return region[oy : oy + rh, ox : ox + rw]
 
     def roundtrip_verify(self, img: np.ndarray) -> container.EncodedStream:
@@ -348,9 +365,53 @@ class ImageCodec:
         return stream
 
 
+def selection_end_targets(stream: container.EncodedStream,
+                          sel: np.ndarray,
+                          block_size: int = 64) -> np.ndarray:
+    """Expected row-local end bit for each SELECTED block -> (n_sel,) int32.
+
+    The offset index pins every block's bit length (next offset minus own
+    offset), so a selection's integrity targets need no decode: target =
+    ``(offset & 31) + length`` in the rebased row-local coordinates every
+    decode path uses. The stream's LAST block has no successor offset; when
+    the stream carries no tail symbols its end is window-checked by the
+    caller (byte-rounding slack), otherwise it stays -1 = unchecked.
+    """
+    offs = np.asarray(stream.block_offsets, np.int64)
+    nb = offs.size
+    sel = np.asarray(sel, np.int64)
+    t = np.full(sel.size, -1, np.int32)
+    inner = sel < nb - 1
+    si = sel[inner]
+    t[inner] = ((offs[si] & 31) + (offs[si + 1] - offs[si])).astype(np.int32)
+    return t
+
+
+def _check_selection_ends(stream: container.EncodedStream, sel: np.ndarray,
+                          end_bits: np.ndarray,
+                          block_size: int) -> np.ndarray:
+    """End bits (selection order) vs the offset index -> (n_sel,) bool err."""
+    targets = selection_end_targets(stream, sel, block_size)
+    end = np.asarray(end_bits, np.int64).reshape(-1)[: sel.size]
+    err = (end != targets) & (targets >= 0)
+    nb = stream.block_offsets.size
+    last = np.flatnonzero(np.asarray(sel) == nb - 1)
+    if last.size and stream.num_symbols == nb * block_size:
+        # no tail symbols: the last block ends at the stream's exact bit
+        # count, known only up to byte rounding -> loose window check
+        # (mirrors decode_pallas.decode_stream_checked)
+        total_bits = 8 * (
+            stream.code_bytes.size - bitstream.READ_AHEAD_PAD_BYTES)
+        off_last = int(stream.block_offsets[-1])
+        hi = (off_last & 31) + (total_bits - off_last)
+        for p in last:
+            err[p] = not (hi - 7 <= int(end[p]) <= hi)
+    return err
+
+
 def decode_blocks_selection(stream: container.EncodedStream,
                             sel: np.ndarray, gh: int, gw: int,
-                            cfg: CodecConfig) -> np.ndarray:
+                            cfg: CodecConfig, check: bool = False):
     """Decode an arbitrary SELECTION of a stream's blocks -> (gh, gw) uint8.
 
     ``sel`` indexes ``stream.block_offsets`` in the row-major order of the
@@ -360,6 +421,16 @@ def decode_blocks_selection(stream: container.EncodedStream,
     the selected blocks can touch. This is the engine under every
     random-access surface: spatial ROI (``ImageCodec.decode_region``) and
     the spatio-temporal video ROI (``frame_stream.decode_video_region``).
+
+    With ``check`` the per-block end-bit integrity check covers exactly the
+    touched blocks and the return becomes ``(image, err_mask)`` with
+    ``err_mask`` (n_sel,) bool in selection order: on the device backends
+    the kernel's end-bit output is compared against the offset index
+    (``ops.decode_pallas`` integrity machinery); on the native backend the
+    consumed bit count is re-derived on host by re-applying the forward
+    precoder to the decoded blocks (the canonical code is prefix-free, so
+    re-encoding the decoded symbols reproduces the decoder's exact end
+    position — the same check, computed from the other side).
     """
     from ..core import delta as delta_mod
 
@@ -376,9 +447,22 @@ def decode_blocks_selection(stream: container.EncodedStream,
         blk = native.decode_blocks(
             sub, delta=kdelta, block_size=cfg.block_size,
             delta2d=cfg.delta2d)
+        err = None
+        if check:
+            if kdelta:
+                raw = native.delta_encode(blk.ravel(), cfg.block_size)
+            elif cfg.delta2d:
+                raw = native.delta2d_encode(blk.ravel(), bd)
+            else:
+                raw = blk.ravel()
+            bits = (stream.widths[raw].reshape(sel.size, cfg.block_size)
+                    .astype(np.int64).sum(axis=1))
+            end = (sub_offsets.astype(np.int64) & 31) + bits
+            err = _check_selection_ends(stream, sel, end, cfg.block_size)
         if sub_init is not None:
             blk = delta_mod.apply_block_init(blk, sub_init)
-        return blocks.blocks_to_image(blk, gh, gw, bd)
+        img = blocks.blocks_to_image(blk, gh, gw, bd)
+        return (img, err) if check else img
 
     total_bits = 8 * (stream.code_bytes.size - bitstream.READ_AHEAD_PAD_BYTES)
     wpr = layout_mod.words_per_block(
@@ -418,12 +502,17 @@ def decode_blocks_selection(stream: container.EncodedStream,
         device_args, backend=backend, height=gh, width=gw,
         n_blocks=int(sel.size), block_dim=bd, delta=kdelta,
         delta2d=cfg.delta2d, interpret=interpret,
-        static_meta=static_meta, words_per_row=wpr,
+        static_meta=static_meta, words_per_row=wpr, emit_end=check,
     )
+    err = None
+    if check:
+        out, end_bits = out
+        err = _check_selection_ends(
+            stream, sel, np.asarray(end_bits), cfg.block_size)
     if sub_init is not None:
         out = _apply_init_image_jit(
             out, jnp.asarray(sub_init), block_dim=bd, height=gh, width=gw)
-    return np.asarray(out)
+    return (np.asarray(out), err) if check else np.asarray(out)
 
 
 @partial(jax.jit, static_argnames=("block_dim", "height", "width"))
@@ -442,14 +531,20 @@ def _apply_init_image_jit(img, init, *, block_dim, height, width):
     jax.jit,
     static_argnames=(
         "backend", "height", "width", "n_blocks", "block_dim", "delta",
-        "delta2d", "interpret", "static_meta", "words_per_row",
+        "delta2d", "interpret", "static_meta", "words_per_row", "emit_end",
     ),
 )
 def _decode_step_jit(
     device_args, *, backend, height, width, n_blocks, block_dim, delta,
-    interpret, static_meta=(), words_per_row=0, delta2d=False
+    interpret, static_meta=(), words_per_row=0, delta2d=False,
+    emit_end=False
 ):
+    """Device decode -> (H, W) image; with ``emit_end`` also the per-block
+    row-local end bits ((n_blocks,) int32, stream order) for the integrity
+    check. ``emit_end`` rides the generic tile path (the ROI/selection
+    engine), not the image-layout plan path."""
     block_size = block_dim * block_dim
+    end_bits = None
     if backend == "pallas":
         rows, init, pair_table = device_args
         bounds, adj_inc, plan = static_meta
@@ -457,6 +552,9 @@ def _decode_step_jit(
         # (decode_pallas._delta2d_row) — no post-pass at all
         in_kernel_d2 = delta2d and block_dim == 8
         if plan is not None:
+            if emit_end:
+                raise ValueError(
+                    "emit_end is for the generic tile path (selection/ROI)")
             strips = decode_pallas.decode_tiles_images(
                 rows, init, pair_table,
                 width=words_per_row, bounds=bounds, adj_inc=adj_inc,
@@ -470,17 +568,27 @@ def _decode_step_jit(
             rows, init, pair_table,
             width=words_per_row, bounds=bounds, adj_inc=adj_inc,
             num_steps=block_size, delta=delta, interpret=interpret,
-            delta2d=in_kernel_d2,
+            delta2d=in_kernel_d2, emit_end_bits=emit_end,
         )
+        if emit_end:
+            out, end = out
+            # grouped (ng, g*8, 128) flattens in stream order (tile-major)
+            end_bits = end.reshape(-1)[:n_blocks]
         blk = decode_pallas.unpack_to_blocks(out, n_blocks, block_size)
         delta2d = delta2d and not in_kernel_d2  # 8x8: already reconstructed
     else:
         rows, bit_init, t1, t2 = device_args
         blk = decode_xla.decode_blocks(
-            rows, bit_init, t1, t2, num_steps=block_size, delta=delta
-        )[:n_blocks]
+            rows, bit_init, t1, t2, num_steps=block_size, delta=delta,
+            emit_end_bits=emit_end,
+        )
+        if emit_end:
+            blk, end = blk
+            end_bits = end[:n_blocks]
+        blk = blk[:n_blocks]
     if delta2d:
         from ..core import delta as delta_mod
 
         blk = delta_mod.delta2d_decode_blocks_jax(blk, block_dim)
-    return blocks.blocks_to_image_jax(blk, height, width, block_dim)
+    img = blocks.blocks_to_image_jax(blk, height, width, block_dim)
+    return (img, end_bits) if emit_end else img

@@ -953,8 +953,8 @@ def decode_temporal_range(blob: bytes, a: int, b: int,
 
 def decode_temporal_video_region(blob: bytes, a: int, b: int, y0: int,
                                  x0: int, rh: int, rw: int,
-                                 config: CodecConfig | None = None
-                                 ) -> np.ndarray:
+                                 config: CodecConfig | None = None,
+                                 check: bool = False) -> np.ndarray:
     """Spatio-temporal ROI of an MHVT video: the (rh, rw) crop of frames
     [a, b), reconstructed.
 
@@ -963,6 +963,11 @@ def decode_temporal_video_region(blob: bytes, a: int, b: int, y0: int,
     decode, then the crop folds. Motion compensation rolls pixels across
     the crop boundary, so the MC path falls back to full-frame range
     reconstruction (still only frames [keyframe(a), b)) and crops.
+
+    ``check`` verifies the touched residual blocks via the end-bit check
+    (whole-frame/per-frame CRCs cannot cover a crop); the MC fallback
+    instead verifies its full-frame range decode against the recorded
+    per-frame CRC table when present (``decode_temporal_range``).
     """
     from . import color, frame_stream
 
@@ -979,10 +984,10 @@ def decode_temporal_video_region(blob: bytes, a: int, b: int, y0: int,
     cfg = _inner_config(config)
     if inner[:4] == color.COLOR_MAGIC:
         res = color.decode_color_video_region(
-            inner, kf, b, y0, x0, rh, rw, cfg)
+            inner, kf, b, y0, x0, rh, rw, cfg, check=check)
     else:
         res = frame_stream.decode_video_region(
-            inner, kf, b, y0, x0, rh, rw, cfg)
+            inner, kf, b, y0, x0, rh, rw, cfg, check=check)
     return temporal_decode(res, keyint)[a - kf :]
 
 

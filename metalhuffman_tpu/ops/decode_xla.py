@@ -43,9 +43,11 @@ def _u32(x):
     return x.astype(jnp.uint32)
 
 
-@partial(jax.jit, static_argnames=("num_steps", "delta", "k2"))
+@partial(jax.jit, static_argnames=("num_steps", "delta", "k2",
+                                   "emit_end_bits"))
 def decode_blocks(rows, bit_init, t1_packed, t2_packed, *, num_steps: int = 64,
-                  delta: bool = True, k2: int = 8):
+                  delta: bool = True, k2: int = 8,
+                  emit_end_bits: bool = False):
     """Decode ``num_steps`` symbols from every block row.
 
     Args:
@@ -56,9 +58,13 @@ def decode_blocks(rows, bit_init, t1_packed, t2_packed, *, num_steps: int = 64,
         num_steps: symbols per block (block_dim**2).
         delta: apply in-loop running-sum delta reconstruction.
         k2: low-window bit count of the split tables.
+        emit_end_bits: also return each block's final row-local bit position
+            ((nblocks,) int32) — the loop carry the integrity check compares
+            against the offset index (``decode_pallas.block_end_targets``).
 
     Returns:
-        (nblocks, num_steps) uint8 decoded symbols.
+        (nblocks, num_steps) uint8 decoded symbols; with ``emit_end_bits``
+        a (symbols, end_bits) tuple.
     """
     nblocks = rows.shape[0]
     rows = _u32(rows)
@@ -92,7 +98,9 @@ def decode_blocks(rows, bit_init, t1_packed, t2_packed, *, num_steps: int = 64,
     # prev derives from bit_init (not a fresh zeros) so its varying-axis type
     # matches the loop output when this function runs inside shard_map.
     init = (bit_init.astype(jnp.int32), (bit_init * 0).astype(jnp.uint32))
-    _, out = jax.lax.scan(step, init, None, length=num_steps)
+    (end_bits, _), out = jax.lax.scan(step, init, None, length=num_steps)
+    if emit_end_bits:
+        return out.T, end_bits
     return out.T  # (nblocks, num_steps)
 
 
