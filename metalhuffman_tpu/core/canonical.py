@@ -269,7 +269,12 @@ def validate_widths(widths: np.ndarray) -> None:
     kraft = np.sum(2.0 ** (MAX_CODE_LENGTH - nz))
     full = float(1 << MAX_CODE_LENGTH)
     if nz.size == 1:
-        # Single 1-bit code: Kraft sum is 1/2, decoder only ever reads '0' bits.
+        # Single active symbol: the canonical assignment always gives it a
+        # 1-bit code (Kraft sum 1/2; the decoder only ever reads '0' bits).
+        # Any other width here is a corrupt or hand-mangled table.
+        if nz[0] != 1:
+            raise ValueError(
+                f"single-symbol table must use width 1, got {int(nz[0])}")
         return
     if kraft != full:
         raise ValueError(

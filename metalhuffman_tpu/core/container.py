@@ -55,7 +55,14 @@ class EncodedStream:
 
 
 def parse_core_blob(blob: bytes) -> tuple[int, np.ndarray, np.ndarray]:
-    """Parse a reference-format blob -> (num_symbols, widths, code_bytes)."""
+    """Parse a reference-format blob -> (num_symbols, widths, code_bytes).
+
+    The canonical width table is validated on parse (Kraft completeness,
+    <=16-bit lengths): a corrupted table would otherwise silently build
+    degenerate decode tables/kernel constants and decode bounded garbage
+    that only the payload CRC could catch. Every container reader (MHT1,
+    MHTV, MHV2, and the MHTC/MHVT wrappers over them) funnels through here.
+    """
     if len(blob) < 264:
         raise ValueError("blob too short for header + canonical table")
     magic, num_symbols = struct.unpack_from("<II", blob, 0)
@@ -63,6 +70,12 @@ def parse_core_blob(blob: bytes) -> tuple[int, np.ndarray, np.ndarray]:
         raise ValueError(f"bad magic 0x{magic:08X}")
     widths = np.frombuffer(blob, dtype=np.uint8, count=256, offset=8).copy()
     code_bytes = np.frombuffer(blob, dtype=np.uint8, offset=264).copy()
+    from . import canonical
+
+    try:
+        canonical.validate_widths(widths)
+    except ValueError as e:
+        raise ValueError(f"corrupt canonical width table: {e}") from e
     return num_symbols, widths, code_bytes
 
 
