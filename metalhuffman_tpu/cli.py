@@ -715,7 +715,7 @@ def _cmd_decode_video_temporal(args, data: bytes, cfg, check: bool,
     """
     from .models import color, temporal
 
-    inner, keyint, tcrc, mvs, fcrcs = temporal.unwrap(data)
+    inner, keyint, tcrc, mvs, fcrcs, first_len = temporal.unwrap(data)
     if getattr(args, "frames", None) is not None:
         if check:
             raise SystemExit(
@@ -794,9 +794,11 @@ def _cmd_decode_video_temporal(args, data: bytes, cfg, check: bool,
                 _verify_video_crc(inner, res)
             res = np.asarray(res)
         try:
-            frames = (temporal.temporal_decode_mc(res, keyint, mvs)
+            frames = (temporal.temporal_decode_mc(res, keyint, mvs,
+                                                  first_len=first_len)
                       if mvs is not None
-                      else temporal.temporal_decode(res, keyint))
+                      else temporal.temporal_decode(res, keyint,
+                                                    first_len=first_len))
         except ValueError as e:  # e.g. truncated/corrupt motion table
             raise SystemExit(str(e))
         if bad:
@@ -1091,12 +1093,54 @@ def _cmd_decode_video_color(args, data: bytes, cfg, check: bool,
     return 0
 
 
+def _surgery_crc_note(out: bytes, op: str) -> None:
+    """Warn when a surgery output records no whole-payload CRC.
+
+    Surgery never decodes, so it can only COMBINE recorded CRCs; an input
+    without one (or whose per-frame table is absent) silently yields an
+    output `verify` cannot check — say so instead of staying quiet
+    (round-3 advisor finding)."""
+    from .models import color, frame_stream, temporal
+
+    crc = 0
+    data = out
+    try:
+        if data[:4] == temporal.TEMPORAL_MAGIC:
+            crc = temporal.unwrap(data)[2]
+        else:
+            if data[:4] == color.COLOR_MAGIC:
+                data = color.unwrap(data)[0]
+            if data[:4] in (frame_stream.SHARED_MAGIC,
+                            frame_stream.SEGMENTED_MAGIC):
+                crc = frame_stream.source_crc32(data)
+    except ValueError:
+        return
+    if not crc:
+        print(f"note: the {op} output records no whole-payload CRC-32 (an "
+              "input lacked one to combine from), so `mht verify` cannot "
+              "check its payload; encode sources with --frame-crcs to keep "
+              "slice-level integrity through surgery", file=sys.stderr)
+
+
 def cmd_extract(args) -> int:
     """Cut frames [A, B) out of a video container WITHOUT re-encoding."""
     from .models import surgery
 
     data = Path(args.input).read_bytes()
     a, b = args.frames
+    how = "no re-encode"
+    if data[:4] == b"MHVT":
+        from .models import temporal
+
+        try:
+            _i, k, _c, _m, _f, fl = temporal.unwrap(data)
+            g = temporal._group_start(a, k, fl)
+            if a != g:  # mid-group start: only the first group re-encodes
+                nk = fl if a < fl else g + k
+                how = (f"re-keyed first group ({min(b, nk) - a} frame(s) "
+                       "re-encoded), rest spliced losslessly")
+        except ValueError:
+            pass  # surgery below reports the corrupt container cleanly
     t0 = time.perf_counter()
     try:
         out = surgery.extract_video(data, a, b)
@@ -1104,8 +1148,9 @@ def cmd_extract(args) -> int:
         raise SystemExit(str(e))
     Path(args.output).write_bytes(out)
     print(f"{args.input}: extracted frames [{a}, {b}) -> "
-          f"{args.output} ({len(out)} bytes, no re-encode, "
+          f"{args.output} ({len(out)} bytes, {how}, "
           f"{(time.perf_counter() - t0) * 1e3:.1f} ms)")
+    _surgery_crc_note(out, "extract")
     return 0
 
 
@@ -1123,6 +1168,7 @@ def cmd_concat(args) -> int:
     print(f"spliced {len(blobs)} container(s) -> {args.output} "
           f"({len(out)} bytes, no re-encode, "
           f"{(time.perf_counter() - t0) * 1e3:.1f} ms)")
+    _surgery_crc_note(out, "concat")
     return 0
 
 
@@ -1156,10 +1202,11 @@ def cmd_verify(args) -> int:
 
         try:
             wrapper = temporal.describe(data) + " wrapping "
-            inner, keyint, tcrc, mvs, fcrcs = temporal.unwrap(data)
+            inner, keyint, tcrc, mvs, fcrcs, first_len = temporal.unwrap(
+                data)
         except ValueError as e:
             raise SystemExit(str(e))
-        temporal_ctx = (keyint, tcrc, mvs, fcrcs)
+        temporal_ctx = (keyint, tcrc, mvs, fcrcs, first_len)
         data = inner
     if data[:4] == color.COLOR_MAGIC:
         # verify the inner plane stream; every check (end-bit, CRC) applies
@@ -1233,13 +1280,15 @@ def cmd_verify(args) -> int:
                 # inner checks cannot see)
                 from .models import temporal
 
-                keyint, tcrc, mvs, fcrcs = temporal_ctx
+                keyint, tcrc, mvs, fcrcs, first_len = temporal_ctx
                 res = np.asarray(frames)
                 if mhtc_ctx is not None:
                     res = color.fold_video_planes(res, *mhtc_ctx)
-                true = (temporal.temporal_decode_mc(res, keyint, mvs)
+                true = (temporal.temporal_decode_mc(res, keyint, mvs,
+                                                    first_len=first_len)
                         if mvs is not None
-                        else temporal.temporal_decode(res, keyint))
+                        else temporal.temporal_decode(
+                            res, keyint, first_len=first_len))
                 if tcrc and zlib.crc32(
                         np.ascontiguousarray(true).tobytes()) != tcrc:
                     raise SystemExit(
@@ -1442,7 +1491,9 @@ def main(argv=None) -> int:
         "extract",
         help="cut frames [A, B) out of a video container WITHOUT "
              "re-encoding (bit-identical code spans; CRCs combine "
-             "algebraically from any per-frame table)")
+             "algebraically from any per-frame table). An MHVT start "
+             "inside a keyframe group re-encodes ONLY that group and "
+             "splices the rest losslessly")
     p.add_argument("input")
     p.add_argument("output")
     p.add_argument("--frames", type=int, nargs=2, required=True,

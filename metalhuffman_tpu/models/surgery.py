@@ -14,9 +14,14 @@ The reference has no containers at all (its encoded stream lives only in
 memory, ``AAPLRenderer.m:577-585``); this is the editing/ingestion surface
 a production codec needs. CLI: ``mht extract`` / ``mht concat``.
 
-Supported: MHTV, MHV2, MHTC video (plane ranges), MHVT (extract requires a
-keyint-aligned start; concat requires keyint-aligned input lengths — the
-group fold restarts cleanly only at keyframe boundaries).
+Supported: MHTV, MHV2, MHTC video (plane ranges), MHVT. An MHVT extract
+may start ANYWHERE: a start inside a keyframe group re-encodes ONLY that
+group (the start frame becomes a literal keyframe — at most keyint frames
+decode and re-encode) and splices every later group losslessly; the output
+records the short first group (``FLAG_FIRST_LEN``) so the fold's group
+boundaries stay on the original keyframes. Concat requires whole keyframe
+groups on every input but the last — the group fold restarts cleanly only
+at keyframe boundaries.
 """
 
 from __future__ import annotations
@@ -74,36 +79,104 @@ def _frame_nbytes(blob: bytes) -> int:
     return h * w
 
 
+def _cfg_like(video: bytes) -> CodecConfig:
+    """CodecConfig reproducing a video container's own coding mode, so a
+    re-encoded span splices against it (concat checks geometry AND mode)."""
+    if video[:4] == frame_stream.SHARED_MAGIC:
+        stream, _t, _h, _w, bd, delta = frame_stream.read_shared(video)
+    elif video[:4] == frame_stream.SEGMENTED_MAGIC:
+        segs, _t, _h, _w, bd, delta = frame_stream.read_segmented(video)
+        stream = segs[0][0]
+    else:
+        raise ValueError("not a video container")
+    return dataclasses.replace(
+        CodecConfig(), block_dim=bd, delta=delta,
+        delta2d=stream.predictor == "2d",
+        zero_init=stream.block_init is not None,
+        temporal=False, motion=False, frame_crcs=False)
+
+
+def _encode_like(inner: bytes, frames: np.ndarray) -> bytes:
+    """Encode a residual stack into a NEW container of ``inner``'s kind and
+    coding mode (block_dim, precoder, colorspace), so the result concats
+    against spans trimmed losslessly out of ``inner``."""
+    from .. import encode_video
+
+    if inner[:4] == color_mod.COLOR_MAGIC:
+        inner2, _ch, _layout, kind, cs = color_mod.unwrap(inner)
+        cfg = _cfg_like(inner2)
+        if kind == color_mod.KIND_U16:
+            return color_mod.encode_gray16_to_bytes(frames, cfg)
+        return color_mod.encode_color_video_to_bytes(frames, cfg,
+                                                     colorspace=cs)
+    return encode_video(frames, _cfg_like(inner))
+
+
+def _extract_temporal(data: bytes, a: int, b: int) -> bytes:
+    """MHVT extract: lossless when ``a`` is a keyframe, else the FIRST
+    group re-keys (decode + re-encode of < keyint frames) and every later
+    group splices losslessly; the short first group is recorded in the
+    output header (``FLAG_FIRST_LEN``) so group boundaries stay put."""
+    inner, keyint, _crc, mvs, fcrcs, first_len = temporal_mod.unwrap(data)
+    t_total = temporal_mod._inner_frame_count(inner)
+    if t_total is None or not 0 <= a < b <= t_total:
+        raise ValueError(f"frames [{a}, {b}) out of range")
+    fb = _frame_nbytes(inner)
+    fc = None if fcrcs is None else fcrcs[a:b]
+    crc = (crc32_concat([(int(c), fb) for c in fc])
+           if fc is not None and fc.size else 0)
+    g = temporal_mod._group_start(a, keyint, first_len)
+    if a == g:
+        # keyframe start: bit-identical trim of every group
+        # (frame indices pass through: the MHTC branch multiplies to plane
+        # indices itself; _frame_nbytes already returns TRUE-frame bytes)
+        new_inner = extract_video(inner, a, b)
+        mv = None if mvs is None else mvs[a:b]
+        out_fl = first_len - a if a < first_len else keyint
+    else:
+        # mid-group start: re-key ONLY this group, splice the rest.
+        # The < keyint frames of decode+re-encode are host-sized work —
+        # pin the native backend so surgery never claims a device
+        next_key = first_len if a < first_len else g + keyint
+        cut = min(b, next_key)
+        frames = temporal_mod.decode_temporal_range(
+            data, a, cut, CodecConfig(backend="native"))
+        if mvs is not None:
+            # residuals [a+1, cut) are identical under the original
+            # vectors (each predicts from the previous TRUE frame);
+            # only frame a changes, residual -> literal keyframe
+            mv_first = np.asarray(mvs[a:cut], np.int16).copy()
+            mv_first[0] = 0
+            res, mv_first = temporal_mod.temporal_encode_mc(
+                frames, cut - a, mv_first)
+        else:
+            res = temporal_mod.temporal_encode(frames, cut - a)
+            mv_first = None
+        parts = [_encode_like(inner, res)]
+        if cut < b:
+            parts.append(extract_video(inner, cut, b))
+        new_inner = concat_videos(parts)
+        mv = (None if mvs is None
+              else np.concatenate([mv_first, mvs[cut:b]]))
+        out_fl = cut - a
+    if not (out_fl < keyint and b - a > out_fl):
+        out_fl = None  # full first group, or the stream ends inside it
+    return temporal_mod.wrap(new_inner, keyint, source_crc32=crc,
+                             mvs=mv, frame_crcs=fc, first_len=out_fl)
+
+
 def extract_video(data: bytes, a: int, b: int) -> bytes:
     """Frames [a, b) of a video container -> a NEW standalone container,
     without re-encoding (bit-identical code spans, trimmed + rebased).
 
     The output records a whole-payload CRC combined from the input's
     per-frame FCRC table when present (and the sliced table itself);
-    without a table the CRC is unrecorded (0) — extraction never decodes.
-    MHVT extraction requires ``a`` on a keyframe boundary (residual frames
-    reference their predecessors; a keyframe start is self-contained).
+    without a table the CRC is unrecorded (0) — extraction never decodes
+    (except an MHVT start inside a keyframe group, which re-encodes THAT
+    group only; see :func:`_extract_temporal`).
     """
     if data[:4] == temporal_mod.TEMPORAL_MAGIC:
-        inner, keyint, _crc, mvs, fcrcs = temporal_mod.unwrap(data)
-        if a % keyint:
-            raise ValueError(
-                f"MHVT extraction must start on a keyframe boundary "
-                f"(a={a} is not a multiple of keyint={keyint}); re-encode "
-                "or pick an aligned start")
-        t_total = temporal_mod._inner_frame_count(inner)
-        if t_total is None or not 0 <= a < b <= t_total:
-            raise ValueError(f"frames [{a}, {b}) out of range")
-        # frame indices pass through: the MHTC branch multiplies to plane
-        # indices itself, and _frame_nbytes already returns TRUE-frame bytes
-        new_inner = extract_video(inner, a, b)
-        fc = None if fcrcs is None else fcrcs[a:b]
-        fb = _frame_nbytes(inner)
-        crc = (crc32_concat([(int(c), fb) for c in fc])
-               if fc is not None and fc.size else 0)
-        mv = None if mvs is None else mvs[a:b]
-        return temporal_mod.wrap(new_inner, keyint, source_crc32=crc,
-                                 mvs=mv, frame_crcs=fc)
+        return _extract_temporal(data, a, b)
     if data[:4] == color_mod.COLOR_MAGIC:
         inner, ch, layout, kind, cs = color_mod.unwrap(data)
         if layout != color_mod.LAYOUT_VIDEO:
@@ -159,7 +232,15 @@ def concat_videos(blobs: list[bytes]) -> bytes:
     if len(blobs) == 1:
         return blobs[0]
     kind = blobs[0][:4]
-    if any(x[:4] != kind for x in blobs):
+
+    def _family(magic: bytes) -> bytes:
+        # MHTV and MHV2 are the same payload family (single- vs multi-
+        # segment); the video branch below splices them freely
+        return (b"MHV*" if magic in (frame_stream.SHARED_MAGIC,
+                                     frame_stream.SEGMENTED_MAGIC)
+                else magic)
+
+    if any(_family(x[:4]) != _family(kind) for x in blobs):
         raise ValueError("cannot concatenate different container kinds")
     if kind == temporal_mod.TEMPORAL_MAGIC:
         parts = [temporal_mod.unwrap(x) for x in blobs]
@@ -170,15 +251,22 @@ def concat_videos(blobs: list[bytes]) -> bytes:
         if any(has_mv) != all(has_mv):
             raise ValueError(
                 "cannot mix motion-compensated and plain MHVT inputs")
+        if any(p[5] != keyint for p in parts[1:]):
+            raise ValueError(
+                "an MHVT input with a short first keyframe group can only "
+                "lead a splice (later inputs must start on a plain "
+                "keyframe boundary); re-extract it with an aligned start")
         counts = [temporal_mod._inner_frame_count(p[0]) for p in parts]
         if any(c is None for c in counts):
             raise ValueError("corrupt MHVT container (unrecognized inner)")
-        for c in counts[:-1]:
-            if c % keyint:
+        first_len = parts[0][5]
+        for i, c in enumerate(counts[:-1]):
+            fl = first_len if i == 0 else keyint
+            if c < fl or (c - fl) % keyint:
                 raise ValueError(
                     "every MHVT input but the last must contain whole "
-                    f"keyframe groups (length {c} is not a multiple of "
-                    f"keyint {keyint})")
+                    f"keyframe groups (length {c} does not end on a "
+                    f"keyframe boundary for keyint {keyint})")
         inner = concat_videos([p[0] for p in parts])
         mvs = (np.concatenate([p[3] for p in parts])
                if all(has_mv) else None)
@@ -189,8 +277,9 @@ def concat_videos(blobs: list[bytes]) -> bytes:
         crc = (crc32_concat(
             [(c, n * fb) for c, n in zip(crcs, counts)])
             if all(crcs) else 0)
+        out_fl = first_len if first_len < keyint else None
         return temporal_mod.wrap(inner, keyint, source_crc32=crc, mvs=mvs,
-                                 frame_crcs=fc)
+                                 frame_crcs=fc, first_len=out_fl)
     if kind == color_mod.COLOR_MAGIC:
         parts = [color_mod.unwrap(x) for x in blobs]
         meta = {(p[1], p[2], p[3], p[4]) for p in parts}

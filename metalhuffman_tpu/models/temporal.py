@@ -20,6 +20,8 @@ actual residual payload), MHTC color/16-bit planes, segmenting, integrity
 checks. On disk::
 
     "MHVT" | u16 keyint | u16 flags | u32 inner_len
+           | [flags bit 2: u64 inner_len (the u32 field is 0) — >4 GiB]
+           | [flags bit 3: u16 first_len — SHORT first keyframe group]
            | [flags bit 0: u32 T + T x (i16 dy, i16 dx) motion table]
            | [flags bit 1: u32 T + T x u32 per-TRUE-frame CRC-32 table]
            | inner video container (MHTV / MHV2 / MHTC video)
@@ -29,6 +31,15 @@ Flags bit 0 marks global motion compensation (circular-shift predictors,
 see below); bit 1 marks a per-frame CRC table that lets RANDOM ACCESS
 (``decode_temporal_frame`` / ``decode_temporal_range``) verify exactly the
 frames it reconstructs — the whole-payload CRCs cannot cover a slice.
+Bit 2 stores the inner length as a u64 following the header (written only
+when the inner exceeds the u32 field — MHV2 segmenting lifts the per-
+segment cap, this lifts the wrapper's). Bit 3 records that the FIRST
+keyframe group is shorter than ``keyint`` (``u16 first_len`` frames):
+``surgery.extract_video`` starting mid-group re-encodes only that group
+(frame ``a`` becomes a literal keyframe) and splices every later group
+losslessly — the recorded first_len keeps the fold's group boundaries
+aligned with the original keyframes. Files written without these flags
+parse exactly as before.
 
 The inner container's own CRC covers the residual payload (stream
 integrity); the outer CRC additionally pins the reconstruction parameters
@@ -61,6 +72,22 @@ FLAG_MOTION = 1  #: header flag: per-frame global motion vectors present
 #: verify exactly the frames it reconstructs — the whole-payload CRCs
 #: cannot cover a slice)
 FLAG_FRAME_CRCS = 2
+#: header flag: u64 inner length follows the header (u32 field is 0) —
+#: written only for inners beyond 4 GiB, so older files are unchanged
+FLAG_INNER64 = 4
+#: header flag: u16 first-keyframe-group length follows (< keyint) —
+#: written by arbitrary-start ``surgery.extract_video``, whose re-keyed
+#: first group is shorter than keyint while later groups splice losslessly
+FLAG_FIRST_LEN = 8
+_KNOWN_FLAGS = FLAG_MOTION | FLAG_FRAME_CRCS | FLAG_INNER64 | FLAG_FIRST_LEN
+
+
+def _group_start(i: int, keyint: int, first_len: int) -> int:
+    """Index of the keyframe opening the group containing frame ``i``
+    (keyframes sit at 0, first_len, first_len + keyint, ...)."""
+    if i < first_len:
+        return 0
+    return first_len + ((i - first_len) // keyint) * keyint
 
 
 # -- the transform (container-independent) ------------------------------------
@@ -87,24 +114,32 @@ def temporal_encode(frames: np.ndarray, keyint: int = 8) -> np.ndarray:
     return res
 
 
-def temporal_decode(residuals: np.ndarray, keyint: int = 8) -> np.ndarray:
+def temporal_decode(residuals: np.ndarray, keyint: int = 8,
+                    first_len: int | None = None) -> np.ndarray:
     """Inverse of :func:`temporal_encode`: per-group cumulative wrapping sum.
 
     Accumulated frame-by-frame with vectorized wrapping adds — NOT
     ``np.cumsum``, whose uint8 accumulator path is ~10x slower (0.09 vs up
     to 2 GB/s measured on a 94 MB batch; in-place ``np.add(out=)`` into the
     destination views also measured several times slower than fresh temps).
+
+    ``first_len`` (default ``keyint``) is the length of the FIRST keyframe
+    group — arbitrary-start extraction re-keys only that group, so its
+    keyframes sit at 0, first_len, first_len + keyint, ...
     """
     residuals = np.asarray(residuals)
     if keyint < 1:
         raise ValueError("keyint must be >= 1")
+    fl = keyint if first_len is None else first_len
     out = np.empty_like(residuals)
     for i in range(residuals.shape[0]):
-        out[i] = (out[i - 1] + residuals[i]) if i % keyint else residuals[i]
+        key = i == 0 or (i >= fl and (i - fl) % keyint == 0)
+        out[i] = residuals[i] if key else (out[i - 1] + residuals[i])
     return out
 
 
-def temporal_decode_jax(residuals, keyint: int = 8):
+def temporal_decode_jax(residuals, keyint: int = 8,
+                        first_len: int | None = None):
     """Device-resident reconstruction: group-reshaped ``jnp.cumsum``.
 
     Pads T to a keyint multiple, scans each (G, keyint, ...) group along the
@@ -114,6 +149,11 @@ def temporal_decode_jax(residuals, keyint: int = 8):
     fold the native backend uses. The reference folds its (spatial) delta
     prediction on the accelerator too (``AAPLShaders.metal:260-265``) —
     reconstruction belongs next to the decode, not across a host transfer.
+
+    A short first group (``first_len < keyint``, from arbitrary-start
+    extraction) is handled by FRONT-padding with zero frames: zeros
+    accumulate to nothing, so the literal first frame lands where the
+    standard group reshape expects a keyframe.
     """
     import jax
     import jax.numpy as jnp
@@ -121,8 +161,10 @@ def temporal_decode_jax(residuals, keyint: int = 8):
     if keyint < 1:
         raise ValueError("keyint must be >= 1")
     t = residuals.shape[0]
-    pad = (-t) % keyint
-    x = jnp.pad(residuals, [(0, pad)] + [(0, 0)] * (residuals.ndim - 1))
+    front = (keyint - first_len) % keyint if first_len else 0
+    pad = (-(t + front)) % keyint
+    x = jnp.pad(residuals,
+                [(front, pad)] + [(0, 0)] * (residuals.ndim - 1))
     grp = x.reshape((x.shape[0] // keyint, keyint) + x.shape[1:])
 
     # fori over the group axis (keyint-1 single-slot wrapping adds) — the
@@ -134,7 +176,7 @@ def temporal_decode_jax(residuals, keyint: int = 8):
         return jax.lax.dynamic_update_index_in_dim(acc, prev + cur, i, 1)
 
     out = jax.lax.fori_loop(1, keyint, body, grp)
-    return out.reshape((-1,) + x.shape[1:])[:t]
+    return out.reshape((-1,) + x.shape[1:])[front : front + t]
 
 
 def _swar_add8(a, b):
@@ -148,7 +190,8 @@ def _swar_add8(a, b):
     return ((a & lo) + (b & lo)) ^ ((a ^ b) & ~lo)
 
 
-def temporal_fold_words_jax(words, keyint: int):
+def temporal_fold_words_jax(words, keyint: int,
+                            first_len: int | None = None):
     """Group fold on PACKED image words: (T, rows, W//4) int32 -> same.
 
     A ``fori_loop`` of keyint-1 SWAR byte adds, each touching one frame
@@ -166,8 +209,9 @@ def temporal_fold_words_jax(words, keyint: int):
     if keyint < 1:
         raise ValueError("keyint must be >= 1")
     t = words.shape[0]
-    pad = (-t) % keyint
-    x = jnp.pad(words, [(0, pad), (0, 0), (0, 0)])
+    front = (keyint - first_len) % keyint if first_len else 0
+    pad = (-(t + front)) % keyint
+    x = jnp.pad(words, [(front, pad), (0, 0), (0, 0)])
     grp = x.reshape((x.shape[0] // keyint, keyint) + x.shape[1:])
 
     def body(i, acc):
@@ -177,17 +221,20 @@ def temporal_fold_words_jax(words, keyint: int):
             acc, _swar_add8(prev, cur), i, 1)
 
     out = jax.lax.fori_loop(1, keyint, body, grp)
-    return out.reshape((-1,) + x.shape[1:])[:t]
+    return out.reshape((-1,) + x.shape[1:])[front : front + t]
 
 
-def temporal_decode_mc_jax(residuals, keyint: int, mvs):
+def temporal_decode_mc_jax(residuals, keyint: int, mvs,
+                           first_len: int | None = None):
     """Device-resident inverse of :func:`temporal_encode_mc`.
 
     Groups are independent (keyframes are literal), so the sequential
     within-group recursion ``out[i] = res[i] + roll(out[i-1], mv[i])`` runs
     as a ``lax.scan`` of length keyint-1, vmapped over groups — the scan
     carry is one frame in vregs/VMEM, never a host array. Rolls use traced
-    per-frame shifts (``jnp.roll`` lowers them to dynamic slices).
+    per-frame shifts (``jnp.roll`` lowers them to dynamic slices). A short
+    first group front-pads zero frames + zero vectors (zeros predict
+    nothing, so the literal first frame folds correctly in place).
     """
     import jax
     import jax.numpy as jnp
@@ -199,9 +246,11 @@ def temporal_decode_mc_jax(residuals, keyint: int, mvs):
         raise ValueError(
             "corrupt MHVT container (motion table length disagrees with "
             "the frame count)")
-    pad = (-t) % keyint
-    x = jnp.pad(residuals, [(0, pad)] + [(0, 0)] * (residuals.ndim - 1))
-    mv = jnp.pad(jnp.asarray(mvs, jnp.int32), ((0, pad), (0, 0)))
+    front = (keyint - first_len) % keyint if first_len else 0
+    pad = (-(t + front)) % keyint
+    x = jnp.pad(residuals,
+                [(front, pad)] + [(0, 0)] * (residuals.ndim - 1))
+    mv = jnp.pad(jnp.asarray(mvs, jnp.int32), ((front, pad), (0, 0)))
     g = x.shape[0] // keyint
     grp = x.reshape((g, keyint) + x.shape[1:])
     mvg = mv.reshape(g, keyint, 2)
@@ -217,7 +266,7 @@ def temporal_decode_mc_jax(residuals, keyint: int, mvs):
         return jnp.concatenate([res_g[:1], rest], axis=0)
 
     out = jax.vmap(fold_group)(grp, mvg)
-    return out.reshape((-1,) + x.shape[1:])[:t]
+    return out.reshape((-1,) + x.shape[1:])[front : front + t]
 
 
 # -- global motion compensation ------------------------------------------------
@@ -326,7 +375,8 @@ def temporal_encode_mc(frames: np.ndarray, keyint: int = 8,
 
 
 def temporal_decode_mc(residuals: np.ndarray, keyint: int,
-                       mvs: np.ndarray) -> np.ndarray:
+                       mvs: np.ndarray,
+                       first_len: int | None = None) -> np.ndarray:
     """Inverse of :func:`temporal_encode_mc` (sequential within a group —
     each frame's predictor is the previous RECONSTRUCTED frame, rolled)."""
     residuals = np.asarray(residuals)
@@ -338,9 +388,10 @@ def temporal_decode_mc(residuals: np.ndarray, keyint: int,
         raise ValueError(
             "corrupt MHVT container (motion table length disagrees with "
             "the frame count)")
+    fl = keyint if first_len is None else first_len
     out = np.empty_like(residuals)
     for i in range(residuals.shape[0]):
-        if i % keyint == 0:
+        if i == 0 or (i >= fl and (i - fl) % keyint == 0):
             out[i] = residuals[i]
             continue
         mv = (int(mvs[i, 0]), int(mvs[i, 1]))
@@ -353,7 +404,7 @@ def temporal_decode_mc(residuals: np.ndarray, keyint: int,
 _jits: dict = {}
 
 
-def _jitted(name: str, fn, static=("keyint",)):
+def _jitted(name: str, fn, static=("keyint", "first_len")):
     """Lazily jit a fold so production calls are ONE device dispatch each
     (eager op-by-op dispatch pays ~1 ms of relay latency per op here)."""
     import jax
@@ -368,7 +419,8 @@ def _jitted(name: str, fn, static=("keyint",)):
 
 def wrap(inner: bytes, keyint: int, source_crc32: int = 0,
          mvs: np.ndarray | None = None,
-         frame_crcs: np.ndarray | None = None) -> bytes:
+         frame_crcs: np.ndarray | None = None,
+         first_len: int | None = None) -> bytes:
     """Wrap an inner video container blob in the MHVT header + CRC trailer.
 
     With ``mvs`` (a (T, 2) int16 array of per-frame global motion vectors)
@@ -377,15 +429,28 @@ def wrap(inner: bytes, keyint: int, source_crc32: int = 0,
     uint32 array of per-TRUE-frame CRC-32s) flags bit 1 is set and
     ``u32 T`` + T x u32 follow the motion table — random access then
     verifies exactly the frames it reconstructs.
+
+    An inner beyond 4 GiB sets flags bit 2 and stores its length as a u64
+    after the header (the u32 field reads 0). ``first_len`` (1..keyint-1)
+    sets flags bit 3 and records a SHORT first keyframe group — written by
+    arbitrary-start extraction, which re-keys only the first group and
+    splices the rest losslessly; ``first_len`` of ``None``/``keyint``
+    writes the plain layout.
     """
     if not 1 <= keyint <= 0xFFFF:
         raise ValueError("keyint must be in 1..65535")
-    if len(inner) > 0xFFFFFFFF:
-        raise ValueError(
-            "inner container exceeds the MHVT u32 length field (4 GiB of "
-            "compressed residuals); split the sequence into multiple MHVT "
-            "containers (e.g. encode in chunks of whole keyframe groups)")
     flags = 0
+    extra = b""
+    inner_len32 = len(inner)
+    if len(inner) > 0xFFFFFFFF:
+        flags |= FLAG_INNER64
+        inner_len32 = 0
+        extra += struct.pack("<Q", len(inner))
+    if first_len is not None and first_len != keyint:
+        if not 1 <= first_len < keyint:
+            raise ValueError("first_len must be in 1..keyint")
+        flags |= FLAG_FIRST_LEN
+        extra += struct.pack("<H", first_len)
     mv_blob = b""
     if mvs is not None:
         mvs = np.asarray(mvs, np.int16).reshape(-1, 2)
@@ -396,14 +461,18 @@ def wrap(inner: bytes, keyint: int, source_crc32: int = 0,
         fc = np.asarray(frame_crcs, np.uint32).reshape(-1)
         flags |= FLAG_FRAME_CRCS
         fc_blob = struct.pack("<I", fc.shape[0]) + fc.astype("<u4").tobytes()
-    return (TEMPORAL_MAGIC + struct.pack(_HEADER, keyint, flags, len(inner))
-            + mv_blob + fc_blob + inner
+    return (TEMPORAL_MAGIC + struct.pack(_HEADER, keyint, flags, inner_len32)
+            + extra + mv_blob + fc_blob + inner
             + struct.pack("<I", source_crc32 & 0xFFFFFFFF))
 
 
 def unwrap(blob: bytes):
     """MHVT blob -> (inner, keyint, source_crc32, mvs_or_None,
-    frame_crcs_or_None)."""
+    frame_crcs_or_None, first_len).
+
+    ``first_len`` is the length of the first keyframe group — ``keyint``
+    unless the container records a short one (flags bit 3).
+    """
     if blob[:4] != TEMPORAL_MAGIC:
         raise ValueError("not an MHVT container")
     if len(blob) < _HEADER_SIZE:
@@ -411,7 +480,26 @@ def unwrap(blob: bytes):
     keyint, flags, inner_len = struct.unpack_from(_HEADER, blob, 4)
     if keyint < 1:
         raise ValueError("corrupt MHVT container (keyint 0)")
+    if flags & ~_KNOWN_FLAGS:
+        raise ValueError(
+            f"unsupported MHVT container (unknown flags 0x{flags:04x} — "
+            "written by a newer format revision?)")
     pos = _HEADER_SIZE
+    if flags & FLAG_INNER64:
+        if len(blob) < pos + 8:
+            raise ValueError("truncated MHVT container (u64 inner length)")
+        (inner_len,) = struct.unpack_from("<Q", blob, pos)
+        pos += 8
+    first_len = keyint
+    if flags & FLAG_FIRST_LEN:
+        if len(blob) < pos + 2:
+            raise ValueError("truncated MHVT container (first_len field)")
+        (first_len,) = struct.unpack_from("<H", blob, pos)
+        pos += 2
+        if not 1 <= first_len <= keyint:
+            raise ValueError(
+                "corrupt MHVT container (first keyframe group length "
+                f"{first_len} outside 1..keyint={keyint})")
     mvs = None
     if flags & FLAG_MOTION:
         if len(blob) < pos + 4:
@@ -437,7 +525,7 @@ def unwrap(blob: bytes):
     if len(blob) < end + 4:
         raise ValueError("truncated MHVT container (inner/trailer missing)")
     (crc,) = struct.unpack_from("<I", blob, end)
-    return blob[pos:end], keyint, crc, mvs, fcrcs
+    return blob[pos:end], keyint, crc, mvs, fcrcs, first_len
 
 
 def _inner_config(config: CodecConfig | None) -> CodecConfig:
@@ -614,7 +702,8 @@ def _device_frames(inner: bytes, config: CodecConfig):
 
 
 def _decode_temporal_device(inner: bytes, keyint: int, mvs,
-                            config: CodecConfig) -> np.ndarray:
+                            config: CodecConfig,
+                            first_len: int | None = None) -> np.ndarray:
     """Decode + temporally reconstruct on DEVICE; one host fetch at the end.
 
     Plain grayscale streams take the raw-strips path: the kernel's packed
@@ -628,14 +717,15 @@ def _decode_temporal_device(inner: bytes, keyint: int, mvs,
         if raw is not None:
             words, t, h, w, w_pad, rows_pf = raw
             folded = _jitted("fold_words", temporal_fold_words_jax)(
-                words, keyint=keyint)
+                words, keyint=keyint, first_len=first_len)
             out = np.asarray(folded).view(np.uint8).reshape(t, rows_pf, w_pad)
             return out if (rows_pf, w_pad) == (h, w) else out[:, :h, :w]
         return np.asarray(_jitted("fold", temporal_decode_jax)(
-            _device_frames(inner, config), keyint=keyint))
+            _device_frames(inner, config), keyint=keyint,
+            first_len=first_len))
     res = _device_frames(inner, config)
     return np.asarray(_jitted("fold_mc", temporal_decode_mc_jax)(
-        res, keyint=keyint, mvs=np.asarray(mvs)))
+        res, keyint=keyint, mvs=np.asarray(mvs), first_len=first_len))
 
 
 def decode_temporal_video(blob: bytes,
@@ -652,7 +742,7 @@ def decode_temporal_video(blob: bytes,
     decode that fails the outer CRC re-runs the host path once to localize
     the corruption (inner stream vs wrapper header).
     """
-    inner, keyint, crc, mvs, fcrcs = unwrap(blob)
+    inner, keyint, crc, mvs, fcrcs, first_len = unwrap(blob)
     cfg = config or CodecConfig()
     if cfg.backend != "native" and crc:
         if mvs is not None:
@@ -662,7 +752,7 @@ def decode_temporal_video(blob: bytes,
                 raise ValueError(
                     "corrupt MHVT container (motion table length disagrees "
                     "with the frame count)")
-        frames = _decode_temporal_device(inner, keyint, mvs, cfg)
+        frames = _decode_temporal_device(inner, keyint, mvs, cfg, first_len)
         if _crc(frames) == crc:
             _verify_frame_crcs(frames, fcrcs)
             return frames
@@ -670,9 +760,10 @@ def decode_temporal_video(blob: bytes,
         # localizes the failure (residual stream vs wrapper header)
     res = _decode_inner(inner, cfg)
     if mvs is not None:
-        frames = temporal_decode_mc(res, keyint, mvs)  # validates the table
+        frames = temporal_decode_mc(res, keyint, mvs,
+                                    first_len=first_len)  # validates table
     else:
-        frames = temporal_decode(res, keyint)
+        frames = temporal_decode(res, keyint, first_len=first_len)
     if crc and _crc(frames) != crc:
         raise ValueError(
             "reconstructed frames fail the MHVT source CRC-32 — corrupt "
@@ -916,8 +1007,11 @@ def decode_temporal_range(blob: bytes, a: int, b: int,
 
     if not 0 <= a < b:
         raise ValueError(f"invalid frame range [{a}, {b})")
-    inner, keyint, _crc_, mvs, fcrcs = unwrap(blob)
-    kf = (a // keyint) * keyint
+    inner, keyint, _crc_, mvs, fcrcs, first_len = unwrap(blob)
+    kf = _group_start(a, keyint, first_len)
+    # the decoded span starts at a group boundary; it inherits the short
+    # first group only when it starts at the very beginning of the stream
+    span_fl = first_len if kf == 0 else None
     cfg = _inner_config(config)
     device = cfg.backend != "native"
     if inner[:4] == color.COLOR_MAGIC:
@@ -938,12 +1032,16 @@ def decode_temporal_range(blob: bytes, a: int, b: int,
                 "corrupt MHVT container (motion table shorter than the "
                 "stream)")
         out = (_jitted("fold_mc", temporal_decode_mc_jax)(
-                   res, keyint=keyint, mvs=mvs[kf:b]) if device
-               else temporal_decode_mc(res, keyint, mvs[kf:b]))
+                   res, keyint=keyint, mvs=mvs[kf:b], first_len=span_fl)
+               if device
+               else temporal_decode_mc(res, keyint, mvs[kf:b],
+                                       first_len=span_fl))
     else:
         # the span starts at a keyframe, so the plain group fold applies
-        out = (_jitted("fold", temporal_decode_jax)(res, keyint=keyint)
-               if device else temporal_decode(res, keyint))
+        out = (_jitted("fold", temporal_decode_jax)(
+                   res, keyint=keyint, first_len=span_fl)
+               if device else temporal_decode(res, keyint,
+                                              first_len=span_fl))
     out = np.asarray(out)[a - kf :]
     # with a recorded per-frame CRC table, random access verifies EXACTLY
     # the frames it returns (whole-payload CRCs cannot cover a slice)
@@ -973,14 +1071,15 @@ def decode_temporal_video_region(blob: bytes, a: int, b: int, y0: int,
 
     if not 0 <= a < b:
         raise ValueError(f"invalid frame range [{a}, {b})")
-    inner, keyint, _crc_, mvs, _fcrcs = unwrap(blob)
+    inner, keyint, _crc_, mvs, _fcrcs, first_len = unwrap(blob)
     if mvs is not None:
         out = decode_temporal_range(blob, a, b, config)
         if not (0 <= y0 and y0 + rh <= out.shape[1]
                 and 0 <= x0 and x0 + rw <= out.shape[2]):
             raise ValueError("region out of bounds")
         return out[:, y0 : y0 + rh, x0 : x0 + rw]
-    kf = (a // keyint) * keyint
+    kf = _group_start(a, keyint, first_len)
+    span_fl = first_len if kf == 0 else None
     cfg = _inner_config(config)
     if inner[:4] == color.COLOR_MAGIC:
         res = color.decode_color_video_region(
@@ -988,16 +1087,18 @@ def decode_temporal_video_region(blob: bytes, a: int, b: int, y0: int,
     else:
         res = frame_stream.decode_video_region(
             inner, kf, b, y0, x0, rh, rw, cfg, check=check)
-    return temporal_decode(res, keyint)[a - kf :]
+    return temporal_decode(res, keyint, first_len=span_fl)[a - kf :]
 
 
 def describe(blob: bytes) -> str:
     """One-line human description of the MHVT wrapper (for CLI ``info``)."""
-    _, keyint, crc, mvs, fcrcs = unwrap(blob)
+    _, keyint, crc, mvs, fcrcs, first_len = unwrap(blob)
     motion = ""
     if mvs is not None:
         moving = int((mvs != 0).any(axis=1).sum())
         motion = f", motion-compensated ({moving}/{mvs.shape[0]} frames move)"
     fc = f", per-frame CRCs ({fcrcs.shape[0]})" if fcrcs is not None else ""
-    return (f"MHVT: temporal prediction, keyframe every {keyint}{motion}{fc}, "
-            f"crc32={'recorded' if crc else 'absent'}")
+    fl = (f", short first group ({first_len})"
+          if first_len != keyint else "")
+    return (f"MHVT: temporal prediction, keyframe every {keyint}{fl}"
+            f"{motion}{fc}, crc32={'recorded' if crc else 'absent'}")

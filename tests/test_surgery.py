@@ -70,15 +70,14 @@ def test_extract_color_u16_temporal():
     out16 = surgery.extract_video(gblob, 1, 4)
     np.testing.assert_array_equal(
         color_mod.decode_gray16_from_bytes(out16, CPU), g16[1:4])
-    # temporal: keyint-aligned start required
+    # temporal: keyframe-aligned start splices losslessly; a mid-group
+    # start re-keys only the first group (test_extract_temporal_* below)
     frames = _frames(t=10)
     tblob = mh.encode_video(frames, CodecConfig(
         backend="native", temporal=True, motion=True, keyint=4,
         frame_crcs=True))
     out_t = surgery.extract_video(tblob, 4, 9)
     np.testing.assert_array_equal(mh.decode_video(out_t, CPU), frames[4:9])
-    with pytest.raises(ValueError, match="keyframe boundary"):
-        surgery.extract_video(tblob, 3, 9)
 
 
 def test_concat_roundtrip_and_crcs():
@@ -185,3 +184,155 @@ def test_concat_zero_init_and_mixed_mode_refused():
     plain = mh.encode_video(frames_b, CPU)
     with pytest.raises(ValueError):
         surgery.concat_videos([mh.encode_video(frames_a, zi), plain])
+
+
+# -- arbitrary-start MHVT extraction (re-keyed first group) -------------------
+
+
+def _tblob(frames, keyint=4, motion=False, **kw):
+    cfg = CodecConfig(backend="native", temporal=True, keyint=keyint,
+                      motion=motion, **kw)
+    return mh.encode_video(frames, cfg)
+
+
+@pytest.mark.parametrize("motion", [False, True])
+def test_extract_temporal_any_start(motion):
+    frames = _frames(t=11)
+    blob = _tblob(frames, keyint=4, motion=motion, frame_crcs=True)
+    for a, b in [(3, 9), (1, 11), (5, 7), (6, 11), (2, 4), (4, 10), (0, 11)]:
+        out = surgery.extract_video(blob, a, b)
+        np.testing.assert_array_equal(mh.decode_video(out, CPU),
+                                      frames[a:b]), (a, b)
+        # random access must honor the recorded short first group
+        for n in (0, (b - a) // 2, b - a - 1):
+            np.testing.assert_array_equal(
+                temporal.decode_temporal_frame(out, n, CPU), frames[a + n])
+        # the phased container decodes through the DEVICE folds too
+        np.testing.assert_array_equal(
+            temporal.decode_temporal_video(out, CodecConfig()), frames[a:b])
+
+
+def test_extract_temporal_only_first_group_reencodes():
+    # later groups must be BYTE-IDENTICAL to an aligned lossless extract —
+    # the proof that a mid-group start re-encodes only its first group
+    frames = _frames(t=11)
+    blob = _tblob(frames, keyint=4, frame_crcs=True)
+    mis = surgery.extract_video(blob, 3, 11)   # re-keys [3, 4), splices [4, 11)
+    ali = surgery.extract_video(blob, 4, 11)   # pure trim
+    mi_segs, *_ = frame_stream.read_segmented(temporal.unwrap(mis)[0])
+    al_inner = temporal.unwrap(ali)[0]
+    if al_inner[:4] == frame_stream.SHARED_MAGIC:
+        s, t, *_ = frame_stream.read_shared(al_inner)
+        al_segs = [(s, t)]
+    else:
+        al_segs, *_ = frame_stream.read_segmented(al_inner)
+    assert len(mi_segs) == 1 + len(al_segs)
+    for (s1, t1), (s2, t2) in zip(mi_segs[1:], al_segs):
+        assert t1 == t2
+        np.testing.assert_array_equal(s1.code_bytes, s2.code_bytes)
+        np.testing.assert_array_equal(s1.block_offsets, s2.block_offsets)
+    # and the wrapper records the short first group
+    assert temporal.unwrap(mis)[5] == 1
+    assert "short first group (1)" in temporal.describe(mis)
+
+
+def test_extract_temporal_region_and_range_on_phased():
+    frames = _frames(t=11)
+    out = surgery.extract_video(_tblob(frames, frame_crcs=True), 3, 11)
+    reg = temporal.decode_temporal_video_region(out, 2, 6, 4, 8, 12, 16, CPU)
+    np.testing.assert_array_equal(reg, frames[5:9, 4:16, 8:24])
+    np.testing.assert_array_equal(
+        temporal.decode_temporal_range(out, 3, 8, CPU), frames[6:11])
+
+
+def test_extract_temporal_of_extract():
+    # a phased container extracts again, from any start
+    frames = _frames(t=11)
+    out1 = surgery.extract_video(_tblob(frames, frame_crcs=True), 3, 11)
+    out2 = surgery.extract_video(out1, 2, 7)  # frames 5..10 of the original
+    np.testing.assert_array_equal(mh.decode_video(out2, CPU), frames[5:10])
+
+
+def test_extract_temporal_color_u16_any_start():
+    rng = np.random.default_rng(9)
+    cframes = np.stack([np.roll(rng.integers(0, 256, (16, 24, 3), np.uint8),
+                                i, 0) for i in range(7)])
+    cblob = temporal.encode_temporal_color_video(
+        cframes, CodecConfig(backend="native", temporal=True, keyint=3,
+                             frame_crcs=True))
+    out = surgery.extract_video(cblob, 2, 7)
+    np.testing.assert_array_equal(
+        temporal.decode_temporal_video(out, CPU), cframes[2:7])
+    g16 = rng.integers(0, 1 << 16, (7, 16, 24)).astype(np.uint16)
+    gblob = temporal.encode_temporal_gray16_video(
+        g16, CodecConfig(backend="native", temporal=True, keyint=3))
+    out16 = surgery.extract_video(gblob, 4, 7)
+    np.testing.assert_array_equal(
+        temporal.decode_temporal_video(out16, CPU), g16[4:7])
+
+
+def test_concat_temporal_phased():
+    frames = _frames(t=11)
+    blob = _tblob(frames, keyint=4, frame_crcs=True)
+    # phased first input ending on a group boundary splices
+    out_a = surgery.extract_video(blob, 3, 8)   # 1 + 4 frames
+    out_b = surgery.extract_video(blob, 8, 11)
+    spliced = surgery.concat_videos([out_a, out_b])
+    np.testing.assert_array_equal(mh.decode_video(spliced, CPU),
+                                  frames[3:11])
+    assert temporal.unwrap(spliced)[5] == 1  # phase survives the splice
+    # phased NON-first input refused
+    with pytest.raises(ValueError, match="short first keyframe group"):
+        surgery.concat_videos([out_b, out_a])
+    # phased first input ending mid-group refused
+    out_c = surgery.extract_video(blob, 3, 9)   # 1 + 4 + 1 frames
+    with pytest.raises(ValueError, match="keyframe groups"):
+        surgery.concat_videos([out_c, out_b])
+
+
+def test_concat_mhtv_with_mhv2():
+    # single- and multi-segment plain videos are one payload family
+    frames_a = _frames(t=3, seed=11)
+    frames_b = _frames(t=5, seed=12)
+    cfg = CodecConfig(backend="native", frame_crcs=True)
+    import zlib
+
+    segs = frame_stream.encode_frames_segmented(frames_b, cfg,
+                                                max_segment_bits=16_000)
+    assert len(segs) > 1
+    v2 = frame_stream.write_segmented(
+        segs, 24, 40, cfg,
+        source_crc32=zlib.crc32(np.ascontiguousarray(frames_b).tobytes()),
+        frame_crcs=np.array([zlib.crc32(f.tobytes()) for f in frames_b],
+                            np.uint32))
+    spliced = surgery.concat_videos([mh.encode_video(frames_a, cfg), v2])
+    np.testing.assert_array_equal(
+        mh.decode_video(spliced, CPU), np.concatenate([frames_a, frames_b]))
+
+
+def test_cli_extract_midgroup_and_crc_note(tmp_path, capsys):
+    from metalhuffman_tpu.cli import main
+
+    frames = _frames(t=10)
+    src = tmp_path / "v.npy"
+    np.save(src, frames)
+    full = tmp_path / "v.mhvt"
+    main(["encode-video", str(src), str(full), "--temporal", "--keyint", "4",
+          "--frame-crcs", "--backend", "native"])
+    part = tmp_path / "part.mhvt"
+    main(["extract", str(full), str(part), "--frames", "3", "9"])
+    cap = capsys.readouterr()
+    assert "re-keyed first group" in cap.out
+    assert "note:" not in cap.err  # FCRC table present -> CRC recorded
+    got = tmp_path / "got.npy"
+    main(["decode-video", str(part), str(got), "--backend", "native"])
+    np.testing.assert_array_equal(np.load(got), frames[3:9])
+    main(["verify", str(part), "--backend", "native"])
+    # without frame CRCs the extract output is unverifiable -> stderr note
+    full2 = tmp_path / "v2.mhvt"
+    main(["encode-video", str(src), str(full2), "--temporal", "--keyint",
+          "4", "--backend", "native"])
+    main(["extract", str(full2), str(tmp_path / "p2.mhvt"),
+          "--frames", "4", "9"])
+    cap = capsys.readouterr()
+    assert "note:" in cap.err and "records no whole-payload CRC" in cap.err

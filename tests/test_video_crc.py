@@ -299,7 +299,7 @@ def test_mhvt_frame_crcs_random_access():
     cfg = CodecConfig(backend="native", temporal=True, keyint=3,
                       motion=True, frame_crcs=True)
     blob = mht.encode_video(frames, cfg)
-    _i, _k, _c, _m, fcrcs = temporal.unwrap(blob)
+    _i, _k, _c, _m, fcrcs, _fl = temporal.unwrap(blob)
     assert fcrcs is not None and fcrcs.shape == (7,)
     dec = CodecConfig(backend="native")
     for n in (0, 3, 6):
