@@ -101,6 +101,27 @@ def test_mt_encode_identical_to_serial(n_threads):
     np.testing.assert_array_equal(encm.block_offsets, enc1.block_offsets)
 
 
+@pytest.mark.parametrize("n_threads", [16, 32])
+def test_mt_codec_many_threads_identical(n_threads):
+    """Byte-identity far beyond this box's core count (threads > cores =
+    more seams than parallelism): the chunking is thread-count-driven, so
+    a 16/32-way run exercises every head-byte seam/range-split path a
+    many-core host would take. Scaling itself is documented in PERF.md
+    (~per-core GB/s; each thread owns a disjoint byte range)."""
+    rng = np.random.default_rng(200 + n_threads)
+    raw = rng.integers(0, 256, 64 * 2029, np.uint8)  # prime block count
+    data = native.delta_encode(raw, 64)
+    enc1 = native.encode_symbols(data, 64, n_threads=1)
+    encm = native.encode_symbols(data, 64, n_threads=n_threads)
+    np.testing.assert_array_equal(encm.widths, enc1.widths)
+    np.testing.assert_array_equal(encm.code_bytes, enc1.code_bytes)
+    np.testing.assert_array_equal(encm.block_offsets, enc1.block_offsets)
+    out1 = native.decode_blocks(enc1, n_threads=1)
+    outm = native.decode_blocks(encm, n_threads=n_threads)
+    np.testing.assert_array_equal(outm, out1)
+    np.testing.assert_array_equal(outm.ravel(), raw)
+
+
 def test_mt_encode_small_inputs():
     rng = np.random.default_rng(7)
     for n in (1, 63, 64, 65, 130):
