@@ -77,7 +77,7 @@ def _build() -> ctypes.CDLL | None:
     ]
     lib.mht_encode_fixed.argtypes = [
         u8p, i64, i64, u8p, u8p, i64, ctypes.POINTER(i64),
-        ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(i64),
+        ctypes.POINTER(ctypes.c_uint32), ctypes.POINTER(i64), ctypes.c_int,
     ]
     lib.mht_decode_blocks.argtypes = [
         u8p, i64, u8p, ctypes.POINTER(ctypes.c_uint32), i64, i64,
@@ -193,7 +193,7 @@ def encode_symbols(data: np.ndarray, block_size: int = 64,
             num_symbols=data.size, widths=widths, code_bytes=packed,
             block_offsets=bitstream.block_bit_offsets(offs, block_size))
     if widths is not None:
-        return _encode_symbols_fixed(lib, data, block_size, widths)
+        return _encode_symbols_fixed(lib, data, block_size, widths, n_threads)
 
     widths = np.zeros(256, dtype=np.uint8)
     capacity = 2 * data.size + 16
@@ -238,8 +238,13 @@ def encode_symbols(data: np.ndarray, block_size: int = 64,
 
 
 def _encode_symbols_fixed(lib, data: np.ndarray, block_size: int,
-                          widths: np.ndarray):
-    """Pack under a caller-provided canonical width table (no tree build)."""
+                          widths: np.ndarray, n_threads: int = 0):
+    """Pack under a caller-provided canonical width table (no tree build).
+
+    Rides the same two-pass multithreaded machinery as the default path
+    (deterministic output for any thread count) — round-3 advisor: the old
+    serial-only entry single-threaded width-clustered encodes.
+    """
     from ..core import canonical
     from ..core.container import EncodedStream
 
@@ -255,7 +260,7 @@ def _encode_symbols_fixed(lib, data: np.ndarray, block_size: int,
         _u8p(data), data.size, block_size, _u8p(widths), _u8p(code_bytes),
         capacity, ctypes.byref(code_len),
         offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
-        ctypes.byref(total_bits),
+        ctypes.byref(total_bits), n_threads,
     )
     if rc == -8:
         raise ValueError(

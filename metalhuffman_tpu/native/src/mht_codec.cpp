@@ -373,56 +373,31 @@ int mht_encode(const uint8_t* data, int64_t n, int64_t block_size,
   return 0;
 }
 
+static int encode_mt_impl(const uint8_t* data, int64_t n, int64_t block_size,
+                          const uint8_t* fixed_widths, uint8_t* widths_out,
+                          uint8_t* code_bytes_out, int64_t code_capacity,
+                          int64_t* code_len_out, uint32_t* block_offsets_out,
+                          int64_t* total_bits_out, int n_threads);
+
 // Encode with a CALLER-PROVIDED canonical width table (no tree build):
 // the fixed/shared-table entry point. Used by the width-clustering path
 // (encoder-side table requantization trades a few size points for a
 // shorter decode compare chain) and by anything reusing one table across
 // streams. Widths must be Kraft-valid and cover every present symbol
 // (error -8 otherwise); output is byte-identical to what mht_encode
-// would produce given the same table.
+// would produce given the same table — it rides the same two-pass
+// multithreaded machinery (deterministic for any thread count;
+// round-3 advisor: the old serial-only path single-threaded
+// width-clustered encodes for no reason).
 int mht_encode_fixed(const uint8_t* data, int64_t n, int64_t block_size,
                      const uint8_t* widths, uint8_t* code_bytes_out,
                      int64_t code_capacity, int64_t* code_len_out,
-                     uint32_t* block_offsets_out, int64_t* total_bits_out) {
-  if (n <= 0) return -1;
-  std::vector<int64_t> hist(4 * kNumSymbols, 0);
-  {
-    int64_t* h0 = hist.data();
-    int64_t* h1 = h0 + kNumSymbols;
-    int64_t* h2 = h1 + kNumSymbols;
-    int64_t* h3 = h2 + kNumSymbols;
-    int64_t i = 0;
-    for (; i + 3 < n; i += 4) {
-      ++h0[data[i]];
-      ++h1[data[i + 1]];
-      ++h2[data[i + 2]];
-      ++h3[data[i + 3]];
-    }
-    for (; i < n; ++i) ++h0[data[i]];
-  }
-  int64_t total_bits = 0;
-  for (int s = 0; s < kNumSymbols; ++s) {
-    const int64_t f = hist[s] + hist[kNumSymbols + s] +
-                      hist[2 * kNumSymbols + s] + hist[3 * kNumSymbols + s];
-    if (f > 0 && widths[s] == 0) return -8;  // table does not cover the data
-    total_bits += f * static_cast<int64_t>(widths[s]);
-  }
-  const int64_t total_bytes = (total_bits + 7) / 8 + 2;
-  if (total_bytes > code_capacity) return -3;
-  if (n / block_size > 0 && total_bits >= (1LL << 32)) return -7;
-
-  uint16_t codes[kNumSymbols];
-  canonical_codes_impl(widths, codes);
-  uint32_t ent[kNumSymbols];
-  build_pack_entries(widths, codes, ent);
-  std::memset(code_bytes_out, 0, total_bytes);
-  std::vector<uint64_t> pair_tbl(1 << 16);
-  build_pair_entries(ent, pair_tbl.data());
-  pack_chunk_or(data, 0, n, block_size, n / block_size, 0, ent,
-                pair_tbl.data(), code_bytes_out, block_offsets_out, nullptr);
-  *code_len_out = total_bytes;
-  *total_bits_out = total_bits;
-  return 0;
+                     uint32_t* block_offsets_out, int64_t* total_bits_out,
+                     int n_threads) {
+  uint8_t widths_copy[kNumSymbols];
+  return encode_mt_impl(data, n, block_size, widths, widths_copy,
+                        code_bytes_out, code_capacity, code_len_out,
+                        block_offsets_out, total_bits_out, n_threads);
 }
 
 // Serial decode via an internally built full 16-bit table (the oracle path).
@@ -526,11 +501,14 @@ int mht_delta2d_decode(const uint8_t* res, int64_t n, int64_t block_dim,
 // A chunk whose start is not byte-aligned diverts its first (shared) byte
 // into a side slot which is OR-merged serially after the join, so no two
 // threads ever write the same byte concurrently.
-int mht_encode_mt(const uint8_t* data, int64_t n, int64_t block_size,
-                  uint8_t* widths_out, uint8_t* code_bytes_out,
-                  int64_t code_capacity, int64_t* code_len_out,
-                  uint32_t* block_offsets_out, int64_t* total_bits_out,
-                  int n_threads) {
+// With ``fixed_widths`` the tree build is skipped and the caller's table
+// is used (coverage-checked against the data, error -8) — the shared
+// machinery behind both mht_encode_mt and mht_encode_fixed.
+static int encode_mt_impl(const uint8_t* data, int64_t n, int64_t block_size,
+                          const uint8_t* fixed_widths, uint8_t* widths_out,
+                          uint8_t* code_bytes_out, int64_t code_capacity,
+                          int64_t* code_len_out, uint32_t* block_offsets_out,
+                          int64_t* total_bits_out, int n_threads) {
   if (n <= 0) return -1;
   if (n_threads <= 0)
     n_threads = std::max(1u, std::thread::hardware_concurrency());
@@ -577,11 +555,19 @@ int mht_encode_mt(const uint8_t* data, int64_t n, int64_t block_size,
   for (int t = 0; t < nc; ++t)
     for (int s = 0; s < kNumSymbols; ++s) freqs[s] += freq_t[t][s];
 
-  int rc = mht_code_lengths(freqs, widths_out);
-  if (rc) return rc;
+  if (fixed_widths != nullptr) {
+    for (int s = 0; s < kNumSymbols; ++s)
+      if (freqs[s] > 0 && fixed_widths[s] == 0)
+        return -8;  // table does not cover the data
+    std::memcpy(widths_out, fixed_widths, kNumSymbols);
+  } else {
+    int rc = mht_code_lengths(freqs, widths_out);
+    if (rc) return rc;
+  }
   uint16_t codes[kNumSymbols];
   canonical_codes_impl(widths_out, codes);
   // every symbol present in the data has freq >= 1, hence width >= 1
+  // (built table) or the coverage check above rejected (fixed table)
 
   // chunk bit sums fall out of the per-chunk histograms (the original
   // pass 1 re-read all n bytes; this is O(256) per chunk instead)
@@ -641,6 +627,16 @@ int mht_encode_mt(const uint8_t* data, int64_t n, int64_t block_size,
   *code_len_out = total_bytes;
   *total_bits_out = total_bits;
   return 0;
+}
+
+int mht_encode_mt(const uint8_t* data, int64_t n, int64_t block_size,
+                  uint8_t* widths_out, uint8_t* code_bytes_out,
+                  int64_t code_capacity, int64_t* code_len_out,
+                  uint32_t* block_offsets_out, int64_t* total_bits_out,
+                  int n_threads) {
+  return encode_mt_impl(data, n, block_size, nullptr, widths_out,
+                        code_bytes_out, code_capacity, code_len_out,
+                        block_offsets_out, total_bits_out, n_threads);
 }
 
 // Parallel block decode on the host: one 64K LUT, threads over block ranges.

@@ -122,6 +122,32 @@ def test_mt_codec_many_threads_identical(n_threads):
     np.testing.assert_array_equal(outm.ravel(), raw)
 
 
+@pytest.mark.parametrize("n_threads", [2, 4, 16])
+def test_fixed_table_encode_mt_identical(n_threads):
+    """encode_symbols(widths=...) rides the MT machinery (round-3 advisor:
+    the old serial-only path single-threaded width-clustered encodes);
+    output must be byte-identical for any thread count AND identical to
+    the default encoder when given that encoder's own table."""
+    from metalhuffman_tpu.core import canonical
+
+    rng = np.random.default_rng(300 + n_threads)
+    syms = (rng.normal(0, 12, 64 * 1511) % 256).astype(np.uint8)
+    freqs = np.bincount(syms, minlength=256).astype(np.int64)
+    cw = canonical.cluster_widths(freqs, 6)
+    f1 = native.encode_symbols(syms, widths=cw, n_threads=1)
+    fm = native.encode_symbols(syms, widths=cw, n_threads=n_threads)
+    np.testing.assert_array_equal(fm.code_bytes, f1.code_bytes)
+    np.testing.assert_array_equal(fm.block_offsets, f1.block_offsets)
+    np.testing.assert_array_equal(
+        native.decode_blocks(fm, delta=False).ravel(), syms)
+    # given the default path's own table, byte-identical to the default
+    auto = native.encode_symbols(syms, n_threads=n_threads)
+    fixed = native.encode_symbols(syms, widths=auto.widths,
+                                  n_threads=n_threads)
+    np.testing.assert_array_equal(fixed.code_bytes, auto.code_bytes)
+    np.testing.assert_array_equal(fixed.block_offsets, auto.block_offsets)
+
+
 def test_mt_encode_small_inputs():
     rng = np.random.default_rng(7)
     for n in (1, 63, 64, 65, 130):
