@@ -299,6 +299,174 @@ def run_temporal(height: int, width: int, frames: int, iters: int,
     return gbps, len(rates), spread
 
 
+def run_temporal_ext(height: int, width: int, frames: int, iters: int,
+                     verbose: bool, content: str = "synthetic",
+                     variants: int = 4, keyint: int = 8,
+                     motion: bool = False, inner: str = "gray"):
+    """Temporal decode+fold throughput: the MC / color / u16 fold chains.
+
+    ``run_temporal`` covers the plain-grayscale production path (raw packed
+    words + SWAR group fold). This covers the OTHER chains
+    ``models.temporal._decode_temporal_device`` takes, with the same
+    methodology (distinct staged inputs, dependent-reduction barrier,
+    median of reps):
+
+    - ``motion=True``: byte-image decode + the vmapped roll+scan MC fold
+      (``temporal_decode_mc_jax`` — rolls are pixel-granular, so the words
+      shortcut does not apply);
+    - ``inner="color"``: (T*3) plane decode + ``fold_video_planes_jax`` +
+      group fold on (T, H, W, 3);
+    - ``inner="u16"``: hi/lo plane decode + u16 recombine + wrapping-u16
+      group fold.
+
+    The stderr diagnostic reports the plain (fold-less) byte-image decode
+    rate from the same staged inputs, so the printed cost factor isolates
+    the reconstruction chain. Decoded bytes are TRUE-frame bytes
+    (``base.nbytes``) — for color/u16 the plane payload is the same size.
+    """
+    from functools import partial
+
+    import jax
+    import jax.numpy as jnp
+
+    from metalhuffman_tpu.models import (CodecConfig, color, frame_stream,
+                                         temporal)
+
+    cfg = CodecConfig(backend="pallas")
+    if content == "photo":
+        gray = photo_frames(height, width, frames)
+    else:
+        gray = np.stack([synthetic_frame(height, width, seed=0, phase=i)
+                         for i in range(frames)])
+    if inner == "color":
+        # correlated channels (column-shifted copies): compresses like a
+        # natural RGB photo under the identity colorspace
+        base = np.stack([np.roll(gray, 3 * c, axis=2) for c in range(3)],
+                        axis=-1)
+        channels, kind = 3, color.KIND_U8
+    elif inner == "u16":
+        # depth-map-like: smooth content scaled past 8 bits (hi plane keeps
+        # the gradient statistics, lo plane the fine detail)
+        base = ((gray.astype(np.uint16) << 4) | (gray >> 4)).astype(np.uint16)
+        channels, kind = 2, color.KIND_U16
+    else:
+        base = gray
+        channels, kind = 1, color.KIND_U8
+
+    variants = max(1, min(variants, frames))
+    sets = []
+    t0 = time.perf_counter()
+    for v in range(variants):
+        fr = np.roll(base, v, axis=0)
+        if motion:
+            res, mvs = temporal.temporal_encode_mc(fr, keyint)
+        else:
+            res, mvs = temporal.temporal_encode(fr, keyint), None
+        if inner == "color":
+            planes = res.transpose(0, 3, 1, 2).reshape(-1, height, width)
+        elif inner == "u16":
+            planes = np.stack([(res >> 8).astype(np.uint8),
+                               (res & 0xFF).astype(np.uint8)],
+                              axis=1).reshape(-1, height, width)
+        else:
+            planes = res
+        stream = frame_stream.encode_frames_shared(planes, cfg)
+        prep = frame_stream.prepare_shared(
+            stream, planes.shape[0], height, width, cfg)
+        sets.append((fr, stream, prep,
+                     None if mvs is None else jnp.asarray(mvs, jnp.int32)))
+        print(f"variant {v} encoded+staged "
+              f"({time.perf_counter() - t0:.0f} s)", file=sys.stderr)
+    t_enc = time.perf_counter() - t0
+    p0 = sets[0][2]
+    if not p0.h2:
+        print("FATAL: temporal bench needs the image-layout kernel path",
+              file=sys.stderr)
+        sys.exit(1)
+    interpret = jax.default_backend() in ("cpu", "gpu")
+
+    @partial(jax.jit, static_argnames=(
+        "bounds", "adj_inc", "wpr", "h2", "g", "interp", "fold"))
+    def step(rows, init, pair, mv, *, bounds, adj_inc, wpr, h2, g, interp,
+             fold):
+        img = frame_stream._decode_shared_image_jit(
+            rows, init, pair, bounds=bounds, adj_inc=adj_inc, wpr=wpr,
+            num_frames=p0.num_frames, height=height, width=width, h2=h2,
+            delta=True, interpret=interp, w_pad=p0.w_pad, bh=p0.bh,
+            group_tiles=g, d2_bd=0)
+        if not fold:
+            return img
+        if inner != "gray":
+            img = color.fold_video_planes_jax(img, channels, kind,
+                                              color.CS_IDENTITY)
+        if motion:
+            return temporal.temporal_decode_mc_jax(img, keyint, mv)
+        return temporal.temporal_decode_jax(img, keyint)
+
+    def make(s, fold):
+        _fr, _st, p, mv = s
+        return lambda: step(
+            p.rows, p.init, p.pair, mv, bounds=p.bounds, adj_inc=p.adj_inc,
+            wpr=p.wpr, h2=p.h2, g=p.group_tiles, interp=interpret, fold=fold)
+
+    decodes = [make(s, True) for s in sets]
+    plains = [make(s, False) for s in sets]
+    label = inner + ("+mc" if motion else "")
+    for v, (s, d) in enumerate(zip(sets, decodes)):
+        t0 = time.perf_counter()
+        out = np.asarray(d())
+        print(f"variant {v} first decode+fold+fetch "
+              f"{time.perf_counter() - t0:.0f} s", file=sys.stderr)
+        if not np.array_equal(out, s[0]):
+            print(f"FATAL: temporal[{label}] decode mismatch on variant {v}",
+                  file=sys.stderr)
+            sys.exit(1)
+    for d in plains + decodes:
+        _barrier(d())
+
+    def timed(seq, reps=5):
+        times = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            r = None
+            for d in seq:
+                r = d()
+            _barrier(r)
+            times.append(time.perf_counter() - t0)
+        return times
+
+    rates = sorted(
+        base.nbytes * iters / t / 1e9
+        for t in timed([decodes[i % variants] for i in range(iters)]))
+    gbps = rates[len(rates) // 2]
+    spread = 100.0 * (rates[-1] - rates[0]) / gbps if gbps else 0.0
+    plain_rates = sorted(
+        base.nbytes * iters / t / 1e9
+        for t in timed([plains[i % variants] for i in range(iters)], reps=3))
+    plain_gbps = plain_rates[len(plain_rates) // 2]
+    print(f"per-rep GB/s (n={len(rates)}): "
+          + " ".join(f"{r:.2f}" for r in rates)
+          + f"  median={gbps:.2f} spread={spread:.1f}%", file=sys.stderr)
+    if verbose:
+        ratio = sets[0][1].compressed_size / base.nbytes
+        moving = ""
+        if motion:
+            mv0 = np.asarray(sets[0][3])
+            moving = f"  moving={int((mv0 != 0).any(axis=1).sum())}/{frames}"
+        print(
+            f"device={jax.devices()[0].device_kind} frames={frames} "
+            f"frame={height}x{width} keyint={keyint} content={content} "
+            f"inner={label}{moving}\n"
+            f"encode(host)={t_enc:.2f} s  "
+            f"compressed={sets[0][1].compressed_size} B ({ratio:.1%})\n"
+            f"MHVT[{label}] decode+fold={gbps:.2f} GB/s  plane/byte "
+            f"decode={plain_gbps:.2f} GB/s  fold cost="
+            f"{plain_gbps / gbps:.2f}x",
+            file=sys.stderr,
+        )
+    return gbps, len(rates), spread
+
+
 def run_encode(height: int, width: int, frames: int, iters: int,
                verbose: bool, content: str = "synthetic"):
     """Encode benchmark: host MT encoder + the hybrid device path's stages.
@@ -494,6 +662,13 @@ def main():
                     help="delta2d = 2-D within-block predictor (mode 3): "
                          "smaller streams, decode pays the on-device "
                          "reconstruction post-pass")
+    ap.add_argument("--motion", action="store_true",
+                    help="temporal mode: motion-compensated fold (byte-image "
+                         "decode + vmapped roll+scan reconstruction)")
+    ap.add_argument("--inner", default="gray",
+                    choices=["gray", "color", "u16"],
+                    help="temporal mode: inner container kind (color/u16 "
+                         "measure the plane-fold reconstruction chains)")
     ap.add_argument("--backend", default="pallas", choices=["pallas", "xla"])
     ap.add_argument("-v", "--verbose", action="store_true")
     ap.add_argument("--trace", default=None, metavar="DIR",
@@ -512,10 +687,19 @@ def main():
             args.verbose, content=args.content,
             variants=args.variants, precoder=args.precoder)
     elif args.mode == "temporal":
-        gbps, reps, spread = run_temporal(
-            args.height, args.width, args.frames, args.iters,
-            args.verbose, content=args.content, variants=args.variants)
-        metric = "temporal_decode_throughput"
+        if args.motion or args.inner != "gray":
+            gbps, reps, spread = run_temporal_ext(
+                args.height, args.width, args.frames, args.iters,
+                args.verbose, content=args.content, variants=args.variants,
+                motion=args.motion, inner=args.inner)
+            metric = ("temporal_" + ("mc_" if args.motion else "")
+                      + (f"{args.inner}_" if args.inner != "gray" else "")
+                      + "decode_throughput")
+        else:
+            gbps, reps, spread = run_temporal(
+                args.height, args.width, args.frames, args.iters,
+                args.verbose, content=args.content, variants=args.variants)
+            metric = "temporal_decode_throughput"
     elif args.mode == "encode":
         gbps, reps, spread = run_encode(
             args.height, args.width, args.frames, args.iters,

@@ -9,6 +9,10 @@ methodology (alternating staged inputs + host-fetch barrier). Variants:
   gatheradj   — width-only compare chain + per-symbol adj gather
                 (replaces T constant-muladds with T adds + 1 in-vreg gather)
   g12         — group_tiles=12 (more ILP, more VMEM)
+  stride2     — refill one-hot scans EVEN word indices only (wi>>1): half
+                the compares, each candidate selects 4 consecutive words,
+                parity picks the 3-word window (round-4 roofline study)
+  stride4     — same at stride 4 (wi>>2, 6 words/candidate, 4-way parity)
 
 Run: python scratch/ablate_decode.py [variants...]
 """
@@ -46,6 +50,7 @@ def make_kernel_variant(width, bounds, adj_inc, *, sub, delta, image_h2,
     flags = set(variant.split("+"))
     min_w = base_w
     max_w = base_w + len(terms) if "maxw" in flags else 16
+    stride = 2 if "stride2" in flags else (4 if "stride4" in flags else 1)
 
     # adj(w) lookup for the gatheradj variant: adj = base_adj + prefix sums
     adj_by_w = np.zeros(LANES, np.int32)
@@ -75,6 +80,35 @@ def make_kernel_variant(width, bounds, adj_inc, *, sub, delta, image_h2,
                 w0 = rows_ref[0, lo]
                 w1 = rows_ref[0, lo + 1]
                 w2 = rows_ref[0, lo + 2]
+            elif stride > 1:
+                # stride-S refill: one-hot on wi>>log2(S) — 1/S the
+                # compares, each candidate selecting S+2 consecutive
+                # words; a (S-1)-level parity select picks the window.
+                # A candidate word past width-1 is clamped: it is only
+                # USED when wi = S*c + r needs word wi+2 <= width-1, so
+                # the clamped garbage is never selected for a legal wi.
+                shift = stride.bit_length() - 1
+                lo_s, hi_s = lo >> shift, hi >> shift
+                n_s = hi_s - lo_s + 1
+                wi_s = jax.lax.shift_right_logical(wi, shift)
+                iota_s = lo_s + jax.lax.broadcasted_iota(
+                    jnp.int32, (n_s, sub, LANES), 0)
+                oh = iota_s == wi_s[None]
+                cand = []
+                for d in range(stride + 2):
+                    sl = [rows_ref[0, min(stride * (lo_s + c) + d, width - 1)]
+                          for c in range(n_s)]
+                    acc0 = jnp.where(oh[0], sl[0], 0)
+                    for c in range(1, n_s):
+                        acc0 = acc0 + jnp.where(oh[c], sl[c], 0)
+                    cand.append(acc0)
+                r0 = wi & (stride - 1)
+                w0, w1, w2 = cand[0], cand[1], cand[2]
+                for r in range(1, stride):
+                    sel = r0 >= r
+                    w0 = jnp.where(sel, cand[r], w0)
+                    w1 = jnp.where(sel, cand[r + 1], w1)
+                    w2 = jnp.where(sel, cand[r + 2], w2)
             else:
                 n = hi - lo + 1
                 iota_g = lo + jax.lax.broadcasted_iota(
@@ -194,6 +228,7 @@ def build_variant(variant, staged, meta, wpr, h2):
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct(
                 (ng, rows_pp, 8, h2 * 2 * LANES), jnp.int32),
+            interpret=jax.default_backend() in ("cpu", "gpu"),
         )
         fn = jax.jit(call)
         r = fn(rows_g, init_g, pair_g, jnp.asarray(adj_tab))
@@ -227,6 +262,8 @@ def measure_interleaved(variants, built, payload, rounds=6, per=6):
 def main():
     variants = sys.argv[1:] or ["base", "maxw", "gatheradj", "g12"]
     T, H, W = 30, 1536, 2048
+    if jax.default_backend() in ("cpu", "gpu"):
+        T, H, W = 3, 64, 1024  # interpret-mode correctness check only
     base = bench.photo_frames(H, W, T)
     frames_sets = [base, np.roll(base, 16, axis=2)]
     cfg = CodecConfig(backend="pallas")

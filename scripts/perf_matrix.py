@@ -56,6 +56,22 @@ def main():
     )
     rows.append(("2048x1536", "photo", "Pallas kernel, delta2d", gbps))
 
+    # MHVT temporal reconstruction chains (decode + on-device fold), photo
+    # content at the reference geometry — run_temporal is the plain-gray
+    # production path (raw words + SWAR fold); run_temporal_ext covers the
+    # MC roll+scan and the color/u16 plane-fold chains
+    gbps, _reps, _spread = bench.run_temporal(
+        1536, 2048, args.frames, args.iters, verbose=False,
+        content="photo", variants=args.variants)
+    rows.append(("2048x1536", "photo", "MHVT fold (plain gray)", gbps))
+    for label, kw in (("MHVT fold (motion)", {"motion": True}),
+                      ("MHVT fold (color)", {"inner": "color"}),
+                      ("MHVT fold (u16)", {"inner": "u16"})):
+        gbps, _reps, _spread = bench.run_temporal_ext(
+            1536, 2048, args.frames, args.iters, verbose=False,
+            content="photo", variants=args.variants, **kw)
+        rows.append(("2048x1536", "photo", label, gbps))
+
     # host C++ decoder on the reference geometry, real-photo content
     cfg = CodecConfig(backend="native")
     frames = bench.photo_frames(1536, 2048, args.frames)
