@@ -311,9 +311,12 @@ def run_temporal_ext(height: int, width: int, frames: int, iters: int,
     methodology (distinct staged inputs, dependent-reduction barrier,
     median of reps):
 
-    - ``motion=True``: byte-image decode + the vmapped roll+scan MC fold
-      (``temporal_decode_mc_jax`` — rolls are pixel-granular, so the words
-      shortcut does not apply);
+    - ``motion=True`` (gray): raw packed strips + the packed-words MC fold
+      (``temporal_fold_words_mc_jax`` — row/word rolls + byte rotate +
+      SWAR add; the production path for exact strip geometry);
+    - ``motion=True`` with ``inner="color"``: byte-image decode + the
+      vmapped roll+scan MC fold (``temporal_decode_mc_jax`` — the padded/
+      color production chain, pixel-granular rolls);
     - ``inner="color"``: (T*3) plane decode + ``fold_video_planes_jax`` +
       group fold on (T, H, W, 3);
     - ``inner="u16"``: hi/lo plane decode + u16 recombine + wrapping-u16
@@ -384,11 +387,26 @@ def run_temporal_ext(height: int, width: int, frames: int, iters: int,
               file=sys.stderr)
         sys.exit(1)
     interpret = jax.default_backend() in ("cpu", "gpu")
+    words_mc = motion and inner == "gray" and (p0.bh * 8, p0.w_pad) == (
+        height, width)
+    rows_pf, wpw = p0.bh * 8, p0.w_pad // 4
 
     @partial(jax.jit, static_argnames=(
         "bounds", "adj_inc", "wpr", "h2", "g", "interp", "fold"))
     def step(rows, init, pair, mv, *, bounds, adj_inc, wpr, h2, g, interp,
              fold):
+        if words_mc:
+            # production MC path for exact strip geometry: packed words in,
+            # packed words out (host views bytes for free)
+            strips = frame_stream._decode_shared_strips_jit(
+                rows, init, pair, bounds=bounds, adj_inc=adj_inc, wpr=wpr,
+                h2=h2, delta=True, interpret=interp, group_tiles=g)
+            x = strips.reshape(-1, wpw)[: frames * rows_pf]
+            if not fold:
+                return x
+            return temporal.temporal_fold_words_mc_jax(
+                x.reshape(frames, rows_pf, wpw), keyint, mv,
+                height=height, width=width)
         img = frame_stream._decode_shared_image_jit(
             rows, init, pair, bounds=bounds, adj_inc=adj_inc, wpr=wpr,
             num_frames=p0.num_frames, height=height, width=width, h2=h2,
@@ -415,6 +433,8 @@ def run_temporal_ext(height: int, width: int, frames: int, iters: int,
     for v, (s, d) in enumerate(zip(sets, decodes)):
         t0 = time.perf_counter()
         out = np.asarray(d())
+        if words_mc:
+            out = out.view(np.uint8).reshape(frames, height, width)
         print(f"variant {v} first decode+fold+fetch "
               f"{time.perf_counter() - t0:.0f} s", file=sys.stderr)
         if not np.array_equal(out, s[0]):

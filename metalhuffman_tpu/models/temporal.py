@@ -224,6 +224,80 @@ def temporal_fold_words_jax(words, keyint: int,
     return out.reshape((-1,) + x.shape[1:])[front : front + t]
 
 
+def _roll_words(frame, dy, dx):
+    """Circular (dy, dx) pixel roll of one PACKED frame: (rows, W//4) int32
+    little-endian words (pixel 4i+k in bits 8k of word i).
+
+    ``dy`` rolls whole rows; ``dx`` splits into a word roll (dx>>2) plus a
+    0..3-byte rotate done with variable shifts against the left-neighbor
+    word — no byte-granular relayout anywhere. The ``>>1 >>(31-8r)`` form
+    makes the r=0 case a shift by 32 = contribute nothing (int32 shifts
+    past 31 are undefined as single ops).
+    """
+    import jax.numpy as jnp
+    from jax import lax
+
+    frame = jnp.roll(frame, dy, axis=0)
+    a = jnp.roll(frame, lax.shift_right_logical(dx, 2), axis=1)
+    r8 = (dx & 3) << 3
+    prev = jnp.roll(a, 1, axis=1)
+    return lax.shift_left(a, r8) | lax.shift_right_logical(
+        lax.shift_right_logical(prev, 1), 31 - r8)
+
+
+def temporal_fold_words_mc_jax(words, keyint: int, mvs, height: int,
+                               width: int, first_len: int | None = None):
+    """Motion-compensated group fold on PACKED image words.
+
+    The MC analog of :func:`temporal_fold_words_jax`: the kernel's raw
+    strips feed the fold directly — the circular-shift predictor becomes a
+    row roll + word roll + byte rotate on int32 words (:func:`_roll_words`)
+    and the residual add is the SWAR byte add, so the whole reconstruction
+    stays in the packed layout the kernel emits (no device byte relayout,
+    no per-frame uint8 arrays). Valid ONLY when the strip geometry is
+    exact (``rows == height`` and ``words*4 == width``): a circular roll
+    over padded rows/columns would wrap through pad garbage — callers fall
+    back to the byte-image path otherwise.
+
+    ``dx`` is normalized mod ``width`` (and dy mod height) so negative or
+    out-of-range vectors split into a non-negative word shift + 0..3-byte
+    rotate exactly like ``np.roll``'s wrapping.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    if keyint < 1:
+        raise ValueError("keyint must be >= 1")
+    t, rows, wpw = words.shape[0], words.shape[1], words.shape[2]
+    if rows != height or wpw * 4 != width:
+        raise ValueError("packed MC fold needs exact strip geometry")
+    mvs = jnp.asarray(mvs, jnp.int32)
+    if mvs.shape[0] != t:
+        raise ValueError(
+            "corrupt MHVT container (motion table length disagrees with "
+            "the frame count)")
+    front = (keyint - first_len) % keyint if first_len else 0
+    pad = (-(t + front)) % keyint
+    x = jnp.pad(words, [(front, pad), (0, 0), (0, 0)])
+    mv = jnp.pad(mvs, ((front, pad), (0, 0)))
+    mv = jnp.stack([mv[:, 0] % height, mv[:, 1] % width], axis=1)
+    g = x.shape[0] // keyint
+    grp = x.reshape((g, keyint) + x.shape[1:])
+    mvg = mv.reshape(g, keyint, 2)
+
+    def fold_group(res_g, mv_g):
+        def step(prev, inp):
+            res_i, mv_i = inp
+            cur = _swar_add8(res_i, _roll_words(prev, mv_i[0], mv_i[1]))
+            return cur, cur
+
+        _, rest = jax.lax.scan(step, res_g[0], (res_g[1:], mv_g[1:]))
+        return jnp.concatenate([res_g[:1], rest], axis=0)
+
+    out = jax.vmap(fold_group)(grp, mvg)
+    return out.reshape((-1,) + x.shape[1:])[front : front + t]
+
+
 def temporal_decode_mc_jax(residuals, keyint: int, mvs,
                            first_len: int | None = None):
     """Device-resident inverse of :func:`temporal_encode_mc`.
@@ -709,11 +783,14 @@ def _decode_temporal_device(inner: bytes, keyint: int, mvs,
     Plain grayscale streams take the raw-strips path: the kernel's packed
     image words feed the SWAR group fold directly (no byte relayout, no
     residual round-trip — the host sees only final true-frame bytes).
-    Motion compensation and color/u16 inners reconstruct from byte images
-    (rolls are pixel-granular; u16 folds after the hi/lo recombine).
+    Motion compensation rides the SAME packed-words path when the strip
+    geometry is exact (the circular-shift predictor is a row/word roll +
+    byte rotate, :func:`temporal_fold_words_mc_jax`); padded geometries
+    and color/u16 inners reconstruct from byte images (rolls there are
+    pixel-granular; u16 folds after the hi/lo recombine).
     """
+    raw = _device_gray_strips(inner, _inner_config(config))
     if mvs is None:
-        raw = _device_gray_strips(inner, _inner_config(config))
         if raw is not None:
             words, t, h, w, w_pad, rows_pf = raw
             folded = _jitted("fold_words", temporal_fold_words_jax)(
@@ -723,6 +800,14 @@ def _decode_temporal_device(inner: bytes, keyint: int, mvs,
         return np.asarray(_jitted("fold", temporal_decode_jax)(
             _device_frames(inner, config), keyint=keyint,
             first_len=first_len))
+    if raw is not None and (raw[5], raw[4]) == (raw[2], raw[3]):
+        words, t, h, w, _w_pad, _rows_pf = raw
+        folded = _jitted(
+            "fold_words_mc", temporal_fold_words_mc_jax,
+            static=("keyint", "height", "width", "first_len"))(
+                words, keyint=keyint, mvs=np.asarray(mvs, np.int32),
+                height=h, width=w, first_len=first_len)
+        return np.asarray(folded).view(np.uint8).reshape(t, h, w)
     res = _device_frames(inner, config)
     return np.asarray(_jitted("fold_mc", temporal_decode_mc_jax)(
         res, keyint=keyint, mvs=np.asarray(mvs), first_len=first_len))

@@ -18,17 +18,18 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import bench  # noqa: E402
 
 
-@pytest.mark.parametrize("motion,inner", [
-    (False, "color"),
-    (False, "u16"),
-    (True, "gray"),
-    (True, "color"),
+@pytest.mark.parametrize("motion,inner,width", [
+    (False, "color", 512),
+    (False, "u16", 512),
+    (True, "gray", 512),   # padded geometry -> byte-image MC chain
+    (True, "gray", 1024),  # exact geometry -> packed-words MC fold
+    (True, "color", 512),
 ])
-def test_run_temporal_ext_bit_exact(motion, inner):
+def test_run_temporal_ext_bit_exact(motion, inner, width):
     # run_temporal_ext sys.exit(1)s on any decode/fold mismatch — a clean
     # return IS the assertion (plus a sane positive rate)
     gbps, reps, _spread = bench.run_temporal_ext(
-        64, 512, 5, 2, verbose=False, variants=2, keyint=3,
+        64, width, 5, 2, verbose=False, variants=2, keyint=3,
         motion=motion, inner=inner)
     assert gbps > 0 and reps >= 1
 

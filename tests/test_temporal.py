@@ -760,3 +760,67 @@ def test_wrap_unwrap_beyond_4gib_inner():
     # spot-check content without materializing comparisons
     assert got_inner[:16] == inner[:16] and got_inner[-16:] == inner[-16:]
     del inner, got_inner, blob
+
+
+# -- packed-words motion-compensated fold (round 4) ----------------------------
+
+
+def _words_view(words):
+    t, rows, wpw = words.shape
+    return words.view(np.uint8).reshape(t, rows, wpw * 4)
+
+
+@pytest.mark.parametrize("first_len", [None, 2])
+def test_fold_words_mc_matches_byte_oracle(first_len):
+    rng = np.random.default_rng(41)
+    t, rows, wpw = 9, 16, 8   # 16 x 32 byte frames
+    words = rng.integers(-(1 << 31), 1 << 31, (t, rows, wpw), np.int64
+                         ).astype(np.int32)
+    mvs = rng.integers(-40, 40, (t, 2)).astype(np.int16)
+    mvs[0] = 0
+    res_bytes = np.ascontiguousarray(_words_view(words))
+    want = temporal.temporal_decode_mc(res_bytes, 3, mvs,
+                                       first_len=first_len)
+    got = np.asarray(temporal.temporal_fold_words_mc_jax(
+        words, 3, mvs, height=rows, width=wpw * 4, first_len=first_len))
+    np.testing.assert_array_equal(_words_view(got), want)
+
+
+def test_roll_words_matches_np_roll():
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(42)
+    rows, wpw = 8, 4
+    words = rng.integers(-(1 << 31), 1 << 31, (rows, wpw), np.int64
+                         ).astype(np.int32)
+    img = words.view(np.uint8).reshape(rows, wpw * 4)
+    for dy, dx in [(0, 0), (1, 1), (3, 2), (5, 3), (7, 4), (2, 9),
+                   (0, 15), (4, 13)]:
+        got = np.asarray(temporal._roll_words(
+            jnp.asarray(words), jnp.int32(dy), jnp.int32(dx)))
+        np.testing.assert_array_equal(
+            got.view(np.uint8).reshape(rows, wpw * 4),
+            np.roll(img, (dy, dx), axis=(0, 1)), err_msg=f"dy={dy} dx={dx}")
+
+
+def test_mc_container_words_fold_path():
+    """An exact-geometry MC container reconstructs through the packed-words
+    MC fold (w a multiple of 1024 so the ImagePlan pads nothing); padded
+    geometries keep the byte-image path — both bit-exact."""
+    rng = np.random.default_rng(43)
+    base = rng.integers(0, 256, (16, 1024), np.uint8)
+    frames = np.stack([np.roll(base, (3 * i, -7 * i), axis=(0, 1))
+                       for i in range(7)])
+    cfg = CodecConfig(backend="native", temporal=True, motion=True, keyint=3)
+    blob = mh.encode_video(frames, cfg)
+    _i, _k, _c, mvs, _f, _fl = temporal.unwrap(blob)
+    assert mvs is not None and (mvs != 0).any()
+    # device decode (CPU interpret) rides _decode_temporal_device
+    np.testing.assert_array_equal(
+        temporal.decode_temporal_video(blob, CodecConfig()), frames)
+    # a phased extract of the same container folds correctly too
+    from metalhuffman_tpu.models import surgery
+
+    part = surgery.extract_video(blob, 2, 7)
+    np.testing.assert_array_equal(
+        temporal.decode_temporal_video(part, CodecConfig()), frames[2:7])
