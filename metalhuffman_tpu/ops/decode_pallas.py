@@ -158,9 +158,41 @@ def _delta2d_row(dy, p0, p1, prev0, prev1):
     return p0, p1
 
 
+#: test hook: force the refill-scan stride (None = normal choice). Lets
+#: interpret-mode tests cover the compiled stride-2 path bit-exactly
+#: without paying its interpret op-count tax on every suite test.
+_FORCE_STRIDE: int | None = None
+
+
+def _refill_stride(lo: int, hi: int, interpret: bool) -> int:
+    """Static per-group choice of the refill-scan stride (1 or 2).
+
+    The stride-2 scan one-hots ``wi >> 1`` (half the compares), each
+    candidate selecting 4 consecutive words with a parity select picking
+    the 3-word window. Modeled VPU op cost (matching scratch/roofline.py):
+    stride 1 = 7n; stride 2 = 9·n_2 + 5. Measured +2.8-2.9% end to end in
+    BOTH interleaved A/B runs on the photo workload (parity on synthetic);
+    stride 4/8 and an O(S)-op slab/reshape form were inside the harness's
+    ~1% noise (PERF.md "The decode roofline, closed", round 4).
+
+    The win needs the per-candidate UNROLLED form (scalar-indexed ref
+    loads + select/add chains), whose traced op count scales with the
+    scan range — that made interpret-mode tests ~3x slower, so interpret
+    keeps stride 1 (bit-identical result either way; a dedicated test
+    forces stride 2 through interpret via ``_FORCE_STRIDE``).
+    """
+    if _FORCE_STRIDE is not None:
+        return _FORCE_STRIDE
+    if interpret:
+        return 1
+    n = hi - lo + 1
+    n_2 = (hi >> 1) - (lo >> 1) + 1
+    return 2 if 9 * n_2 + 5 < 7 * n else 1
+
+
 def _make_kernel(width: int, bounds, adj_inc, *, sub: int, num_steps: int,
                  delta: bool, image_h2: int = 0, emit_end: bool = False,
-                 delta2d: bool = False):
+                 delta2d: bool = False, interpret: bool = False):
     """Build the kernel body specialized for one canonical table.
 
     ``image_h2 > 0`` selects image-strip emission (see decode_tiles_images):
@@ -221,11 +253,48 @@ def _make_kernel(width: int, bounds, adj_inc, *, sub: int, num_steps: int,
             lo = (SYMS_PER_GROUP * j * min_w) >> 5
             hi = min(width - 3, (31 + max_w * SYMS_PER_GROUP * j) >> 5)
             lo = min(lo, hi)
+            stride = _refill_stride(lo, hi, interpret)
             if lo == hi:
                 # word index is fully determined (early groups) — no select
                 w0 = rows_ref[0, lo]
                 w1 = rows_ref[0, lo + 1]
                 w2 = rows_ref[0, lo + 2]
+            elif stride > 1:
+                # stride-S scan (round-4 roofline study, +2.8% measured
+                # on photo content): one-hot on wi>>log2(S) — 1/S the
+                # compares — with each candidate selecting S+2
+                # consecutive words; an (S-1)-level parity select then
+                # picks the 3-word window. Deliberately UNROLLED
+                # (scalar-indexed ref loads + select/add chains): an
+                # O(S)-op slab/reshape form lowers too but loses the
+                # measured win to shape-cast overhead (PERF.md round 4).
+                # A candidate word index past width-1 is clamped: it is
+                # only ever SELECTED when wi needs word wi+2 <= width-1,
+                # so the clamped garbage never reaches a legal window.
+                shift = stride.bit_length() - 1
+                lo_s, hi_s = lo >> shift, hi >> shift
+                wi_s = jax.lax.shift_right_logical(wi, shift)
+                iota_s = lo_s + jax.lax.broadcasted_iota(
+                    jnp.int32, (hi_s - lo_s + 1, sub, LANES), 0)
+                oh = iota_s == wi_s[None]
+                cand = []
+                for d in range(stride + 2):
+                    acc = jnp.where(
+                        oh[0], rows_ref[0, min(stride * lo_s + d, width - 1)],
+                        0)
+                    for c in range(1, hi_s - lo_s + 1):
+                        acc = acc + jnp.where(
+                            oh[c],
+                            rows_ref[0, min(stride * (lo_s + c) + d,
+                                            width - 1)], 0)
+                    cand.append(acc)
+                r0 = wi & (stride - 1)
+                w0, w1, w2 = cand[0], cand[1], cand[2]
+                for r in range(1, stride):
+                    sel = r0 >= r
+                    w0 = jnp.where(sel, cand[r], w0)
+                    w1 = jnp.where(sel, cand[r + 1], w1)
+                    w2 = jnp.where(sel, cand[r + 2], w2)
             else:
                 n = hi - lo + 1
                 iota_g = lo + jax.lax.broadcasted_iota(
@@ -379,7 +448,7 @@ def decode_tiles(rows_tiled, init_tiled, pair_table, *, width: int, bounds,
 
     kernel = _make_kernel(
         width, bounds, adj_inc, sub=sub, num_steps=num_steps, delta=delta,
-        emit_end=emit_end_bits, delta2d=delta2d)
+        emit_end=emit_end_bits, delta2d=delta2d, interpret=interpret)
     out_specs = pl.BlockSpec((1, n_groups, sub, LANES),
                              lambda i: (i, 0, 0, 0),
                              memory_space=pltpu.VMEM)
@@ -447,7 +516,8 @@ def decode_tiles_images(rows_tiled, init_tiled, pair_table, *, width: int,
 
     kernel = _make_kernel(
         width, bounds, adj_inc, sub=sub, num_steps=64, delta=delta,
-        image_h2=h2, emit_end=emit_end_bits, delta2d=delta2d)
+        image_h2=h2, emit_end=emit_end_bits, delta2d=delta2d,
+        interpret=interpret)
     out_specs = pl.BlockSpec((1, rows_pp, 8, h2 * 2 * LANES),
                              lambda i: (i, 0, 0, 0),
                              memory_space=pltpu.VMEM)

@@ -50,7 +50,9 @@ def make_kernel_variant(width, bounds, adj_inc, *, sub, delta, image_h2,
     flags = set(variant.split("+"))
     min_w = base_w
     max_w = base_w + len(terms) if "maxw" in flags else 16
-    stride = 2 if "stride2" in flags else (4 if "stride4" in flags else 1)
+    stride = (2 if "stride2" in flags else
+              4 if "stride4" in flags else
+              8 if "stride8" in flags else 1)
 
     # adj(w) lookup for the gatheradj variant: adj = base_adj + prefix sums
     adj_by_w = np.zeros(LANES, np.int32)
@@ -84,9 +86,11 @@ def make_kernel_variant(width, bounds, adj_inc, *, sub, delta, image_h2,
                 # stride-S refill: one-hot on wi>>log2(S) — 1/S the
                 # compares, each candidate selecting S+2 consecutive
                 # words; a (S-1)-level parity select picks the window.
-                # A candidate word past width-1 is clamped: it is only
-                # USED when wi = S*c + r needs word wi+2 <= width-1, so
-                # the clamped garbage is never selected for a legal wi.
+                # Array form: one contiguous slab load + S+2 strided
+                # views, so the op count stays O(S) regardless of range
+                # (matters for interpret mode and trace size). Words past
+                # width-1 are zero-padded: they are only ever SELECTED
+                # when wi needs word wi+2 <= width-1, never for legal wi.
                 shift = stride.bit_length() - 1
                 lo_s, hi_s = lo >> shift, hi >> shift
                 n_s = hi_s - lo_s + 1
@@ -94,14 +98,20 @@ def make_kernel_variant(width, bounds, adj_inc, *, sub, delta, image_h2,
                 iota_s = lo_s + jax.lax.broadcasted_iota(
                     jnp.int32, (n_s, sub, LANES), 0)
                 oh = iota_s == wi_s[None]
+                # UNROLLED per-candidate form — the +2.8% one; the O(S)-op
+                # slab/reshape form lowers but loses the win to shape-cast
+                # overhead (measured 17.08 vs 16.95 = noise)
                 cand = []
                 for d in range(stride + 2):
-                    sl = [rows_ref[0, min(stride * (lo_s + c) + d, width - 1)]
-                          for c in range(n_s)]
-                    acc0 = jnp.where(oh[0], sl[0], 0)
+                    acc = jnp.where(
+                        oh[0], rows_ref[0, min(stride * lo_s + d, width - 1)],
+                        0)
                     for c in range(1, n_s):
-                        acc0 = acc0 + jnp.where(oh[c], sl[c], 0)
-                    cand.append(acc0)
+                        acc = acc + jnp.where(
+                            oh[c],
+                            rows_ref[0, min(stride * (lo_s + c) + d,
+                                            width - 1)], 0)
+                    cand.append(acc)
                 r0 = wi & (stride - 1)
                 w0, w1, w2 = cand[0], cand[1], cand[2]
                 for r in range(1, stride):
@@ -260,11 +270,17 @@ def measure_interleaved(variants, built, payload, rounds=6, per=6):
 
 
 def main():
+    import os
+
     variants = sys.argv[1:] or ["base", "maxw", "gatheradj", "g12"]
     T, H, W = 30, 1536, 2048
     if jax.default_backend() in ("cpu", "gpu"):
         T, H, W = 3, 64, 1024  # interpret-mode correctness check only
-    base = bench.photo_frames(H, W, T)
+    if os.environ.get("MHT_ABL_CONTENT") == "synthetic":
+        base = np.stack([bench.synthetic_frame(H, W, seed=0, phase=i)
+                         for i in range(T)])
+    else:
+        base = bench.photo_frames(H, W, T)
     frames_sets = [base, np.roll(base, 16, axis=2)]
     cfg = CodecConfig(backend="pallas")
     payload = T * H * W

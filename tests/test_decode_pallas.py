@@ -115,3 +115,25 @@ def test_canonical_meta_intervals():
     valid = w_plane > 0
     np.testing.assert_array_equal(widths[valid], w_plane[valid])
     np.testing.assert_array_equal(syms[valid], sym_plane[valid])
+
+
+@pytest.mark.parametrize("stride", [2, 4])
+def test_forced_stride_refill_scan(stride, monkeypatch):
+    """The compiled-mode stride-S refill scan, forced through interpret.
+
+    Production chooses stride 2 only when compiling for real hardware
+    (interpret keeps stride 1 — the unrolled scan's traced op count made
+    the whole suite ~3x slower); this test forces the stride branch so the
+    suite still covers it bit-exactly. Wide-table content makes every late
+    group take the scanned (lo < hi) path.
+    """
+    monkeypatch.setattr(decode_pallas, "_FORCE_STRIDE", stride)
+    rng = np.random.default_rng(17)
+    p = 0.6 ** np.arange(200)
+    data = rng.choice(np.arange(200), size=64 * 40, p=p / p.sum()).astype(
+        np.uint8)
+    enc = encode_symbols(data, block_size=64)
+    assert enc.widths.max() > 8  # wide scan ranges in the late groups
+    out = np.asarray(
+        decode_pallas.decode_stream_pallas(enc, delta=False, interpret=True))
+    np.testing.assert_array_equal(out.ravel(), data)
