@@ -337,9 +337,79 @@ def _pick_best_precoder(frames: np.ndarray, cfg):
     return best
 
 
+def _cmd_encode_video_streaming(args) -> int:
+    """encode-video --streaming: memory-bounded push-frame MHV2 encode.
+
+    The input is consumed incrementally (an .npy stack is memory-mapped, a
+    directory is loaded one image at a time) and segments are written as
+    soon as their frames are buffered — peak memory is one segment of raw
+    frames, independent of video length. Output is always MHV2 (the
+    segment count is only known at the end); every decode surface treats a
+    1-segment MHV2 exactly like MHTV.
+    """
+    from .models.stream_writer import StreamingEncoder
+    from .utils import imageio
+
+    for flag, what in [
+        ("per_frame_tables", "--per-frame-tables"), ("best", "--best"),
+        ("best_fast", "--best-fast"), ("color", "--color"),
+        ("gray16", "--gray16"), ("subgreen", "--subgreen"),
+        ("temporal", "--temporal"), ("motion", "--motion"),
+    ]:
+        if getattr(args, flag, False):
+            raise SystemExit(
+                f"--streaming writes plain grayscale MHV2 incrementally; "
+                f"{what} needs the full sequence in memory — drop one")
+    cfg = _config(args)
+    t0 = time.perf_counter()
+    p = Path(args.input)
+    if p.is_dir():
+        files = sorted(
+            f for f in p.iterdir()
+            if f.suffix.lower() in (".png", ".jpg", ".jpeg", ".gray", ".tga")
+        )
+        if not files:
+            raise SystemExit(f"no image files in {args.input}")
+        first = imageio.load_grayscale(files[0])
+        h, w = first.shape
+        with StreamingEncoder(
+                args.output, h, w, cfg,
+                max_segment_frames=args.segment_frames,
+                frame_crcs=cfg.frame_crcs) as enc:
+            enc.push(first)
+            for f in files[1:]:
+                enc.push(imageio.load_grayscale(f))
+    else:
+        frames = np.load(p, mmap_mode="r")
+        if frames.ndim != 3 or frames.dtype != np.uint8:
+            raise SystemExit(".npy input must be a (T, H, W) uint8 array")
+        t, h, w = frames.shape
+        with StreamingEncoder(
+                args.output, h, w, cfg,
+                max_segment_frames=args.segment_frames,
+                frame_crcs=cfg.frame_crcs) as enc:
+            step = max(1, min(enc.segment_frames, 64))
+            for a in range(0, t, step):
+                enc.push(np.ascontiguousarray(frames[a : a + step]))
+    stats = enc.stats
+    dt = time.perf_counter() - t0
+    raw = stats.total_frames * h * w
+    print(
+        f"{args.input}: {stats.total_frames} frames {h}x{w} -> "
+        f"MHV2[{stats.num_segments} segments, streamed] "
+        f"{stats.bytes_written} bytes ({stats.bytes_written/raw:.1%}) "
+        f"in {dt:.2f} s"
+    )
+    return 0
+
+
 def cmd_encode_video(args) -> int:
     from .models import frame_stream
 
+    if getattr(args, "streaming", False):
+        return _cmd_encode_video_streaming(args)
+    if getattr(args, "segment_frames", None) is not None:
+        raise SystemExit("--segment-frames requires --streaming")
     if getattr(args, "motion", False) and not getattr(args, "temporal", False):
         raise SystemExit("--motion requires --temporal")
     if getattr(args, "gray16", False) or getattr(args, "color", False):
@@ -1453,6 +1523,17 @@ def main(argv=None) -> int:
                         "--frame / range random access verifies exactly "
                         "the frames it touches (whole-payload CRCs cannot "
                         "cover a slice)")
+    p.add_argument("--streaming", action="store_true",
+                   help="memory-bounded encode: consume the input "
+                        "incrementally (.npy via mmap, directories one "
+                        "image at a time) and write MHV2 segments as they "
+                        "fill — peak memory is one segment of raw frames, "
+                        "independent of video length (plain grayscale "
+                        "modes only)")
+    p.add_argument("--segment-frames", type=int, default=None, metavar="N",
+                   help="with --streaming: cap frames per MHV2 segment to "
+                        "bound peak memory below the u32 offset-cap "
+                        "capacity (default)")
     _add_codec_flags(p)
     p.set_defaults(fn=cmd_encode_video)
 

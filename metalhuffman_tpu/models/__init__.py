@@ -6,5 +6,6 @@ loop) — becomes :class:`ImageCodec`; the 30-FPS video use-case it was built
 for (``README.md:9-11``) becomes :mod:`frame_stream`.
 """
 
-from . import color, frame_stream  # noqa: F401
+from . import color, frame_stream, stream_writer  # noqa: F401
 from .image_codec import CodecConfig, ImageCodec  # noqa: F401
+from .stream_writer import StreamingEncoder  # noqa: F401

@@ -1,0 +1,298 @@
+"""Memory-bounded streaming video encoder (push frames -> MHV2 on disk).
+
+The batch writers (:func:`frame_stream.encode_frames_segmented` +
+:func:`frame_stream.write_segmented`) hold the whole (T, H, W) stack and the
+whole serialized container in memory at once. A capture or transcode
+pipeline cannot do that for an hour of 2048x1536 video (~340 GB raw), but
+the MHV2 layout is already stream-friendly: segments are self-contained
+shared-table streams laid down back to back, and only two header fields
+(total frame count, segment count) depend on the future. This writer
+exploits that — frames are pushed incrementally, each full segment is
+encoded and written out as soon as its frames are buffered, and ``close()``
+back-patches the two header fields and appends the CRC trailer(s). Peak
+memory is one segment of raw frames plus its encoded blob, independent of
+stream length.
+
+Byte-level contract: for the same frames, config, and segment capacity, the
+file this writer produces is **byte-identical** to
+``write_segmented(encode_frames_segmented(frames, cfg), ...)`` — same
+segmentation rule (:func:`frame_stream.segment_frame_counts`), same
+pathological-overflow halving, same trailers — regardless of how the frames
+were chunked across ``push()`` calls (gated by
+``tests/test_stream_writer.py``). The one intentional difference from the
+CLI batch path: a sequence that fits a single segment is still written as
+MHV2 (with one segment) rather than MHTV, because the magic is the first
+thing written and the segment count is not known until ``close()``. Every
+decode surface (decode-video / --frame / --frames / --region / info /
+verify / surgery) already treats a 1-segment MHV2 exactly like MHTV.
+
+This is the encode-side complement of :class:`frame_stream.StreamingDecoder`
+(decode pipelining) — together they close the capture -> serve loop the
+reference only hints at with its in-memory encode-once design
+(``AAPLRenderer.m:374-688`` encodes one frame at init and never writes a
+file; SURVEY.md section 5 "checkpoint/resume: none").
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import io
+import struct
+import zlib
+from pathlib import Path
+
+import numpy as np
+
+from ..core import blocks
+from ..core import container
+from .image_codec import CodecConfig
+from . import frame_stream
+
+
+@dataclasses.dataclass(frozen=True)
+class StreamStats:
+    """What ``close()`` wrote: frame/segment totals and the file size."""
+
+    total_frames: int
+    num_segments: int
+    bytes_written: int
+    source_crc32: int
+
+
+class StreamingEncoder:
+    """Push (T, H, W) uint8 frames, get an MHV2 container written as you go.
+
+    Parameters
+    ----------
+    sink:
+        A path (``str`` / ``Path``) opened for writing, or a seekable
+        binary file object positioned where the container should start.
+        Seekability is required: the MHV2 header's total-frame and
+        segment counts are back-patched on ``close()``.
+    height, width:
+        Frame geometry; every pushed frame must match.
+    config:
+        Codec configuration. ``temporal`` is refused — the MHVT wrapper
+        needs the per-frame motion-vector table and the inner length in
+        its *header*, so it cannot be laid down before the last frame is
+        seen; re-wrap a finished file with the batch temporal encoder, or
+        re-key with ``mht extract``, when inter prediction is wanted.
+    max_segment_bits:
+        Per-segment compressed-size budget (u32 block-offset cap), as in
+        :func:`frame_stream.encode_frames_segmented`.
+    max_segment_frames:
+        Optional cap on frames per segment, to bound peak memory below
+        the u32-derived capacity (which at small geometries can be
+        millions of frames). Caps below the derived capacity change the
+        segmentation — the output is then byte-identical to a batch
+        encode with the same effective capacity, not to the default one.
+    frame_crcs:
+        Record the per-frame CRC-32 table (FCRC extension) so random
+        access (``--frame N --check``) can verify single frames.
+
+    Usage::
+
+        with StreamingEncoder(path, h, w, cfg) as enc:
+            for chunk in frame_source:   # any chunking, incl. 1 frame
+                enc.push(chunk)
+        stats = enc.stats   # after close; close() also returns them
+    """
+
+    _HEADER_FMT = "<IIIBBI"  # total_frames, h, w, block_dim, mode, n_seg
+
+    def __init__(
+        self,
+        sink,
+        height: int,
+        width: int,
+        config: CodecConfig | None = None,
+        max_segment_bits: int = (1 << 32) - 1024,
+        max_segment_frames: int | None = None,
+        frame_crcs: bool = False,
+    ) -> None:
+        cfg = config or CodecConfig()
+        if cfg.temporal:
+            raise ValueError(
+                "StreamingEncoder writes plain MHV2; temporal (MHVT) needs "
+                "the full sequence in its header — use "
+                "temporal.encode_temporal_video on the finished stack")
+        if (cfg.zero_init or cfg.delta2d) and not cfg.delta:
+            raise ValueError("zero_init/delta2d require delta precoding")
+        if height <= 0 or width <= 0:
+            raise ValueError("frame geometry must be positive")
+        self._cfg = cfg
+        self._h, self._w = int(height), int(width)
+        bh, bw = blocks.block_grid(self._h, self._w, cfg.block_dim)
+        frame_symbols = bh * bw * cfg.block_size
+        per = max(1, int(
+            max_segment_bits
+            // (frame_symbols * frame_stream._SEG_BITS_PER_SYMBOL)))
+        if max_segment_frames is not None:
+            if max_segment_frames < 1:
+                raise ValueError("max_segment_frames must be >= 1")
+            per = min(per, int(max_segment_frames))
+        self._per = per
+        self._max_segment_bits = max_segment_bits
+        self._want_fcrcs = bool(frame_crcs)
+        self._fcrcs: list[int] = []
+        self._crc = 0
+        self._buf: list[np.ndarray] = []  # pending frames, each (H, W)
+        self._buffered = 0
+        self._total = 0
+        self._n_seg = 0
+        self._mode: int | None = None
+        self._closed = False
+        self.stats: StreamStats | None = None
+
+        if isinstance(sink, (str, Path)):
+            self._fh: io.IOBase = open(sink, "wb")
+            self._owns_fh = True
+        else:
+            self._fh = sink
+            self._owns_fh = False
+        if not (self._fh.seekable() and self._fh.writable()):
+            raise ValueError(
+                "sink must be a seekable writable binary file (the MHV2 "
+                "header's frame/segment counts are patched on close)")
+        self._base = self._fh.tell()
+        # placeholder header; total_frames and n_seg patched on close()
+        self._fh.write(frame_stream.SEGMENTED_MAGIC)
+        self._fh.write(struct.pack(
+            self._HEADER_FMT, 0, self._h, self._w, cfg.block_dim, 0, 0))
+
+    @property
+    def segment_frames(self) -> int:
+        """Frames per full segment — the peak raw-frame buffer length."""
+        return self._per
+
+    # -- frame intake ---------------------------------------------------------
+
+    def push(self, frames: np.ndarray) -> None:
+        """Buffer one (H, W) frame or a (T, H, W) chunk; encode full segments.
+
+        Frames are copied into the buffer (the caller may reuse or mmap the
+        input array). Encoding happens here, synchronously, whenever the
+        buffer reaches the segment capacity — so a steady push loop does
+        steady work instead of one giant close().
+        """
+        if self._closed:
+            raise ValueError("push() after close()")
+        arr = np.asarray(frames)
+        if arr.ndim == 2:
+            arr = arr[None]
+        if arr.ndim != 3 or arr.shape[1:] != (self._h, self._w):
+            raise ValueError(
+                f"expected (T, {self._h}, {self._w}) frames, got "
+                f"{arr.shape}")
+        if arr.dtype != np.uint8:
+            raise ValueError("frames must be uint8")
+        for f in arr:
+            b = np.ascontiguousarray(f).tobytes()
+            self._crc = zlib.crc32(b, self._crc)
+            if self._want_fcrcs:
+                self._fcrcs.append(zlib.crc32(b))
+            self._buf.append(np.array(f, copy=True))
+            self._buffered += 1
+        while self._buffered >= self._per:
+            self._emit(self._per)
+
+    # -- segment emission -----------------------------------------------------
+
+    def _emit(self, take: int) -> None:
+        """Encode the first ``take`` buffered frames into segment(s).
+
+        Mirrors the halving retry of ``encode_frames_segmented``: if the
+        exact u32 offset check overflows (pathological content), the chunk
+        is split in half and each half becomes its own segment.
+        """
+        plan = [take]
+        while plan:
+            k = plan.pop(0)
+            chunk = np.stack(self._buf[:k])
+            try:
+                stream = frame_stream.encode_frames_shared(chunk, self._cfg)
+            except ValueError:
+                if k == 1:
+                    raise  # single frame over 2^32 bits: nothing to split
+                half = k // 2
+                plan[0:0] = [half, k - half]
+                continue
+            self._write_segment(stream, k)
+            del self._buf[:k]
+            self._buffered -= k
+
+    def _write_segment(self, stream: container.EncodedStream,
+                       t: int) -> None:
+        mode = frame_stream._stream_mode(stream, self._cfg.delta)
+        if self._mode is None:
+            self._mode = mode
+        elif mode != self._mode:  # cannot happen with a fixed config
+            raise ValueError("MHV2 segments must share one mode")
+        core = stream.core_blob()
+        self._fh.write(struct.pack(
+            "<III", t, stream.block_offsets.size, len(core)))
+        self._fh.write(core)
+        self._fh.write(stream.block_offsets.astype("<u4").tobytes())
+        if mode in (2, 4):
+            self._fh.write(stream.block_init.astype(np.uint8).tobytes())
+        self._n_seg += 1
+        self._total += t
+
+    # -- finalization ---------------------------------------------------------
+
+    def close(self) -> StreamStats:
+        """Flush the partial tail segment, write trailers, patch the header."""
+        if self._closed:
+            assert self.stats is not None
+            return self.stats
+        try:
+            if self._buffered:
+                self._emit(self._buffered)
+            if self._total == 0:
+                raise ValueError("cannot encode an empty frame stack")
+            self._fh.write(struct.pack("<I", self._crc & 0xFFFFFFFF))
+            if self._want_fcrcs:
+                self._fh.write(frame_stream._frame_crc_blob(
+                    np.array(self._fcrcs, np.uint32)))
+            end = self._fh.tell()
+            self._fh.seek(self._base + 4)
+            # mode byte: every segment agreed (enforced in _write_segment)
+            self._fh.write(struct.pack(
+                self._HEADER_FMT, self._total, self._h, self._w,
+                self._cfg.block_dim, self._mode, self._n_seg))
+            self._fh.seek(end)
+            self.stats = StreamStats(
+                total_frames=self._total, num_segments=self._n_seg,
+                bytes_written=end - self._base,
+                source_crc32=self._crc & 0xFFFFFFFF)
+            return self.stats
+        finally:
+            self._closed = True
+            if self._owns_fh:
+                self._fh.close()
+
+    def abort(self) -> None:
+        """Discard everything written and close the sink without finalizing.
+
+        The sink is truncated back to where this writer started, so no
+        torn container is left behind — for error paths where close()
+        would mask the original exception with its own.
+        """
+        self._closed = True
+        self._buf.clear()
+        self._buffered = 0
+        try:
+            self._fh.seek(self._base)
+            self._fh.truncate(self._base)
+        finally:
+            if self._owns_fh:
+                self._fh.close()
+
+    def __enter__(self) -> "StreamingEncoder":
+        return self
+
+    def __exit__(self, exc_type, exc, tb) -> None:
+        if exc_type is None:
+            self.close()
+        else:
+            self.abort()
