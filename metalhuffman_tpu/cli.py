@@ -338,65 +338,131 @@ def _pick_best_precoder(frames: np.ndarray, cfg):
 
 
 def _cmd_encode_video_streaming(args) -> int:
-    """encode-video --streaming: memory-bounded push-frame MHV2 encode.
+    """encode-video --streaming: memory-bounded push-frame encode.
 
     The input is consumed incrementally (an .npy stack is memory-mapped, a
     directory is loaded one image at a time) and segments are written as
     soon as their frames are buffered — peak memory is one segment of raw
-    frames, independent of video length. Output is always MHV2 (the
-    segment count is only known at the end); every decode surface treats a
-    1-segment MHV2 exactly like MHTV.
+    frames, independent of video length. Grayscale writes MHV2 directly;
+    --color/--gray16 write MHTC wrapping a streamed inner MHV2 (the MHTC
+    header is fixed-size, so it composes). Output is always (inner) MHV2 —
+    the segment count is only known at the end; every decode surface
+    treats a 1-segment MHV2 exactly like MHTV.
     """
-    from .models.stream_writer import StreamingEncoder
+    from .models import color as color_mod
+    from .models.stream_writer import ColorStreamingEncoder, StreamingEncoder
     from .utils import imageio
 
     for flag, what in [
         ("per_frame_tables", "--per-frame-tables"), ("best", "--best"),
-        ("best_fast", "--best-fast"), ("color", "--color"),
-        ("gray16", "--gray16"), ("subgreen", "--subgreen"),
+        ("best_fast", "--best-fast"),
         ("temporal", "--temporal"), ("motion", "--motion"),
     ]:
         if getattr(args, flag, False):
             raise SystemExit(
-                f"--streaming writes plain grayscale MHV2 incrementally; "
+                f"--streaming writes MHV2 segments incrementally; "
                 f"{what} needs the full sequence in memory — drop one")
+    is_color = getattr(args, "color", False)
+    is_u16 = getattr(args, "gray16", False)
+    if is_color and is_u16:
+        raise SystemExit("--gray16 and --color are mutually exclusive")
+    if getattr(args, "subgreen", False) and not is_color:
+        raise SystemExit("--subgreen needs --color")
     cfg = _config(args)
     t0 = time.perf_counter()
     p = Path(args.input)
-    if p.is_dir():
-        files = sorted(
-            f for f in p.iterdir()
-            if f.suffix.lower() in (".png", ".jpg", ".jpeg", ".gray", ".tga")
-        )
-        if not files:
-            raise SystemExit(f"no image files in {args.input}")
-        first = imageio.load_grayscale(files[0])
-        h, w = first.shape
-        with StreamingEncoder(
-                args.output, h, w, cfg,
-                max_segment_frames=args.segment_frames,
-                frame_crcs=cfg.frame_crcs) as enc:
-            enc.push(first)
-            for f in files[1:]:
-                enc.push(imageio.load_grayscale(f))
-    else:
+
+    def drive(make_enc, chunks, first=None):
+        with make_enc() as enc:
+            if first is not None:
+                enc.push(first)
+            for c in chunks:
+                enc.push(c)
+        return enc.stats
+
+    if is_u16:
+        if p.is_dir():
+            raise SystemExit(
+                "--gray16 video input must be a (T, H, W) uint16 .npy stack")
         frames = np.load(p, mmap_mode="r")
-        if frames.ndim != 3 or frames.dtype != np.uint8:
-            raise SystemExit(".npy input must be a (T, H, W) uint8 array")
+        if frames.ndim != 3 or frames.dtype != np.uint16:
+            raise SystemExit(
+                "--gray16 video input must be a (T, H, W) uint16 .npy stack")
         t, h, w = frames.shape
-        with StreamingEncoder(
-                args.output, h, w, cfg,
+        stats = drive(
+            lambda: ColorStreamingEncoder(
+                args.output, h, w, u16=True, config=cfg,
                 max_segment_frames=args.segment_frames,
-                frame_crcs=cfg.frame_crcs) as enc:
-            step = max(1, min(enc.segment_frames, 64))
-            for a in range(0, t, step):
-                enc.push(np.ascontiguousarray(frames[a : a + step]))
-    stats = enc.stats
+                frame_crcs=cfg.frame_crcs),
+            (np.ascontiguousarray(frames[a : a + 16])
+             for a in range(0, t, 16)))
+        kind, bpp = "MHTC[u16", 2
+    elif is_color:
+        cs = (color_mod.CS_SUBGREEN if getattr(args, "subgreen", False)
+              else color_mod.CS_IDENTITY)
+        if p.is_dir():
+            files = sorted(
+                f for f in p.iterdir()
+                if f.suffix.lower() in (".png", ".jpg", ".jpeg", ".tga"))
+            if not files:
+                raise SystemExit(f"no image files in {args.input}")
+            first = imageio.load_color(files[0])
+            h, w, ch = first.shape
+            stats = drive(
+                lambda: ColorStreamingEncoder(
+                    args.output, h, w, channels=ch, config=cfg,
+                    colorspace=cs, max_segment_frames=args.segment_frames,
+                    frame_crcs=cfg.frame_crcs),
+                (imageio.load_color(f) for f in files[1:]), first=first)
+        else:
+            frames = np.load(p, mmap_mode="r")
+            if frames.ndim != 4 or frames.dtype != np.uint8:
+                raise SystemExit(
+                    ".npy input must be a (T, H, W, C) uint8 array")
+            t, h, w, ch = frames.shape
+            stats = drive(
+                lambda: ColorStreamingEncoder(
+                    args.output, h, w, channels=ch, config=cfg,
+                    colorspace=cs, max_segment_frames=args.segment_frames,
+                    frame_crcs=cfg.frame_crcs),
+                (np.ascontiguousarray(frames[a : a + 16])
+                 for a in range(0, t, 16)))
+        kind, bpp = f"MHTC[{ch}ch", ch
+    else:
+        if p.is_dir():
+            files = sorted(
+                f for f in p.iterdir()
+                if f.suffix.lower() in (".png", ".jpg", ".jpeg", ".gray",
+                                        ".tga"))
+            if not files:
+                raise SystemExit(f"no image files in {args.input}")
+            first = imageio.load_grayscale(files[0])
+            h, w = first.shape
+            stats = drive(
+                lambda: StreamingEncoder(
+                    args.output, h, w, cfg,
+                    max_segment_frames=args.segment_frames,
+                    frame_crcs=cfg.frame_crcs),
+                (imageio.load_grayscale(f) for f in files[1:]), first=first)
+        else:
+            frames = np.load(p, mmap_mode="r")
+            if frames.ndim != 3 or frames.dtype != np.uint8:
+                raise SystemExit(
+                    ".npy input must be a (T, H, W) uint8 array")
+            t, h, w = frames.shape
+            stats = drive(
+                lambda: StreamingEncoder(
+                    args.output, h, w, cfg,
+                    max_segment_frames=args.segment_frames,
+                    frame_crcs=cfg.frame_crcs),
+                (np.ascontiguousarray(frames[a : a + 64])
+                 for a in range(0, t, 64)))
+        kind, bpp = "MHV2[plain", 1
     dt = time.perf_counter() - t0
-    raw = stats.total_frames * h * w
+    raw = stats.total_frames * h * w * bpp
     print(
         f"{args.input}: {stats.total_frames} frames {h}x{w} -> "
-        f"MHV2[{stats.num_segments} segments, streamed] "
+        f"{kind}, {stats.num_segments} segments, streamed] "
         f"{stats.bytes_written} bytes ({stats.bytes_written/raw:.1%}) "
         f"in {dt:.2f} s"
     )
@@ -967,6 +1033,140 @@ def _cmd_decode_video_region(args, data: bytes, cfg) -> int:
     return 0
 
 
+def _cmd_decode_video_streaming(args, data: bytes, cfg, check: bool,
+                                salvage: bool) -> int:
+    """decode-video --streaming: constant-memory segmented decode.
+
+    Each MHV2 segment's frames are written to the output (.npy via a
+    memory-mapped array, or one image per frame) as soon as they decode,
+    then dropped — peak memory is one segment, independent of video
+    length; the device pipeline (segment k+1 staged while k decodes)
+    is unchanged. MHTC (color / u16) streams too: the inner plane chunks
+    are folded to frames on the fly, carrying at most one partial frame
+    of planes across a segment boundary. The recorded source CRC is
+    still verified, streamed: chunk CRCs chain to the whole-payload
+    CRC-32.
+    """
+    import dataclasses
+
+    from .models import color as color_mod
+    from .models import frame_stream
+    from .utils import imageio
+
+    for flag, what in [("frame", "--frame"), ("frames", "--frames"),
+                       ("region", "--region")]:
+        if getattr(args, flag, None) is not None:
+            raise SystemExit(
+                f"--streaming decodes the whole stream incrementally; "
+                f"{what} is random access — drop one")
+    kind, cs, channels = color_mod.KIND_U8, color_mod.CS_IDENTITY, 0
+    inner = data
+    if data[:4] == color_mod.COLOR_MAGIC:
+        inner, channels, layout, kind, cs = color_mod.unwrap(data)
+        if layout != color_mod.LAYOUT_VIDEO:
+            raise SystemExit("--streaming needs a video container")
+    ppf = 1 if not channels else (2 if kind == color_mod.KIND_U16
+                                  else channels)
+    if inner[:4] != frame_stream.SEGMENTED_MAGIC:
+        raise SystemExit(
+            "--streaming decode needs a segmented MHV2 (inner) container "
+            "(other containers decode in one piece; drop --streaming)")
+    segs, n_planes, h, w, bd, delta = frame_stream.read_segmented(inner)
+    if n_planes % ppf:
+        raise SystemExit(
+            f"MHTC inner frame count ({n_planes}) is not a multiple of "
+            f"the declared {ppf} planes per frame")
+    total = n_planes // ppf
+    cfg = dataclasses.replace(
+        cfg, block_dim=bd, delta=delta,
+        delta2d=bool(segs) and segs[0][0].predictor == "2d")
+    if check and cfg.backend != "pallas":
+        raise SystemExit(
+            "--check requires --backend pallas (the on-device integrity "
+            "check is emitted by the TPU decode kernel)")
+    t0 = time.perf_counter()
+    out = Path(args.output)
+    npy = out.suffix == ".npy"
+    if not channels:
+        oshape, odtype, save = (total, h, w), np.uint8, \
+            imageio.save_grayscale
+    elif kind == color_mod.KIND_U16:
+        oshape, odtype, save = (total, h, w), np.uint16, imageio.save_gray16
+    else:
+        oshape, odtype, save = (total, h, w, channels), np.uint8, \
+            imageio.save_color
+    if npy:
+        sink = np.lib.format.open_memmap(
+            out, mode="w+", dtype=odtype, shape=oshape)
+    else:
+        out.mkdir(parents=True, exist_ok=True)
+
+    n_corrupt = 0
+
+    def checked_chunks():
+        nonlocal n_corrupt
+        for si, (stream, ft) in enumerate(segs):
+            prep = frame_stream.prepare_shared(stream, ft, h, w, cfg,
+                                               check=True)
+            fr, err = frame_stream.decode_shared_step_checked(prep, cfg)
+            fr = np.asarray(fr)
+            if err.any():
+                idx = np.nonzero(err)[0]
+                if not salvage:
+                    raise SystemExit(
+                        f"stream integrity check failed in segment {si}: "
+                        f"{idx.size} corrupt block(s), first at "
+                        f"{idx[:8].tolist()}")
+                fr, n = frame_stream.salvage_blocks(fr, err, cfg.block_dim)
+                n_corrupt += n
+                print(f"salvaged {idx.size} corrupt block(s) in segment "
+                      f"{si}, first at {idx[:8].tolist()} (zero-filled)",
+                      file=sys.stderr)
+            yield fr
+
+    chunks = (checked_chunks() if check
+              else frame_stream.iter_frames_segmented(segs, h, w, cfg))
+    crc = 0
+    base = 0  # frames written so far
+    carry = np.zeros((0, h, w), np.uint8)  # partial-frame planes
+    for chunk in chunks:
+        # the recorded CRC covers the raw plane payload, pre-fold
+        crc = zlib.crc32(np.ascontiguousarray(chunk).tobytes(), crc)
+        if carry.size:
+            chunk = np.concatenate([carry, chunk])
+        usable = (chunk.shape[0] // ppf) * ppf
+        carry = chunk[usable:]
+        if not usable:
+            continue
+        frames = (chunk[:usable] if not channels
+                  else color_mod.fold_video_planes(
+                      chunk[:usable], channels, kind, cs))
+        if npy:
+            sink[base : base + frames.shape[0]] = frames
+        else:
+            for i, f in enumerate(frames):
+                save(f, out / f"frame_{base + i:05d}.png")
+        base += frames.shape[0]
+    if npy:
+        sink.flush()
+        del sink
+    if n_corrupt:
+        print(f"salvaged output: CRC checks skipped ({n_corrupt} "
+              "zero-filled block(s))", file=sys.stderr)
+    else:
+        recorded = frame_stream.source_crc32(inner)
+        if recorded and crc != recorded:
+            raise SystemExit(
+                "decoded payload fails the recorded source CRC-32 — "
+                "the stream is corrupt")
+    what = ("" if not channels
+            else " u16" if kind == color_mod.KIND_U16 else f" {channels}ch")
+    dt = time.perf_counter() - t0
+    print(f"{args.input}: decoded {base}{what} frames {h}x{w} (streamed, "
+          f"{len(segs)} segments) in {dt:.2f} s -> {args.output}")
+    return 0
+
+
 def cmd_decode_video(args) -> int:
     from .models import color, temporal
     from .utils import imageio
@@ -978,6 +1178,8 @@ def cmd_decode_video(args) -> int:
     if salvage and not check:
         raise SystemExit("--salvage needs --check (it zero-fills blocks "
                          "the on-device integrity check flags)")
+    if getattr(args, "streaming", False):
+        return _cmd_decode_video_streaming(args, data, cfg, check, salvage)
     if getattr(args, "region", None) is not None:
         return _cmd_decode_video_region(args, data, cfg)
     if data[:4] == temporal.TEMPORAL_MAGIC:
@@ -1528,8 +1730,9 @@ def main(argv=None) -> int:
                         "incrementally (.npy via mmap, directories one "
                         "image at a time) and write MHV2 segments as they "
                         "fill — peak memory is one segment of raw frames, "
-                        "independent of video length (plain grayscale "
-                        "modes only)")
+                        "independent of video length; composes with "
+                        "--color/--gray16/--subgreen (MHTC wrapping a "
+                        "streamed inner MHV2) but not --temporal/--best")
     p.add_argument("--segment-frames", type=int, default=None, metavar="N",
                    help="with --streaming: cap frames per MHV2 segment to "
                         "bound peak memory below the u32 offset-cap "
@@ -1552,6 +1755,13 @@ def main(argv=None) -> int:
                    help="with --check: zero-fill corrupt blocks and keep "
                         "decoding instead of failing (best-effort serving; "
                         "CRC checks are skipped and the count reported)")
+    p.add_argument("--streaming", action="store_true",
+                   help="constant-memory decode of a segmented MHV2 "
+                        "(bare, or inside MHTC color/u16): each segment's "
+                        "frames are written out (.npy via mmap, or "
+                        "images) as soon as they decode, then dropped — "
+                        "peak memory is one segment; the source CRC is "
+                        "verified streamed (chunk CRCs chain)")
     p.add_argument("--frames", type=int, nargs=2, default=None,
                    metavar=("A", "B"),
                    help="decode ONLY frames [A, B) (range random access "

@@ -730,14 +730,48 @@ def decode_frames_segmented(
     ``ValueError`` names the first corrupt segment/blocks.
     """
     cfg = config or CodecConfig()
+    if not check:
+        outs = list(iter_frames_segmented(segments, height, width, cfg))
+        return np.concatenate(outs) if outs else np.zeros(
+            (0, height, width), np.uint8)
     if cfg.backend == "native":
-        if check:
+        raise ValueError(
+            "the stream-integrity check runs on the device decode path; "
+            "use backend='pallas'")
+    outs = []
+    for si, (stream, t) in enumerate(segments):
+        prep = prepare_shared(stream, t, height, width, cfg, check=True)
+        frames, err = decode_shared_step_checked(prep, cfg)
+        if err.any():
+            idx = np.nonzero(err)[0]
             raise ValueError(
-                "the stream-integrity check runs on the device decode path; "
-                "use backend='pallas'")
+                f"stream integrity check failed in segment {si}: "
+                f"{idx.size} corrupt block(s), first at {idx[:8].tolist()}")
+        outs.append(np.asarray(frames))
+    return np.concatenate(outs) if outs else np.zeros(
+        (0, height, width), np.uint8)
+
+
+def iter_frames_segmented(
+    segments: list[tuple[container.EncodedStream, int]], height: int,
+    width: int, config: CodecConfig | None = None,
+):
+    """Yield each segment's decoded (t, H, W) uint8 frames, in order.
+
+    The memory-bounded form of :func:`decode_frames_segmented` (which is
+    now a concatenation of this iterator): a consumer that writes each
+    chunk out and drops it holds one segment of frames at a time, so an
+    arbitrarily long MHV2 decodes in constant memory. Device backends
+    still pipeline — segment k+1's staging+decode is submitted before
+    segment k's result is fetched, so the device never waits on the
+    consumer unless the consumer is slower than the decode.
+    """
+    cfg = config or CodecConfig()
+    if cfg.backend == "native":
         from .. import native
 
-        outs = []
+        bh, bw = blocks.block_grid(height, width, cfg.block_dim)
+        per = bh * bw
         for stream, t in segments:
             # delta2d reconstructs inside the C++ per-block loop (mode 2)
             blk = native.decode_blocks(
@@ -745,39 +779,21 @@ def decode_frames_segmented(
                 block_size=cfg.block_size, delta2d=cfg.delta2d)
             if stream.block_init is not None:
                 blk = delta_mod.apply_block_init(blk, stream.block_init)
-            bh, bw = blocks.block_grid(height, width, cfg.block_dim)
-            per = bh * bw
-            outs.append(np.stack([
+            yield np.stack([
                 blocks.blocks_to_image(
                     blk[i * per : (i + 1) * per], height, width,
                     cfg.block_dim)
                 for i in range(t)
-            ]))
-        return np.concatenate(outs) if outs else np.zeros(
-            (0, height, width), np.uint8)
-    outs = []
-    if check:
-        for si, (stream, t) in enumerate(segments):
-            prep = prepare_shared(stream, t, height, width, cfg, check=True)
-            frames, err = decode_shared_step_checked(prep, cfg)
-            if err.any():
-                idx = np.nonzero(err)[0]
-                raise ValueError(
-                    f"stream integrity check failed in segment {si}: "
-                    f"{idx.size} corrupt block(s), first at {idx[:8].tolist()}")
-            outs.append(np.asarray(frames))
-        return np.concatenate(outs) if outs else np.zeros(
-            (0, height, width), np.uint8)
+            ])
+        return
     dec = StreamingDecoder(cfg)
     handles = []
     for stream, t in segments:
         handles.append(dec.submit(stream, t, height, width))
         if len(handles) >= 2:  # keep at most two segments in flight
-            outs.append(dec.result(handles.pop(0)))
+            yield np.asarray(dec.result(handles.pop(0)))
     while handles:
-        outs.append(dec.result(handles.pop(0)))
-    return np.concatenate(outs) if outs else np.zeros(
-        (0, height, width), np.uint8)
+        yield np.asarray(dec.result(handles.pop(0)))
 
 
 class StreamingDecoder:

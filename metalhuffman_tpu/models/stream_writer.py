@@ -296,3 +296,152 @@ class StreamingEncoder:
             self.close()
         else:
             self.abort()
+
+
+class ColorStreamingEncoder:
+    """Streaming MHTC writer: push color / 16-bit frames, stream the planes.
+
+    MHTC's header is a fixed 8 bytes with nothing length-dependent in it
+    (``color.wrap``), so the color/u16 story composes directly: write the
+    MHTC header, then run a :class:`StreamingEncoder` over the plane
+    stream at offset 8 (it back-patches only its own MHV2 header). Each
+    pushed frame becomes its planes — (T, H, W, C) uint8 frame-major
+    channel planes after the optional sub-green transform, or hi/lo byte
+    planes for (T, H, W) uint16 — exactly the batch layout
+    (``color.encode_color_video_to_bytes`` / ``encode_gray16_to_bytes``),
+    so every MHTC decode surface reads the result unchanged.
+
+    ``u16=True`` selects 16-bit grayscale (kind=1, 2 planes/frame);
+    otherwise ``channels`` (3 or 4) u8 color with optional
+    ``colorspace=color.CS_SUBGREEN``. ``frame_crcs`` records the inner
+    per-PLANE CRC table, matching the batch writer — plane-level
+    random-access verification.
+    """
+
+    def __init__(
+        self,
+        sink,
+        height: int,
+        width: int,
+        channels: int | None = None,
+        u16: bool = False,
+        config: CodecConfig | None = None,
+        colorspace: int | None = None,
+        max_segment_bits: int = (1 << 32) - 1024,
+        max_segment_frames: int | None = None,
+        frame_crcs: bool = False,
+    ) -> None:
+        from . import color
+
+        if u16:
+            if channels not in (None, 2):
+                raise ValueError("u16 streams always carry 2 (hi/lo) planes")
+            if colorspace not in (None, color.CS_IDENTITY):
+                raise ValueError("colorspace applies to u8 color, not u16")
+            channels, kind, cs = 2, color.KIND_U16, color.CS_IDENTITY
+        else:
+            if channels is None or not 1 <= channels <= 255:
+                raise ValueError("u8 color needs channels in 1..255")
+            cs = color.CS_IDENTITY if colorspace is None else colorspace
+            if cs == color.CS_SUBGREEN and channels < 3:
+                raise ValueError("sub-green needs at least 3 channels")
+            kind = color.KIND_U8
+        self._color = color
+        self._u16 = bool(u16)
+        self._c = int(channels)
+        self._cs = cs
+        self._h, self._w = int(height), int(width)
+
+        if isinstance(sink, (str, Path)):
+            self._fh: io.IOBase = open(sink, "wb")
+            self._owns_fh = True
+        else:
+            self._fh = sink
+            self._owns_fh = False
+        if not (self._fh.seekable() and self._fh.writable()):
+            if self._owns_fh:
+                self._fh.close()
+            raise ValueError(
+                "sink must be a seekable writable binary file (the inner "
+                "MHV2 header's frame/segment counts are patched on close)")
+        self._base = self._fh.tell()
+        self._fh.write(color.COLOR_MAGIC + struct.pack(
+            "<BBBB", self._c, color.LAYOUT_VIDEO, kind, cs))
+        planes_per_frame = 2 if u16 else self._c
+        self._inner = StreamingEncoder(
+            self._fh, height, width, config,
+            max_segment_bits=max_segment_bits,
+            max_segment_frames=(None if max_segment_frames is None
+                                else max_segment_frames * planes_per_frame),
+            frame_crcs=frame_crcs)
+        self._frames = 0
+        self.stats: StreamStats | None = None
+
+    def push(self, frames: np.ndarray) -> None:
+        """Buffer one frame or a stack: (T, H, W, C) uint8 / (T, H, W) u16."""
+        arr = np.asarray(frames)
+        if self._u16:
+            if arr.ndim == 2:
+                arr = arr[None]
+            if arr.ndim != 3 or arr.shape[1:] != (self._h, self._w):
+                raise ValueError(
+                    f"expected (T, {self._h}, {self._w}) u16 frames, got "
+                    f"{arr.shape}")
+            if arr.dtype != np.uint16:
+                raise ValueError("u16 frames must be uint16")
+            t = arr.shape[0]
+            hi = (arr >> 8).astype(np.uint8)
+            lo = (arr & 0xFF).astype(np.uint8)
+            planes = np.stack([hi, lo], axis=1).reshape(
+                t * 2, self._h, self._w)
+        else:
+            if arr.ndim == 3:
+                arr = arr[None]
+            if (arr.ndim != 4
+                    or arr.shape[1:] != (self._h, self._w, self._c)):
+                raise ValueError(
+                    f"expected (T, {self._h}, {self._w}, {self._c}) "
+                    f"frames, got {arr.shape}")
+            if arr.dtype != np.uint8:
+                raise ValueError("color frames must be uint8")
+            t = arr.shape[0]
+            planes = self._color._apply_cs(arr, self._cs).transpose(
+                0, 3, 1, 2).reshape(t * self._c, self._h, self._w)
+        self._inner.push(np.ascontiguousarray(planes))
+        self._frames += t
+
+    def close(self) -> StreamStats:
+        if self.stats is not None:
+            return self.stats
+        try:
+            inner = self._inner.close()
+        except BaseException:
+            if self._owns_fh:
+                self._fh.close()
+            raise
+        self.stats = StreamStats(
+            total_frames=self._frames, num_segments=inner.num_segments,
+            bytes_written=inner.bytes_written + 8,
+            source_crc32=inner.source_crc32)
+        if self._owns_fh:
+            self._fh.close()
+        return self.stats
+
+    def abort(self) -> None:
+        """Discard everything (incl. the MHTC header) and close the sink."""
+        try:
+            self._inner.abort()
+            self._fh.seek(self._base)
+            self._fh.truncate(self._base)
+        finally:
+            if self._owns_fh:
+                self._fh.close()
+
+    def __enter__(self) -> "ColorStreamingEncoder":
+        return self
+
+    def __exit__(self, exc_type, exc, tb) -> None:
+        if exc_type is None:
+            self.close()
+        else:
+            self.abort()

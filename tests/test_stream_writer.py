@@ -225,7 +225,7 @@ def test_cli_streaming_refuses_whole_sequence_flags(tmp_path):
     src = tmp_path / "f.npy"
     np.save(src, _frames(2, 16, 16))
     out = tmp_path / "x.mhv2"
-    for extra in (["--temporal"], ["--best"], ["--color"],
+    for extra in (["--temporal"], ["--best"], ["--best-fast"],
                   ["--per-frame-tables"]):
         with pytest.raises(SystemExit, match="streaming"):
             cli.main(["encode-video", str(src), str(out),
@@ -233,6 +233,232 @@ def test_cli_streaming_refuses_whole_sequence_flags(tmp_path):
     with pytest.raises(SystemExit, match="streaming"):
         cli.main(["encode-video", str(src), str(out),
                   "--segment-frames", "2"])
+
+
+def test_cli_streaming_decode_npy_and_dir(tmp_path):
+    from metalhuffman_tpu import cli
+    from metalhuffman_tpu.utils import imageio
+
+    frames = _frames(7, 24, 32, seed=13)
+    src = tmp_path / "f.npy"
+    np.save(src, frames)
+    mhv2 = tmp_path / "s.mhv2"
+    assert cli.main(["encode-video", str(src), str(mhv2), "--streaming",
+                     "--segment-frames", "3"]) == 0
+    dec = tmp_path / "d.npy"
+    assert cli.main(["decode-video", str(mhv2), str(dec), "--streaming",
+                     "--backend", "native"]) == 0
+    np.testing.assert_array_equal(np.load(dec), frames)
+    outdir = tmp_path / "pngs"
+    assert cli.main(["decode-video", str(mhv2), str(outdir), "--streaming",
+                     "--backend", "native"]) == 0
+    got = np.stack([imageio.load_grayscale(outdir / f"frame_{i:05d}.png")
+                    for i in range(7)])
+    np.testing.assert_array_equal(got, frames)
+
+
+def test_cli_streaming_decode_checked_and_salvage(tmp_path):
+    """--streaming composes with --check/--salvage (per-segment, on-device)."""
+    from metalhuffman_tpu import cli
+
+    frames = _frames(4, 16, 16, seed=15)
+    src = tmp_path / "f.npy"
+    np.save(src, frames)
+    mhv2 = tmp_path / "s.mhv2"
+    assert cli.main(["encode-video", str(src), str(mhv2), "--streaming",
+                     "--segment-frames", "2"]) == 0
+    dec = tmp_path / "d.npy"
+    assert cli.main(["decode-video", str(mhv2), str(dec), "--streaming",
+                     "--check", "--backend", "pallas", "--interpret"]) == 0
+    np.testing.assert_array_equal(np.load(dec), frames)
+    # flip the FIRST code byte of segment 0 (MHV2 header 4+18, segment
+    # header 12, core blob header 8 + 256-byte width table): desyncs
+    # block 0, so the on-device end-bit check flags it — --check fails,
+    # --check --salvage zero-fills and completes
+    data = bytearray(mhv2.read_bytes())
+    data[4 + 18 + 12 + 8 + 256] ^= 0xFF
+    bad = tmp_path / "bad.mhv2"
+    bad.write_bytes(bytes(data))
+    with pytest.raises(SystemExit):
+        cli.main(["decode-video", str(bad), str(dec), "--streaming",
+                  "--check", "--backend", "pallas", "--interpret"])
+    assert cli.main(["decode-video", str(bad), str(dec), "--streaming",
+                     "--check", "--salvage", "--backend", "pallas",
+                     "--interpret"]) == 0
+
+
+def test_cli_streaming_decode_refusals(tmp_path):
+    from metalhuffman_tpu import cli
+
+    frames = _frames(2, 16, 16)
+    src = tmp_path / "f.npy"
+    np.save(src, frames)
+    mhtv = tmp_path / "x.mhtv"
+    assert cli.main(["encode-video", str(src), str(mhtv)]) == 0
+    with pytest.raises(SystemExit, match="segmented MHV2"):
+        cli.main(["decode-video", str(mhtv), str(tmp_path / "o.npy"),
+                  "--streaming", "--backend", "native"])
+    mhv2 = tmp_path / "x.mhv2"
+    assert cli.main(["encode-video", str(src), str(mhv2), "--streaming",
+                     "--segment-frames", "1"]) == 0
+    with pytest.raises(SystemExit, match="random access"):
+        cli.main(["decode-video", str(mhv2), str(tmp_path / "o.npy"),
+                  "--streaming", "--frame", "0", "--backend", "native"])
+
+
+def test_cli_streaming_decode_crc_catches_silent_corruption(tmp_path):
+    """The streamed chained CRC equals the recorded whole-payload CRC."""
+    from metalhuffman_tpu import cli
+
+    frames = _frames(4, 16, 16, seed=17)
+    src = tmp_path / "f.npy"
+    np.save(src, frames)
+    mhv2 = tmp_path / "s.mhv2"
+    assert cli.main(["encode-video", str(src), str(mhv2), "--streaming",
+                     "--segment-frames", "2"]) == 0
+    # corrupt the recorded source CRC itself -> decode output is fine but
+    # the recorded value mismatches -> streamed verify must fail
+    data = bytearray(mhv2.read_bytes())
+    crc_off = frame_stream._trailer_offset(bytes(data))
+    data[crc_off] ^= 0x5A
+    bad = tmp_path / "bad.mhv2"
+    bad.write_bytes(bytes(data))
+    with pytest.raises(SystemExit, match="CRC"):
+        cli.main(["decode-video", str(bad), str(tmp_path / "o.npy"),
+                  "--streaming", "--backend", "native"])
+
+
+def _color_frames(t, h, w, c=3, seed=0):
+    rng = np.random.default_rng(seed)
+    return np.clip(rng.normal(128, 30, (t, h, w, c)), 0,
+                   255).astype(np.uint8)
+
+
+def test_color_streaming_matches_wrapped_plane_stream():
+    """MHTC streamed = 8-byte header + the planes' StreamingEncoder bytes."""
+    from metalhuffman_tpu.models import color
+    from metalhuffman_tpu.models.stream_writer import ColorStreamingEncoder
+
+    frames = _color_frames(5, 16, 16, seed=21)
+    t, h, w, c = frames.shape
+    planes = color.to_subgreen(frames).transpose(0, 3, 1, 2).reshape(
+        t * c, h, w)
+    want = io.BytesIO()
+    with StreamingEncoder(want, h, w, CodecConfig(),
+                          max_segment_frames=2 * c,
+                          frame_crcs=True) as inner:
+        inner.push(planes)
+    got = io.BytesIO()
+    with ColorStreamingEncoder(got, h, w, channels=c,
+                               colorspace=color.CS_SUBGREEN,
+                               max_segment_frames=2,
+                               frame_crcs=True) as enc:
+        for f in frames:
+            enc.push(f)
+    head = color.COLOR_MAGIC + bytes([c, color.LAYOUT_VIDEO, color.KIND_U8,
+                                      color.CS_SUBGREEN])
+    assert got.getvalue() == head + want.getvalue()
+    assert enc.stats.total_frames == 5
+    # and the batch color decoder reads it
+    out = color.decode_color_video_from_bytes(
+        got.getvalue(), CodecConfig(backend="native"))
+    np.testing.assert_array_equal(out, frames)
+
+
+def test_u16_streaming_roundtrip():
+    from metalhuffman_tpu.models import color
+    from metalhuffman_tpu.models.stream_writer import ColorStreamingEncoder
+
+    rng = np.random.default_rng(23)
+    frames = rng.integers(0, 65536, (4, 16, 24)).astype(np.uint16)
+    sink = io.BytesIO()
+    with ColorStreamingEncoder(sink, 16, 24, u16=True,
+                               max_segment_frames=2) as enc:
+        enc.push(frames[:3])
+        enc.push(frames[3])  # single (H, W) u16 frame form
+    out = color.decode_gray16_from_bytes(
+        sink.getvalue(), CodecConfig(backend="native"))
+    np.testing.assert_array_equal(out, frames)
+
+
+def test_color_streaming_validation():
+    from metalhuffman_tpu.models import color
+    from metalhuffman_tpu.models.stream_writer import ColorStreamingEncoder
+
+    with pytest.raises(ValueError, match="channels"):
+        ColorStreamingEncoder(io.BytesIO(), 16, 16)
+    with pytest.raises(ValueError, match="sub-green"):
+        ColorStreamingEncoder(io.BytesIO(), 16, 16, channels=1,
+                              colorspace=color.CS_SUBGREEN)
+    with pytest.raises(ValueError, match="u16"):
+        ColorStreamingEncoder(io.BytesIO(), 16, 16, u16=True, channels=3)
+    enc = ColorStreamingEncoder(io.BytesIO(), 16, 16, channels=3)
+    with pytest.raises(ValueError, match="expected"):
+        enc.push(np.zeros((16, 16), np.uint8))  # missing channel axis
+    enc.abort()
+
+
+def test_cli_streaming_color_and_u16_roundtrip(tmp_path):
+    from metalhuffman_tpu import cli
+
+    cframes = _color_frames(7, 24, 32, seed=25)
+    src = tmp_path / "c.npy"
+    np.save(src, cframes)
+    mhtc = tmp_path / "c.mhtc"
+    dec = tmp_path / "c_dec.npy"
+    assert cli.main(["encode-video", str(src), str(mhtc), "--streaming",
+                     "--color", "--subgreen", "--segment-frames", "2",
+                     "--frame-crcs"]) == 0
+    assert cli.main(["verify", str(mhtc), "--backend", "native"]) == 0
+    assert cli.main(["decode-video", str(mhtc), str(dec), "--streaming",
+                     "--backend", "native"]) == 0
+    np.testing.assert_array_equal(np.load(dec), cframes)
+
+    rng = np.random.default_rng(27)
+    uframes = rng.integers(0, 65536, (5, 16, 24)).astype(np.uint16)
+    usrc = tmp_path / "u.npy"
+    np.save(usrc, uframes)
+    umhtc = tmp_path / "u.mhtc"
+    udec = tmp_path / "u_dec.npy"
+    assert cli.main(["encode-video", str(usrc), str(umhtc), "--streaming",
+                     "--gray16", "--segment-frames", "2"]) == 0
+    assert cli.main(["decode-video", str(umhtc), str(udec), "--streaming",
+                     "--backend", "native"]) == 0
+    np.testing.assert_array_equal(np.load(udec), uframes)
+    # PNG-directory output folds/saves color frames too
+    outdir = tmp_path / "pngs"
+    assert cli.main(["decode-video", str(mhtc), str(outdir), "--streaming",
+                     "--backend", "native"]) == 0
+    from metalhuffman_tpu.utils import imageio
+
+    got = np.stack([imageio.load_color(outdir / f"frame_{i:05d}.png")
+                    for i in range(7)])
+    np.testing.assert_array_equal(got, cframes)
+
+
+def test_streaming_decode_carries_partial_frames_across_segments(tmp_path):
+    """Inner segments NOT aligned to whole frames: the fold must carry.
+
+    ColorStreamingEncoder always frame-aligns its segments, so build the
+    misaligned case directly: stream the planes with a 4-plane segment cap
+    (not a multiple of 3 channels) and wrap in the MHTC header by hand.
+    """
+    from metalhuffman_tpu import cli
+    from metalhuffman_tpu.models import color
+
+    frames = _color_frames(4, 16, 16, seed=29)  # 12 planes -> segs 4/4/4
+    t, h, w, c = frames.shape
+    planes = frames.transpose(0, 3, 1, 2).reshape(t * c, h, w)
+    inner = io.BytesIO()
+    with StreamingEncoder(inner, h, w, max_segment_frames=4) as enc:
+        enc.push(planes)
+    blob = color.wrap(inner.getvalue(), c, color.LAYOUT_VIDEO)
+    p = tmp_path / "misaligned.mhtc"
+    p.write_bytes(blob)
+    dec = tmp_path / "d.npy"
+    assert cli.main(["decode-video", str(p), str(dec), "--streaming",
+                     "--backend", "native"]) == 0
+    np.testing.assert_array_equal(np.load(dec), frames)
 
 
 def test_streamed_file_serves_every_reader_surface(tmp_path):
