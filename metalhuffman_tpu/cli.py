@@ -1059,6 +1059,9 @@ def _cmd_decode_video_streaming(args, data: bytes, cfg, check: bool,
             raise SystemExit(
                 f"--streaming decodes the whole stream incrementally; "
                 f"{what} is random access — drop one")
+    if data[:4] == _temporal_magic():
+        return _cmd_decode_video_streaming_temporal(args, data, cfg, check,
+                                                    salvage)
     kind, cs, channels = color_mod.KIND_U8, color_mod.CS_IDENTITY, 0
     inner = data
     if data[:4] == color_mod.COLOR_MAGIC:
@@ -1164,6 +1167,87 @@ def _cmd_decode_video_streaming(args, data: bytes, cfg, check: bool,
     dt = time.perf_counter() - t0
     print(f"{args.input}: decoded {base}{what} frames {h}x{w} (streamed, "
           f"{len(segs)} segments) in {dt:.2f} s -> {args.output}")
+    return 0
+
+
+def _temporal_magic() -> bytes:
+    from .models import temporal
+
+    return temporal.TEMPORAL_MAGIC
+
+
+def _cmd_decode_video_streaming_temporal(args, data: bytes, cfg, check: bool,
+                                         salvage: bool) -> int:
+    """decode-video --streaming on an MHVT container.
+
+    Chunks are keyframe-group-aligned (``temporal.iter_temporal_video``),
+    so each residual frame decodes exactly once; the outer temporal CRC is
+    verified streamed (chunk CRCs chain, mismatch fails after the last
+    chunk) and any recorded per-frame CRC table verifies each chunk as it
+    is produced.
+    """
+    from .models import color as color_mod
+    from .models import temporal
+    from .utils import imageio
+
+    if check:
+        raise SystemExit(
+            "--streaming on MHVT verifies the temporal CRC (streamed) and "
+            "any per-frame CRC table as it goes; for the on-device end-bit "
+            "check run `verify` (or decode without --streaming)")
+    for flag, what in [("frame", "--frame"), ("frames", "--frames"),
+                       ("region", "--region")]:
+        if getattr(args, flag, None) is not None:
+            raise SystemExit(
+                f"--streaming decodes the whole stream incrementally; "
+                f"{what} is random access — drop one")
+    inner, keyint, _tcrc, _mvs, _fcrcs, _fl = temporal.unwrap(data)
+    total = temporal._inner_frame_count(inner)
+    if total is None:
+        raise SystemExit("corrupt MHVT container (unrecognized inner stream)")
+    # output geometry/dtype from the inner container kind
+    channels, kind = 0, color_mod.KIND_U8
+    probe = inner
+    if inner[:4] == color_mod.COLOR_MAGIC:
+        probe, channels, layout, kind, _cs = color_mod.unwrap(inner)
+        if layout != color_mod.LAYOUT_VIDEO:
+            raise SystemExit("--streaming needs a video container")
+    import struct as struct_mod
+
+    _t, h, w = struct_mod.unpack_from("<III", probe, 4)[:3]
+    if not channels:
+        oshape, odtype, save = (total, h, w), np.uint8, \
+            imageio.save_grayscale
+    elif kind == color_mod.KIND_U16:
+        oshape, odtype, save = (total, h, w), np.uint16, imageio.save_gray16
+    else:
+        oshape, odtype, save = (total, h, w, channels), np.uint8, \
+            imageio.save_color
+    t0 = time.perf_counter()
+    out = Path(args.output)
+    npy = out.suffix == ".npy"
+    if npy:
+        sink = np.lib.format.open_memmap(
+            out, mode="w+", dtype=odtype, shape=oshape)
+    else:
+        out.mkdir(parents=True, exist_ok=True)
+    base = 0
+    try:
+        for start, chunk in temporal.iter_temporal_video(data, cfg):
+            if npy:
+                sink[start : start + chunk.shape[0]] = chunk
+            else:
+                for i, f in enumerate(chunk):
+                    save(f, out / f"frame_{start + i:05d}.png")
+            base = start + chunk.shape[0]
+    except ValueError as e:
+        raise SystemExit(str(e))
+    if npy:
+        sink.flush()
+        del sink
+    dt = time.perf_counter() - t0
+    print(f"{args.input}: decoded {base} frames {h}x{w} (streamed, "
+          f"temporal keyint {keyint}) in {dt:.2f} s -> {args.output}")
     return 0
 
 

@@ -241,15 +241,25 @@ class StreamingEncoder:
     # -- finalization ---------------------------------------------------------
 
     def close(self) -> StreamStats:
-        """Flush the partial tail segment, write trailers, patch the header."""
+        """Flush the partial tail segment, write trailers, patch the header.
+
+        A close() that fails (empty stream, or a single frame overflowing
+        the u32 offset cap) truncates the sink back to the start, like
+        :meth:`abort` — no torn container is ever left behind.
+        """
         if self._closed:
             assert self.stats is not None
             return self.stats
         try:
-            if self._buffered:
-                self._emit(self._buffered)
-            if self._total == 0:
-                raise ValueError("cannot encode an empty frame stack")
+            try:
+                if self._buffered:
+                    self._emit(self._buffered)
+                if self._total == 0:
+                    raise ValueError("cannot encode an empty frame stack")
+            except BaseException:
+                self._fh.seek(self._base)
+                self._fh.truncate(self._base)
+                raise
             self._fh.write(struct.pack("<I", self._crc & 0xFFFFFFFF))
             if self._want_fcrcs:
                 self._fh.write(frame_stream._frame_crc_blob(

@@ -1134,6 +1134,51 @@ def decode_temporal_range(blob: bytes, a: int, b: int,
     return out
 
 
+def iter_temporal_video(blob: bytes, config: CodecConfig | None = None,
+                        chunk_frames: int = 32):
+    """Yield (base, frames) chunks of an MHVT container, constant memory.
+
+    The streaming analog of :func:`decode_temporal_video` for serving an
+    arbitrarily long temporal container without holding it decoded in
+    memory: frames are produced in order, in keyframe-group-aligned chunks
+    of at least ``chunk_frames``, so no residual frame is ever decoded
+    twice (each chunk starts at a keyframe and
+    :func:`decode_temporal_range` decodes exactly the chunk's groups;
+    chunks yield color/u16 frames per the inner kind). Any recorded
+    per-frame CRC table verifies each chunk as it is produced; the outer
+    whole-payload temporal CRC is verified streamed — chunk CRCs chain —
+    and a mismatch raises ``ValueError`` after the last chunk (a consumer
+    that must not emit unverified data should buffer or re-check, as with
+    any streaming-integrity design).
+    """
+    inner, keyint, tcrc, _mvs, _fcrcs, first_len = unwrap(blob)
+    total = _inner_frame_count(inner)
+    if total is None:
+        raise ValueError("corrupt MHVT container (unrecognized inner stream)")
+    cfg = config or CodecConfig()
+    crc = 0
+    base = 0
+    while base < total:
+        end = min(base + max(int(chunk_frames), 1), total)
+        if end < total:
+            # snap up to the next group boundary (0, first_len,
+            # first_len + keyint, ...) so the next chunk starts on a
+            # keyframe and re-decodes nothing
+            if end <= first_len:
+                end = first_len
+            else:
+                end = first_len - ((first_len - end) // keyint) * keyint
+            end = min(end, total)
+        out = decode_temporal_range(blob, base, end, cfg)
+        crc = zlib.crc32(np.ascontiguousarray(out).tobytes(), crc)
+        yield base, out
+        base = end
+    if tcrc and crc != tcrc:
+        raise ValueError(
+            "reconstructed frames fail the MHVT source CRC-32 — corrupt "
+            "container")
+
+
 def decode_temporal_video_region(blob: bytes, a: int, b: int, y0: int,
                                  x0: int, rh: int, rw: int,
                                  config: CodecConfig | None = None,

@@ -6,8 +6,9 @@ exact), --frame N --check, --region on MHVT and MHTV through the kernel,
 chain. Run from anywhere (sys.path pins the repo); one TPU process only.
 """
 import sys; sys.path.insert(0, "/root/repo")
-import subprocess, time
+import os, subprocess, time
 import numpy as np
+os.makedirs("/tmp/tpudrive", exist_ok=True)
 import jax
 print("devices:", jax.devices(), flush=True)
 from metalhuffman_tpu.utils import fixtures
@@ -87,3 +88,46 @@ r = run("verify", "/tmp/tpudrive/c.mhvt")
 assert r.returncode == 0, (r.stdout, r.stderr)
 print(r.stdout.strip(), flush=True)
 print("ROUND-3 TPU SWEEP OK", flush=True)
+
+# 7) round-4 streaming surfaces on the chip: streamed MHV2 encode ->
+#    streamed decode (pallas segment pipeline + streamed CRC chain),
+#    streamed --check (on-device end-bit per segment), MHTC color
+#    streamed both ways, MHVT group-chunked streaming decode
+r = run("encode-video", "/tmp/tpudrive/clip.npy", "/tmp/tpudrive/s.mhv2",
+        "--streaming", "--segment-frames", "3", "--frame-crcs")
+assert r.returncode == 0, r.stderr
+print("streamed encode:", r.stdout.strip(), flush=True)
+r = run("decode-video", "/tmp/tpudrive/s.mhv2", "/tmp/tpudrive/sdec.npy",
+        "--streaming")
+assert r.returncode == 0, (r.stdout, r.stderr)
+print("streamed decode (pallas):", r.stdout.strip(), flush=True)
+assert np.array_equal(np.load("/tmp/tpudrive/sdec.npy"), frames), "MISMATCH"
+r = run("decode-video", "/tmp/tpudrive/s.mhv2", "/tmp/tpudrive/sdec2.npy",
+        "--streaming", "--check")
+assert r.returncode == 0, (r.stdout, r.stderr)
+print("streamed decode --check (on-device end-bit):", r.stdout.strip(),
+      flush=True)
+assert np.array_equal(np.load("/tmp/tpudrive/sdec2.npy"), frames)
+
+cframes = np.stack([np.roll(np.stack([img[:512, :512],
+                                      np.roll(img[:512, :512], 31, 1),
+                                      np.roll(img[:512, :512], 67, 0)], -1),
+                            9 * t, 0) for t in range(4)])
+np.save("/tmp/tpudrive/cclip.npy", cframes)
+r = run("encode-video", "/tmp/tpudrive/cclip.npy", "/tmp/tpudrive/s.mhtc",
+        "--streaming", "--color", "--subgreen", "--segment-frames", "2")
+assert r.returncode == 0, r.stderr
+print("streamed color encode:", r.stdout.strip(), flush=True)
+r = run("decode-video", "/tmp/tpudrive/s.mhtc", "/tmp/tpudrive/cdec.npy",
+        "--streaming")
+assert r.returncode == 0, (r.stdout, r.stderr)
+print("streamed color decode (pallas):", r.stdout.strip(), flush=True)
+assert np.array_equal(np.load("/tmp/tpudrive/cdec.npy"), cframes), "MISMATCH"
+
+r = run("decode-video", "/tmp/tpudrive/c.mhvt", "/tmp/tpudrive/tdec.npy",
+        "--streaming")
+assert r.returncode == 0, (r.stdout, r.stderr)
+print("streamed MHVT decode (device fold per group chunk):",
+      r.stdout.strip(), flush=True)
+assert np.array_equal(np.load("/tmp/tpudrive/tdec.npy"), frames), "MISMATCH"
+print("ROUND-4 TPU SWEEP OK", flush=True)

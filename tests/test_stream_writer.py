@@ -158,6 +158,14 @@ def test_validation_errors():
     assert enc2.close() is s1
 
 
+def test_failed_close_truncates_sink():
+    sink = io.BytesIO()
+    enc = StreamingEncoder(sink, 16, 16)
+    with pytest.raises(ValueError, match="empty"):
+        enc.close()
+    assert sink.getvalue() == b""  # no zero-frame torn container
+
+
 def test_non_seekable_sink_refused():
     class NoSeek(io.BytesIO):
         def seekable(self):
@@ -459,6 +467,91 @@ def test_streaming_decode_carries_partial_frames_across_segments(tmp_path):
     assert cli.main(["decode-video", str(p), str(dec), "--streaming",
                      "--backend", "native"]) == 0
     np.testing.assert_array_equal(np.load(dec), frames)
+
+
+def test_iter_temporal_video_chunks_group_aligned():
+    from metalhuffman_tpu.models import temporal
+
+    frames = _frames(11, 16, 16, seed=31)
+    cfg = CodecConfig(backend="native", temporal=True, keyint=4)
+    blob = temporal.encode_temporal_video(frames, cfg)
+    bases, chunks = [], []
+    for base, chunk in temporal.iter_temporal_video(
+            blob, CodecConfig(backend="native"), chunk_frames=3):
+        bases.append(base)
+        chunks.append(chunk)
+    # chunk_frames=3 snaps up to the keyint-4 group boundary
+    assert bases == [0, 4, 8]
+    np.testing.assert_array_equal(np.concatenate(chunks), frames)
+
+
+def test_iter_temporal_video_streamed_crc_detects_corruption():
+    from metalhuffman_tpu.models import temporal
+
+    frames = _frames(6, 16, 16, seed=33)
+    cfg = CodecConfig(backend="native", temporal=True, keyint=3)
+    blob = bytearray(temporal.encode_temporal_video(frames, cfg))
+    # corrupt the recorded outer CRC (the MHVT trailer is its last 4
+    # bytes): chunks still decode, but the streamed chained CRC must
+    # mismatch after the last chunk
+    blob[-1] ^= 0x5A
+    it = temporal.iter_temporal_video(
+        bytes(blob), CodecConfig(backend="native"), chunk_frames=3)
+    with pytest.raises(ValueError, match="CRC"):
+        for _ in it:
+            pass
+
+
+def test_cli_streaming_decode_mhvt(tmp_path):
+    from metalhuffman_tpu import cli
+
+    frames = _frames(10, 24, 24, seed=35)
+    src = tmp_path / "f.npy"
+    np.save(src, frames)
+    mhvt = tmp_path / "t.mhvt"
+    assert cli.main(["encode-video", str(src), str(mhvt), "--temporal",
+                     "--motion", "--keyint", "4", "--frame-crcs",
+                     "--backend", "native"]) == 0
+    dec = tmp_path / "d.npy"
+    assert cli.main(["decode-video", str(mhvt), str(dec), "--streaming",
+                     "--backend", "native"]) == 0
+    np.testing.assert_array_equal(np.load(dec), frames)
+    outdir = tmp_path / "pngs"
+    assert cli.main(["decode-video", str(mhvt), str(outdir), "--streaming",
+                     "--backend", "native"]) == 0
+    from metalhuffman_tpu.utils import imageio
+
+    got = np.stack([imageio.load_grayscale(outdir / f"frame_{i:05d}.png")
+                    for i in range(10)])
+    np.testing.assert_array_equal(got, frames)
+    with pytest.raises(SystemExit, match="streaming"):
+        cli.main(["decode-video", str(mhvt), str(dec), "--streaming",
+                  "--check", "--backend", "native"])
+
+
+def test_cli_streaming_decode_mhvt_color_and_short_first_group(tmp_path):
+    from metalhuffman_tpu import cli
+
+    cframes = _color_frames(7, 16, 16, seed=37)
+    src = tmp_path / "c.npy"
+    np.save(src, cframes)
+    mhvt = tmp_path / "c.mhvt"
+    assert cli.main(["encode-video", str(src), str(mhvt), "--temporal",
+                     "--color", "--keyint", "3", "--backend",
+                     "native"]) == 0
+    dec = tmp_path / "d.npy"
+    assert cli.main(["decode-video", str(mhvt), str(dec), "--streaming",
+                     "--backend", "native"]) == 0
+    np.testing.assert_array_equal(np.load(dec), cframes)
+    # arbitrary-start extract -> short first group; streaming must align
+    # its chunks to the re-keyed group structure
+    cut = tmp_path / "cut.mhvt"
+    assert cli.main(["extract", str(mhvt), str(cut),
+                     "--frames", "2", "7"]) == 0
+    dec2 = tmp_path / "d2.npy"
+    assert cli.main(["decode-video", str(cut), str(dec2), "--streaming",
+                     "--backend", "native"]) == 0
+    np.testing.assert_array_equal(np.load(dec2), cframes[2:7])
 
 
 def test_streamed_file_serves_every_reader_surface(tmp_path):
