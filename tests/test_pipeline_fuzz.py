@@ -115,6 +115,56 @@ def test_pipeline_fuzz():
         assert np.array_equal(
             crop, frames[a:b, y0 : y0 + rh, x0 : x0 + rw]), f"region, {ctx}"
 
+        # streaming writers/readers (round 4): a streamed re-encode with a
+        # random segment cap + random push chunking must decode to the
+        # same frames, and the chunked readers must serve the stream in
+        # order
+        if blob[:4] == temporal.TEMPORAL_MAGIC:
+            ck = int(rng.integers(1, t + 1))
+            served = [c for _b, c in temporal.iter_temporal_video(
+                blob, CodecConfig(**BACK), chunk_frames=ck)]
+            assert np.array_equal(np.concatenate(served), frames), \
+                f"temporal streaming serve, {ctx}"
+        else:
+            import io
+
+            from metalhuffman_tpu.models.stream_writer import (
+                ColorStreamingEncoder, StreamingEncoder)
+
+            cap = int(rng.integers(1, t + 1))
+            sink = io.BytesIO()
+            if kind == "gray":
+                enc = StreamingEncoder(sink, h, w, cfg,
+                                       max_segment_frames=cap,
+                                       frame_crcs=cfg.frame_crcs)
+            else:
+                enc = ColorStreamingEncoder(
+                    sink, h, w,
+                    channels=None if kind == "u16" else frames.shape[-1],
+                    u16=kind == "u16", config=cfg,
+                    max_segment_frames=cap, frame_crcs=cfg.frame_crcs)
+            i = 0
+            while i < t:  # random push chunking
+                j = min(t, i + int(rng.integers(1, t + 1)))
+                enc.push(frames[i:j])
+                i = j
+            enc.close()
+            sblob = sink.getvalue()
+            assert np.array_equal(_decode(kind, sblob), frames), \
+                f"streamed re-encode decode, {ctx} cap={cap}"
+            if kind == "gray":
+                import dataclasses
+
+                segs2, _t2, _h2, _w2, bd2, d2 = \
+                    frame_stream.read_segmented(sblob)
+                rcfg = dataclasses.replace(  # container mode authoritative
+                    CodecConfig(**BACK), block_dim=bd2, delta=d2,
+                    delta2d=segs2[0][0].predictor == "2d")
+                chunks = list(frame_stream.iter_frames_segmented(
+                    segs2, h, w, rcfg))
+                assert np.array_equal(np.concatenate(chunks), frames), \
+                    f"streamed serve, {ctx} cap={cap}"
+
         # lossless surgery when the container supports this range
         ki = cfg.keyint
         sa = (int(rng.integers(0, t // ki + 1)) * ki
