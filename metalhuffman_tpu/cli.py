@@ -366,6 +366,8 @@ def _cmd_encode_video_streaming(args) -> int:
     is_u16 = getattr(args, "gray16", False)
     if is_color and is_u16:
         raise SystemExit("--gray16 and --color are mutually exclusive")
+    if args.segment_frames is not None and args.segment_frames < 1:
+        raise SystemExit("--segment-frames must be >= 1")
     if getattr(args, "subgreen", False) and not is_color:
         raise SystemExit("--subgreen needs --color")
     cfg = _config(args)
@@ -689,12 +691,9 @@ def _decode_video_frames(data: bytes, cfg, check: bool,
         if check:
             # per-segment checked decode with salvage support
             outs = []
-            for si, (stream, ft) in enumerate(segs):
-                prep = frame_stream.prepare_shared(stream, ft, h, w, cfg,
-                                                   check=True)
-                fr, err = frame_stream.decode_shared_step_checked(prep, cfg)
-                fr = handle_err(np.asarray(fr), err, f" in segment {si}")
-                outs.append(fr)
+            for si, fr, err in frame_stream.iter_frames_segmented_checked(
+                    segs, h, w, cfg):
+                outs.append(handle_err(fr, err, f" in segment {si}"))
             frames = np.concatenate(outs)
         else:
             try:
@@ -1033,6 +1032,25 @@ def _cmd_decode_video_region(args, data: bytes, cfg) -> int:
     return 0
 
 
+def _discard_streamed_output(out: Path, npy: bool,
+                             frames_written: int) -> None:
+    """Best-effort removal of a failed streaming decode's partial output.
+
+    The batch decode paths fail before producing any file; the streaming
+    paths write as they go, so on a failed integrity check the partial
+    (possibly corrupt) .npy / frame images must not be left looking like
+    a good decode.
+    """
+    try:
+        if npy:
+            out.unlink(missing_ok=True)
+        else:
+            for i in range(frames_written):
+                (out / f"frame_{i:05d}.png").unlink(missing_ok=True)
+    except OSError:
+        pass  # the original failure still propagates
+
+
 def _cmd_decode_video_streaming(args, data: bytes, cfg, check: bool,
                                 salvage: bool) -> int:
     """decode-video --streaming: constant-memory segmented decode.
@@ -1108,11 +1126,8 @@ def _cmd_decode_video_streaming(args, data: bytes, cfg, check: bool,
 
     def checked_chunks():
         nonlocal n_corrupt
-        for si, (stream, ft) in enumerate(segs):
-            prep = frame_stream.prepare_shared(stream, ft, h, w, cfg,
-                                               check=True)
-            fr, err = frame_stream.decode_shared_step_checked(prep, cfg)
-            fr = np.asarray(fr)
+        for si, fr, err in frame_stream.iter_frames_segmented_checked(
+                segs, h, w, cfg):
             if err.any():
                 idx = np.nonzero(err)[0]
                 if not salvage:
@@ -1132,36 +1147,42 @@ def _cmd_decode_video_streaming(args, data: bytes, cfg, check: bool,
     crc = 0
     base = 0  # frames written so far
     carry = np.zeros((0, h, w), np.uint8)  # partial-frame planes
-    for chunk in chunks:
-        # the recorded CRC covers the raw plane payload, pre-fold
-        crc = zlib.crc32(np.ascontiguousarray(chunk).tobytes(), crc)
-        if carry.size:
-            chunk = np.concatenate([carry, chunk])
-        usable = (chunk.shape[0] // ppf) * ppf
-        carry = chunk[usable:]
-        if not usable:
-            continue
-        frames = (chunk[:usable] if not channels
-                  else color_mod.fold_video_planes(
-                      chunk[:usable], channels, kind, cs))
-        if npy:
-            sink[base : base + frames.shape[0]] = frames
+    try:
+        for chunk in chunks:
+            # the recorded CRC covers the raw plane payload, pre-fold
+            crc = zlib.crc32(np.ascontiguousarray(chunk).tobytes(), crc)
+            if carry.size:
+                chunk = np.concatenate([carry, chunk])
+            usable = (chunk.shape[0] // ppf) * ppf
+            carry = chunk[usable:]
+            if not usable:
+                continue
+            frames = (chunk[:usable] if not channels
+                      else color_mod.fold_video_planes(
+                          chunk[:usable], channels, kind, cs))
+            if npy:
+                sink[base : base + frames.shape[0]] = frames
+            else:
+                for i, f in enumerate(frames):
+                    save(f, out / f"frame_{base + i:05d}.png")
+            base += frames.shape[0]
+        if n_corrupt:
+            print(f"salvaged output: CRC checks skipped ({n_corrupt} "
+                  "zero-filled block(s))", file=sys.stderr)
         else:
-            for i, f in enumerate(frames):
-                save(f, out / f"frame_{base + i:05d}.png")
-        base += frames.shape[0]
+            recorded = frame_stream.source_crc32(inner)
+            if recorded and crc != recorded:
+                raise SystemExit(
+                    "decoded payload fails the recorded source CRC-32 — "
+                    "the stream is corrupt")
+    except BaseException:
+        # no partially-written/corrupt output left behind — the batch
+        # path fails before producing any file; match it
+        _discard_streamed_output(out, npy, base)
+        raise
     if npy:
         sink.flush()
         del sink
-    if n_corrupt:
-        print(f"salvaged output: CRC checks skipped ({n_corrupt} "
-              "zero-filled block(s))", file=sys.stderr)
-    else:
-        recorded = frame_stream.source_crc32(inner)
-        if recorded and crc != recorded:
-            raise SystemExit(
-                "decoded payload fails the recorded source CRC-32 — "
-                "the stream is corrupt")
     what = ("" if not channels
             else " u16" if kind == color_mod.KIND_U16 else f" {channels}ch")
     dt = time.perf_counter() - t0
@@ -1195,12 +1216,8 @@ def _cmd_decode_video_streaming_temporal(args, data: bytes, cfg, check: bool,
             "--streaming on MHVT verifies the temporal CRC (streamed) and "
             "any per-frame CRC table as it goes; for the on-device end-bit "
             "check run `verify` (or decode without --streaming)")
-    for flag, what in [("frame", "--frame"), ("frames", "--frames"),
-                       ("region", "--region")]:
-        if getattr(args, flag, None) is not None:
-            raise SystemExit(
-                f"--streaming decodes the whole stream incrementally; "
-                f"{what} is random access — drop one")
+    # (the --frame/--frames/--region random-access guard already ran in
+    # _cmd_decode_video_streaming, the only caller)
     inner, keyint, _tcrc, _mvs, _fcrcs, _fl = temporal.unwrap(data)
     total = temporal._inner_frame_count(inner)
     if total is None:
@@ -1233,15 +1250,21 @@ def _cmd_decode_video_streaming_temporal(args, data: bytes, cfg, check: bool,
         out.mkdir(parents=True, exist_ok=True)
     base = 0
     try:
-        for start, chunk in temporal.iter_temporal_video(data, cfg):
-            if npy:
-                sink[start : start + chunk.shape[0]] = chunk
-            else:
-                for i, f in enumerate(chunk):
-                    save(f, out / f"frame_{start + i:05d}.png")
-            base = start + chunk.shape[0]
-    except ValueError as e:
-        raise SystemExit(str(e))
+        try:
+            for start, chunk in temporal.iter_temporal_video(data, cfg):
+                if npy:
+                    sink[start : start + chunk.shape[0]] = chunk
+                else:
+                    for i, f in enumerate(chunk):
+                        save(f, out / f"frame_{start + i:05d}.png")
+                base = start + chunk.shape[0]
+        except ValueError as e:
+            raise SystemExit(str(e))
+    except BaseException:
+        # a failed CRC chain (or any mid-stream error) must not leave a
+        # partial output that looks like a good decode
+        _discard_streamed_output(out, npy, base)
+        raise
     if npy:
         sink.flush()
         del sink

@@ -734,22 +734,40 @@ def decode_frames_segmented(
         outs = list(iter_frames_segmented(segments, height, width, cfg))
         return np.concatenate(outs) if outs else np.zeros(
             (0, height, width), np.uint8)
-    if cfg.backend == "native":
-        raise ValueError(
-            "the stream-integrity check runs on the device decode path; "
-            "use backend='pallas'")
     outs = []
-    for si, (stream, t) in enumerate(segments):
-        prep = prepare_shared(stream, t, height, width, cfg, check=True)
-        frames, err = decode_shared_step_checked(prep, cfg)
+    for si, frames, err in iter_frames_segmented_checked(
+            segments, height, width, cfg):
         if err.any():
             idx = np.nonzero(err)[0]
             raise ValueError(
                 f"stream integrity check failed in segment {si}: "
                 f"{idx.size} corrupt block(s), first at {idx[:8].tolist()}")
-        outs.append(np.asarray(frames))
+        outs.append(frames)
     return np.concatenate(outs) if outs else np.zeros(
         (0, height, width), np.uint8)
+
+
+def iter_frames_segmented_checked(
+    segments: list[tuple[container.EncodedStream, int]], height: int,
+    width: int, config: CodecConfig | None = None,
+):
+    """Per-segment CHECKED decode: yield ``(segment_index, frames, err)``.
+
+    The on-device end-bit-check variant of :func:`iter_frames_segmented`;
+    the one implementation behind every checked MHV2 surface — the caller
+    decides fail-vs-salvage (the library decode raises on the first
+    flagged segment, the CLI zero-fills under ``--salvage``). Serial: the
+    check's host fetch is a pipeline barrier.
+    """
+    cfg = config or CodecConfig()
+    if cfg.backend == "native":
+        raise ValueError(
+            "the stream-integrity check runs on the device decode path; "
+            "use backend='pallas'")
+    for si, (stream, t) in enumerate(segments):
+        prep = prepare_shared(stream, t, height, width, cfg, check=True)
+        frames, err = decode_shared_step_checked(prep, cfg)
+        yield si, np.asarray(frames), np.asarray(err)
 
 
 def iter_frames_segmented(
@@ -935,6 +953,30 @@ def decode_frames_shared(
     return decode_shared_step(prep, config)
 
 
+def parse_range_container(data: bytes):
+    """Parse an MHTV/MHV2/MHTS blob ONCE for repeated range decodes.
+
+    Returns an opaque handle for :func:`decode_range_parsed`. Parsing (and
+    the byte copies it implies — per-segment core blobs, CRC tables) is the
+    per-call overhead of :func:`decode_range`; a serving loop that decodes
+    many ranges of one container (e.g. :func:`temporal.iter_temporal_video`)
+    parses once and pays only the touched blocks per call.
+    """
+    if data[:4] == SHARED_MAGIC:
+        stream, t, h, w, bd, delta = read_shared(data)
+        return ("shared", (stream, t, h, w, bd, delta),
+                read_frame_crcs(data))
+    if data[:4] == SEGMENTED_MAGIC:
+        segs, t, h, w, bd, delta = read_segmented(data)
+        return ("segmented", (segs, t, h, w, bd, delta),
+                read_frame_crcs(data))
+    if data[:4] == STREAM_MAGIC:
+        streams, h, w, bd, delta = read_stream(data)
+        return ("stream", (streams, h, w, bd, delta),
+                read_stream_crcs(data))
+    raise ValueError("not an MHTV/MHV2/MHTS container")
+
+
 def decode_range(data: bytes, a: int, b: int,
                  config: CodecConfig | None = None, to_host: bool = True):
     """Decode frames [a, b) of a shared-table container -> ((b-a, H, W), h, w).
@@ -950,8 +992,17 @@ def decode_range(data: bytes, a: int, b: int,
     caller can fuse further device work — e.g. the MHVT temporal fold —
     before paying one transfer.
     """
+    return decode_range_parsed(parse_range_container(data), a, b,
+                               config, to_host)
+
+
+def decode_range_parsed(parsed, a: int, b: int,
+                        config: CodecConfig | None = None,
+                        to_host: bool = True):
+    """:func:`decode_range` on a :func:`parse_range_container` handle."""
     import dataclasses
 
+    kind, payload, fcrcs = parsed
     cfg = config or CodecConfig()
     fetch = np.asarray if to_host else (lambda x: x)
 
@@ -959,19 +1010,19 @@ def decode_range(data: bytes, a: int, b: int,
         # host results verify against any recorded per-frame CRC table
         # (FCRC extension) — exactly the frames this call returns
         if to_host:
-            verify_frame_crcs(frames, read_frame_crcs(data), base=a)
+            verify_frame_crcs(frames, fcrcs, base=a)
         return frames, h, w
 
-    if data[:4] == SHARED_MAGIC:
-        stream, t, h, w, bd, delta = read_shared(data)
+    if kind == "shared":
+        stream, t, h, w, bd, delta = payload
         if not 0 <= a < b <= t:
             raise ValueError(f"frames [{a}, {b}) out of range ({t} frames)")
         cfg = dataclasses.replace(cfg, block_dim=bd, delta=delta,
                                   delta2d=stream.predictor == "2d")
         view = frame_slice(stream, a, b - a, h, w, cfg)
         return done(fetch(decode_frames_shared(view, b - a, h, w, cfg)), h, w)
-    if data[:4] == SEGMENTED_MAGIC:
-        segs, t, h, w, bd, delta = read_segmented(data)
+    if kind == "segmented":
+        segs, t, h, w, bd, delta = payload
         if not 0 <= a < b <= t:
             raise ValueError(f"frames [{a}, {b}) out of range ({t} frames)")
         cfg = dataclasses.replace(
@@ -989,29 +1040,26 @@ def decode_range(data: bytes, a: int, b: int,
             return done(outs[0], h, w)
         cat = np.concatenate if to_host else jnp.concatenate
         return done(cat(outs), h, w)
-    if data[:4] == STREAM_MAGIC:
-        # per-frame-table MHTS: a range is a loop of single-frame decodes
-        # (each stream has its own canonical table — no shared batch), each
-        # verified against its MHT1 record's CRC when recorded
-        streams, h, w, bd, delta = read_stream(data)
-        if not 0 <= a < b <= len(streams):
+    # per-frame-table MHTS: a range is a loop of single-frame decodes
+    # (each stream has its own canonical table — no shared batch), each
+    # verified against its MHT1 record's CRC when recorded
+    streams, h, w, bd, delta = payload
+    if not 0 <= a < b <= len(streams):
+        raise ValueError(
+            f"frames [{a}, {b}) out of range ({len(streams)} frames)")
+    outs = []
+    for i in range(a, b):
+        scfg = dataclasses.replace(
+            cfg, block_dim=bd, delta=delta,
+            delta2d=streams[i].predictor == "2d")
+        img = decode_frame(streams[i], 0, h, w, scfg)
+        if fcrcs[i] and zlib.crc32(
+                np.ascontiguousarray(img).tobytes()) != fcrcs[i]:
             raise ValueError(
-                f"frames [{a}, {b}) out of range ({len(streams)} frames)")
-        crcs = read_stream_crcs(data)
-        outs = []
-        for i in range(a, b):
-            scfg = dataclasses.replace(
-                cfg, block_dim=bd, delta=delta,
-                delta2d=streams[i].predictor == "2d")
-            img = decode_frame(streams[i], 0, h, w, scfg)
-            if crcs[i] and zlib.crc32(
-                    np.ascontiguousarray(img).tobytes()) != crcs[i]:
-                raise ValueError(
-                    f"decoded frame {i} fails its recorded CRC-32 — the "
-                    "stream is corrupt")
-            outs.append(np.asarray(img))
-        return np.stack(outs), h, w
-    raise ValueError("not an MHTV/MHV2/MHTS container")
+                f"decoded frame {i} fails its recorded CRC-32 — the "
+                "stream is corrupt")
+        outs.append(np.asarray(img))
+    return np.stack(outs), h, w
 
 
 def salvage_blocks(frames: np.ndarray, err: np.ndarray, block_dim: int):

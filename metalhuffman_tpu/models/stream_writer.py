@@ -187,14 +187,16 @@ class StreamingEncoder:
         if arr.dtype != np.uint8:
             raise ValueError("frames must be uint8")
         for f in arr:
-            b = np.ascontiguousarray(f).tobytes()
-            self._crc = zlib.crc32(b, self._crc)
+            fc = np.array(f, copy=True)  # one contiguous copy per frame
+            self._crc = zlib.crc32(fc, self._crc)
             if self._want_fcrcs:
-                self._fcrcs.append(zlib.crc32(b))
-            self._buf.append(np.array(f, copy=True))
+                self._fcrcs.append(zlib.crc32(fc))
+            self._buf.append(fc)
             self._buffered += 1
-        while self._buffered >= self._per:
-            self._emit(self._per)
+            # drain at segment granularity INSIDE the intake loop so a
+            # large push never holds more than one segment buffered
+            if self._buffered >= self._per:
+                self._emit(self._per)
 
     # -- segment emission -----------------------------------------------------
 
@@ -243,12 +245,16 @@ class StreamingEncoder:
     def close(self) -> StreamStats:
         """Flush the partial tail segment, write trailers, patch the header.
 
-        A close() that fails (empty stream, or a single frame overflowing
-        the u32 offset cap) truncates the sink back to the start, like
-        :meth:`abort` — no torn container is ever left behind.
+        A close() that fails — empty stream, a single frame overflowing
+        the u32 offset cap, or an I/O error during the trailer/header
+        writes — truncates the sink back to the start, like :meth:`abort`:
+        no torn container is ever left behind.
         """
         if self._closed:
-            assert self.stats is not None
+            if self.stats is None:
+                raise ValueError(
+                    "close() after a failed close()/abort() — the sink "
+                    "was truncated, there is no container to finalize")
             return self.stats
         try:
             try:
@@ -256,21 +262,21 @@ class StreamingEncoder:
                     self._emit(self._buffered)
                 if self._total == 0:
                     raise ValueError("cannot encode an empty frame stack")
+                self._fh.write(struct.pack("<I", self._crc & 0xFFFFFFFF))
+                if self._want_fcrcs:
+                    self._fh.write(frame_stream._frame_crc_blob(
+                        np.array(self._fcrcs, np.uint32)))
+                end = self._fh.tell()
+                self._fh.seek(self._base + 4)
+                # mode byte: every segment agreed (see _write_segment)
+                self._fh.write(struct.pack(
+                    self._HEADER_FMT, self._total, self._h, self._w,
+                    self._cfg.block_dim, self._mode, self._n_seg))
+                self._fh.seek(end)
             except BaseException:
                 self._fh.seek(self._base)
                 self._fh.truncate(self._base)
                 raise
-            self._fh.write(struct.pack("<I", self._crc & 0xFFFFFFFF))
-            if self._want_fcrcs:
-                self._fh.write(frame_stream._frame_crc_blob(
-                    np.array(self._fcrcs, np.uint32)))
-            end = self._fh.tell()
-            self._fh.seek(self._base + 4)
-            # mode byte: every segment agreed (enforced in _write_segment)
-            self._fh.write(struct.pack(
-                self._HEADER_FMT, self._total, self._h, self._w,
-                self._cfg.block_dim, self._mode, self._n_seg))
-            self._fh.seek(end)
             self.stats = StreamStats(
                 total_frames=self._total, num_segments=self._n_seg,
                 bytes_written=end - self._base,
@@ -291,6 +297,8 @@ class StreamingEncoder:
         self._closed = True
         self._buf.clear()
         self._buffered = 0
+        if self._fh.closed:
+            return
         try:
             self._fh.seek(self._base)
             self._fh.truncate(self._base)
@@ -375,15 +383,26 @@ class ColorStreamingEncoder:
                 "sink must be a seekable writable binary file (the inner "
                 "MHV2 header's frame/segment counts are patched on close)")
         self._base = self._fh.tell()
-        self._fh.write(color.COLOR_MAGIC + struct.pack(
-            "<BBBB", self._c, color.LAYOUT_VIDEO, kind, cs))
-        planes_per_frame = 2 if u16 else self._c
-        self._inner = StreamingEncoder(
-            self._fh, height, width, config,
-            max_segment_bits=max_segment_bits,
-            max_segment_frames=(None if max_segment_frames is None
-                                else max_segment_frames * planes_per_frame),
-            frame_crcs=frame_crcs)
+        try:
+            self._fh.write(color.COLOR_MAGIC + struct.pack(
+                "<BBBB", self._c, color.LAYOUT_VIDEO, kind, cs))
+            planes_per_frame = 2 if u16 else self._c
+            self._inner = StreamingEncoder(
+                self._fh, height, width, config,
+                max_segment_bits=max_segment_bits,
+                max_segment_frames=(
+                    None if max_segment_frames is None
+                    else max_segment_frames * planes_per_frame),
+                frame_crcs=frame_crcs)
+        except BaseException:
+            # leave neither a torn 8-byte MHTC header nor a leaked handle
+            try:
+                self._fh.seek(self._base)
+                self._fh.truncate(self._base)
+            finally:
+                if self._owns_fh:
+                    self._fh.close()
+            raise
         self._frames = 0
         self.stats: StreamStats | None = None
 
@@ -421,13 +440,24 @@ class ColorStreamingEncoder:
         self._frames += t
 
     def close(self) -> StreamStats:
+        """Finalize the inner stream; a failed close truncates everything.
+
+        The inner close already truncates back to its own base (offset 8)
+        on failure; this wrapper also removes the 8-byte MHTC header so
+        the no-torn-container contract holds for the whole file.
+        """
         if self.stats is not None:
             return self.stats
         try:
             inner = self._inner.close()
         except BaseException:
-            if self._owns_fh:
-                self._fh.close()
+            try:
+                if not self._fh.closed:  # already closed after abort()
+                    self._fh.seek(self._base)
+                    self._fh.truncate(self._base)
+            finally:
+                if self._owns_fh and not self._fh.closed:
+                    self._fh.close()
             raise
         self.stats = StreamStats(
             total_frames=self._frames, num_segments=inner.num_segments,
@@ -439,6 +469,8 @@ class ColorStreamingEncoder:
 
     def abort(self) -> None:
         """Discard everything (incl. the MHTC header) and close the sink."""
+        if self._fh.closed:
+            return
         try:
             self._inner.abort()
             self._fh.seek(self._base)

@@ -1078,6 +1078,30 @@ def encode_video_best(frames: np.ndarray, config: CodecConfig | None = None):
     return min(candidates, key=lambda c: len(c[0]))
 
 
+def _parse_temporal_range(blob: bytes):
+    """Parse an MHVT container ONCE for repeated range reconstructions.
+
+    Bundles the wrapper fields with the pre-parsed inner container
+    (:func:`frame_stream.parse_range_container`) so a serving loop
+    (:func:`iter_temporal_video`) pays the whole-container parse and its
+    byte copies once, not per chunk.
+    """
+    from . import color, frame_stream
+
+    inner, keyint, tcrc, mvs, fcrcs, first_len = unwrap(blob)
+    cinfo = None
+    if inner[:4] == color.COLOR_MAGIC:
+        inner2, channels, layout, kind, cs = color.unwrap(inner)
+        if layout != color.LAYOUT_VIDEO:
+            raise ValueError("MHVT inner MHTC container is not a video")
+        cinfo = (channels, kind, cs)
+        parsed = frame_stream.parse_range_container(inner2)
+    else:
+        parsed = frame_stream.parse_range_container(inner)
+    total = _inner_frame_count(inner)
+    return (keyint, tcrc, mvs, fcrcs, first_len, parsed, cinfo, total)
+
+
 def decode_temporal_range(blob: bytes, a: int, b: int,
                           config: CodecConfig | None = None) -> np.ndarray:
     """Reconstruct frames [a, b) of an MHVT container (range analog of
@@ -1088,28 +1112,33 @@ def decode_temporal_range(blob: bytes, a: int, b: int,
     whole span once (on device for the device backends, mirroring
     :func:`decode_temporal_video`), and returns the requested slice.
     """
+    return _decode_temporal_range_parsed(_parse_temporal_range(blob),
+                                         a, b, config)
+
+
+def _decode_temporal_range_parsed(parts, a: int, b: int,
+                                  config: CodecConfig | None = None
+                                  ) -> np.ndarray:
     from . import color, frame_stream
 
     if not 0 <= a < b:
         raise ValueError(f"invalid frame range [{a}, {b})")
-    inner, keyint, _crc_, mvs, fcrcs, first_len = unwrap(blob)
+    keyint, _tcrc, mvs, fcrcs, first_len, parsed, cinfo, _total = parts
     kf = _group_start(a, keyint, first_len)
     # the decoded span starts at a group boundary; it inherits the short
     # first group only when it starts at the very beginning of the stream
     span_fl = first_len if kf == 0 else None
     cfg = _inner_config(config)
     device = cfg.backend != "native"
-    if inner[:4] == color.COLOR_MAGIC:
-        inner2, channels, layout, kind, cs = color.unwrap(inner)
-        if layout != color.LAYOUT_VIDEO:
-            raise ValueError("MHVT inner MHTC container is not a video")
-        planes, _h, _w = frame_stream.decode_range(
-            inner2, kf * channels, b * channels, cfg, to_host=not device)
+    if cinfo is not None:
+        channels, kind, cs = cinfo
+        planes, _h, _w = frame_stream.decode_range_parsed(
+            parsed, kf * channels, b * channels, cfg, to_host=not device)
         fold = color.fold_video_planes_jax if device else color.fold_video_planes
         res = fold(planes, channels, kind, cs)
     else:
-        res, h, w = frame_stream.decode_range(inner, kf, b, cfg,
-                                              to_host=not device)
+        res, h, w = frame_stream.decode_range_parsed(
+            parsed, kf, b, cfg, to_host=not device)
         res = res.reshape(-1, h, w)
     if mvs is not None:
         if mvs.shape[0] < b:
@@ -1151,8 +1180,8 @@ def iter_temporal_video(blob: bytes, config: CodecConfig | None = None,
     that must not emit unverified data should buffer or re-check, as with
     any streaming-integrity design).
     """
-    inner, keyint, tcrc, _mvs, _fcrcs, first_len = unwrap(blob)
-    total = _inner_frame_count(inner)
+    parts = _parse_temporal_range(blob)  # whole-container parse, ONCE
+    keyint, tcrc, _mvs, _fcrcs, first_len, _parsed, _cinfo, total = parts
     if total is None:
         raise ValueError("corrupt MHVT container (unrecognized inner stream)")
     cfg = config or CodecConfig()
@@ -1169,7 +1198,7 @@ def iter_temporal_video(blob: bytes, config: CodecConfig | None = None,
             else:
                 end = first_len - ((first_len - end) // keyint) * keyint
             end = min(end, total)
-        out = decode_temporal_range(blob, base, end, cfg)
+        out = _decode_temporal_range_parsed(parts, base, end, cfg)
         crc = zlib.crc32(np.ascontiguousarray(out).tobytes(), crc)
         yield base, out
         base = end

@@ -166,6 +166,83 @@ def test_failed_close_truncates_sink():
     assert sink.getvalue() == b""  # no zero-frame torn container
 
 
+def test_failed_close_after_abort_raises_cleanly():
+    sink = io.BytesIO()
+    enc = StreamingEncoder(sink, 16, 16)
+    with pytest.raises(ValueError, match="empty"):
+        enc.close()
+    with pytest.raises(ValueError, match="failed close"):
+        enc.close()  # second close after failure: a real error, no assert
+
+
+def test_color_failed_close_and_init_leave_no_torn_header(tmp_path):
+    from metalhuffman_tpu.models.stream_writer import ColorStreamingEncoder
+
+    p = tmp_path / "torn.mhtc"
+    enc = ColorStreamingEncoder(p, 16, 16, channels=3)
+    with pytest.raises(ValueError, match="empty"):
+        enc.close()
+    assert p.read_bytes() == b""  # not an 8-byte MHTC header
+
+    p2 = tmp_path / "init.mhtc"
+    with pytest.raises(ValueError, match="temporal"):
+        ColorStreamingEncoder(p2, 16, 16, channels=3,
+                              config=CodecConfig(temporal=True))
+    assert p2.read_bytes() == b""  # inner ctor refused: header rolled back
+
+
+def test_push_drains_at_segment_granularity():
+    """One big push must never buffer more than one segment of frames."""
+
+    class Probe(StreamingEncoder):
+        max_buf = 0
+
+        def _emit(self, take):
+            self.max_buf = max(self.max_buf, len(self._buf))
+            super()._emit(take)
+
+    frames = _frames(20, 16, 16, seed=41)
+    enc = Probe(io.BytesIO(), 16, 16, max_segment_frames=4)
+    enc.push(frames)
+    enc.close()
+    assert enc.max_buf <= enc.segment_frames
+
+
+def test_cli_streaming_decode_failure_leaves_no_output(tmp_path):
+    from metalhuffman_tpu import cli
+
+    frames = _frames(4, 16, 16, seed=43)
+    src = tmp_path / "f.npy"
+    np.save(src, frames)
+    mhv2 = tmp_path / "s.mhv2"
+    assert cli.main(["encode-video", str(src), str(mhv2), "--streaming",
+                     "--segment-frames", "2"]) == 0
+    data = bytearray(mhv2.read_bytes())
+    data[frame_stream._trailer_offset(bytes(data))] ^= 0x5A  # recorded CRC
+    bad = tmp_path / "bad.mhv2"
+    bad.write_bytes(bytes(data))
+    dec = tmp_path / "d.npy"
+    with pytest.raises(SystemExit, match="CRC"):
+        cli.main(["decode-video", str(bad), str(dec), "--streaming",
+                  "--backend", "native"])
+    assert not dec.exists()  # corrupt output not left behind
+    outdir = tmp_path / "pngs"
+    with pytest.raises(SystemExit, match="CRC"):
+        cli.main(["decode-video", str(bad), str(outdir), "--streaming",
+                  "--backend", "native"])
+    assert not list(outdir.glob("frame_*.png"))
+
+
+def test_cli_segment_frames_zero_is_clean_error(tmp_path):
+    from metalhuffman_tpu import cli
+
+    src = tmp_path / "f.npy"
+    np.save(src, _frames(2, 16, 16))
+    with pytest.raises(SystemExit, match="segment-frames"):
+        cli.main(["encode-video", str(src), str(tmp_path / "o.mhv2"),
+                  "--streaming", "--segment-frames", "0"])
+
+
 def test_non_seekable_sink_refused():
     class NoSeek(io.BytesIO):
         def seekable(self):
