@@ -984,12 +984,16 @@ def _cmd_decode_video_region(args, data: bytes, cfg) -> int:
     if args.frame is not None and getattr(args, "frames", None) is not None:
         raise SystemExit("--frame and --frames are mutually exclusive")
     t0 = time.perf_counter()
+    check_how = "end-bit integrity check"
     try:
         if data[:4] == temporal.TEMPORAL_MAGIC:
-            total = temporal._inner_frame_count(temporal.unwrap(data)[0])
+            parts = temporal.unwrap(data)
+            total = temporal._inner_frame_count(parts[0])
             if total is None:
                 raise SystemExit(
                     "corrupt MHVT container (unrecognized inner stream)")
+            if parts[3] is not None:  # motion: the MC fallback verifies
+                check_how = "frame-CRC check"  # via the per-frame table
             a, b = _frame_span(args, total)
             out = temporal.decode_temporal_video_region(
                 data, a, b, y0, x0, rhh, rww, cfg, check=check)
@@ -1026,10 +1030,41 @@ def _cmd_decode_video_region(args, data: bytes, cfg) -> int:
             _save_frame(f, outp / f"frame_{i:05d}.png")
     which = (f"frame {args.frame}" if args.frame is not None
              else f"frames [{a}, {b})")
-    checked = " (end-bit integrity check: ok)" if check else ""
+    checked = f" ({check_how}: ok)" if check else ""
     print(f"{args.input}: decoded {rhh}x{rww} region at ({y0}, {x0}) of "
           f"{which} in {dt:.3f} s{checked} -> {args.output}")
     return 0
+
+
+def _streamed_sink(out: Path, total: int, h: int, w: int, channels: int,
+                   kind: int):
+    """Output sink for a streaming decode: ``(npy, sink_or_None, save)``.
+
+    One shape/dtype/saver selection shared by the plain and temporal
+    streaming commands: grayscale (channels=0) -> (T, H, W) u8, u16 ->
+    (T, H, W) u16 hi/lo-folded, color -> (T, H, W, C) u8. ``.npy``
+    outputs are written through a memory-mapped array; anything else
+    becomes a directory of one image per frame.
+    """
+    from .models import color as color_mod
+    from .utils import imageio
+
+    if not channels:
+        oshape, odtype, save = (total, h, w), np.uint8, \
+            imageio.save_grayscale
+    elif kind == color_mod.KIND_U16:
+        oshape, odtype, save = (total, h, w), np.uint16, imageio.save_gray16
+    else:
+        oshape, odtype, save = (total, h, w, channels), np.uint8, \
+            imageio.save_color
+    npy = out.suffix == ".npy"
+    if npy:
+        sink = np.lib.format.open_memmap(
+            out, mode="w+", dtype=odtype, shape=oshape)
+    else:
+        out.mkdir(parents=True, exist_ok=True)
+        sink = None
+    return npy, sink, save
 
 
 def _discard_streamed_output(out: Path, npy: bool,
@@ -1069,7 +1104,6 @@ def _cmd_decode_video_streaming(args, data: bytes, cfg, check: bool,
 
     from .models import color as color_mod
     from .models import frame_stream
-    from .utils import imageio
 
     for flag, what in [("frame", "--frame"), ("frames", "--frames"),
                        ("region", "--region")]:
@@ -1107,20 +1141,7 @@ def _cmd_decode_video_streaming(args, data: bytes, cfg, check: bool,
             "check is emitted by the TPU decode kernel)")
     t0 = time.perf_counter()
     out = Path(args.output)
-    npy = out.suffix == ".npy"
-    if not channels:
-        oshape, odtype, save = (total, h, w), np.uint8, \
-            imageio.save_grayscale
-    elif kind == color_mod.KIND_U16:
-        oshape, odtype, save = (total, h, w), np.uint16, imageio.save_gray16
-    else:
-        oshape, odtype, save = (total, h, w, channels), np.uint8, \
-            imageio.save_color
-    if npy:
-        sink = np.lib.format.open_memmap(
-            out, mode="w+", dtype=odtype, shape=oshape)
-    else:
-        out.mkdir(parents=True, exist_ok=True)
+    npy, sink, save = _streamed_sink(out, total, h, w, channels, kind)
 
     n_corrupt = 0
 
@@ -1145,7 +1166,8 @@ def _cmd_decode_video_streaming(args, data: bytes, cfg, check: bool,
     chunks = (checked_chunks() if check
               else frame_stream.iter_frames_segmented(segs, h, w, cfg))
     crc = 0
-    base = 0  # frames written so far
+    base = 0  # whole frames written so far
+    written = 0  # incl. any partially-saved chunk (for failure cleanup)
     carry = np.zeros((0, h, w), np.uint8)  # partial-frame planes
     try:
         for chunk in chunks:
@@ -1164,6 +1186,7 @@ def _cmd_decode_video_streaming(args, data: bytes, cfg, check: bool,
                 sink[base : base + frames.shape[0]] = frames
             else:
                 for i, f in enumerate(frames):
+                    written = base + i + 1
                     save(f, out / f"frame_{base + i:05d}.png")
             base += frames.shape[0]
         if n_corrupt:
@@ -1177,8 +1200,9 @@ def _cmd_decode_video_streaming(args, data: bytes, cfg, check: bool,
                     "the stream is corrupt")
     except BaseException:
         # no partially-written/corrupt output left behind — the batch
-        # path fails before producing any file; match it
-        _discard_streamed_output(out, npy, base)
+        # path fails before producing any file; match it (``written``
+        # covers a chunk that failed mid-save)
+        _discard_streamed_output(out, npy, max(base, written))
         raise
     if npy:
         sink.flush()
@@ -1209,7 +1233,6 @@ def _cmd_decode_video_streaming_temporal(args, data: bytes, cfg, check: bool,
     """
     from .models import color as color_mod
     from .models import temporal
-    from .utils import imageio
 
     if check:
         raise SystemExit(
@@ -1232,23 +1255,11 @@ def _cmd_decode_video_streaming_temporal(args, data: bytes, cfg, check: bool,
     import struct as struct_mod
 
     _t, h, w = struct_mod.unpack_from("<III", probe, 4)[:3]
-    if not channels:
-        oshape, odtype, save = (total, h, w), np.uint8, \
-            imageio.save_grayscale
-    elif kind == color_mod.KIND_U16:
-        oshape, odtype, save = (total, h, w), np.uint16, imageio.save_gray16
-    else:
-        oshape, odtype, save = (total, h, w, channels), np.uint8, \
-            imageio.save_color
     t0 = time.perf_counter()
     out = Path(args.output)
-    npy = out.suffix == ".npy"
-    if npy:
-        sink = np.lib.format.open_memmap(
-            out, mode="w+", dtype=odtype, shape=oshape)
-    else:
-        out.mkdir(parents=True, exist_ok=True)
+    npy, sink, save = _streamed_sink(out, total, h, w, channels, kind)
     base = 0
+    written = 0  # incl. any partially-saved chunk (for failure cleanup)
     try:
         try:
             for start, chunk in temporal.iter_temporal_video(data, cfg):
@@ -1256,6 +1267,7 @@ def _cmd_decode_video_streaming_temporal(args, data: bytes, cfg, check: bool,
                     sink[start : start + chunk.shape[0]] = chunk
                 else:
                     for i, f in enumerate(chunk):
+                        written = start + i + 1
                         save(f, out / f"frame_{start + i:05d}.png")
                 base = start + chunk.shape[0]
         except ValueError as e:
@@ -1263,7 +1275,7 @@ def _cmd_decode_video_streaming_temporal(args, data: bytes, cfg, check: bool,
     except BaseException:
         # a failed CRC chain (or any mid-stream error) must not leave a
         # partial output that looks like a good decode
-        _discard_streamed_output(out, npy, base)
+        _discard_streamed_output(out, npy, max(base, written))
         raise
     if npy:
         sink.flush()
@@ -1507,24 +1519,18 @@ def cmd_extract(args) -> int:
 
     data = Path(args.input).read_bytes()
     a, b = args.frames
-    how = "no re-encode"
-    if data[:4] == b"MHVT":
-        from .models import temporal
-
-        try:
-            _i, k, _c, _m, _f, fl = temporal.unwrap(data)
-            g = temporal._group_start(a, k, fl)
-            if a != g:  # mid-group start: only the first group re-encodes
-                nk = fl if a < fl else g + k
-                how = (f"re-keyed first group ({min(b, nk) - a} frame(s) "
-                       "re-encoded), rest spliced losslessly")
-        except ValueError:
-            pass  # surgery below reports the corrupt container cleanly
     t0 = time.perf_counter()
+    info: dict = {}
     try:
-        out = surgery.extract_video(data, a, b)
+        out = surgery.extract_video(data, a, b, info)
     except ValueError as e:
         raise SystemExit(str(e))
+    # surgery reports what it actually did — the CLI never re-derives
+    # the keyframe-group math
+    how = "no re-encode"
+    if info.get("reencoded_frames"):
+        how = (f"re-keyed first group ({info['reencoded_frames']} frame(s) "
+               "re-encoded), rest spliced losslessly")
     Path(args.output).write_bytes(out)
     print(f"{args.input}: extracted frames [{a}, {b}) -> "
           f"{args.output} ({len(out)} bytes, {how}, "

@@ -366,8 +366,7 @@ class ImageCodec:
 
 
 def selection_end_targets(stream: container.EncodedStream,
-                          sel: np.ndarray,
-                          block_size: int = 64) -> np.ndarray:
+                          sel: np.ndarray) -> np.ndarray:
     """Expected row-local end bit for each SELECTED block -> (n_sel,) int32.
 
     The offset index pins every block's bit length (next offset minus own
@@ -391,7 +390,7 @@ def _check_selection_ends(stream: container.EncodedStream, sel: np.ndarray,
                           end_bits: np.ndarray,
                           block_size: int) -> np.ndarray:
     """End bits (selection order) vs the offset index -> (n_sel,) bool err."""
-    targets = selection_end_targets(stream, sel, block_size)
+    targets = selection_end_targets(stream, sel)
     end = np.asarray(end_bits, np.int64).reshape(-1)[: sel.size]
     err = (end != targets) & (targets >= 0)
     nb = stream.block_offsets.size

@@ -112,7 +112,8 @@ def _encode_like(inner: bytes, frames: np.ndarray) -> bytes:
     return encode_video(frames, _cfg_like(inner))
 
 
-def _extract_temporal(data: bytes, a: int, b: int) -> bytes:
+def _extract_temporal(data: bytes, a: int, b: int,
+                      info: dict | None = None) -> bytes:
     """MHVT extract: lossless when ``a`` is a keyframe, else the FIRST
     group re-keys (decode + re-encode of < keyint frames) and every later
     group splices losslessly; the short first group is recorded in the
@@ -126,6 +127,11 @@ def _extract_temporal(data: bytes, a: int, b: int) -> bytes:
     crc = (crc32_concat([(int(c), fb) for c in fc])
            if fc is not None and fc.size else 0)
     g = temporal_mod._group_start(a, keyint, first_len)
+    if info is not None:
+        # what the CLI reports: frames re-encoded by a mid-group start
+        info["reencoded_frames"] = (
+            0 if a == g
+            else min(b, first_len if a < first_len else g + keyint) - a)
     if a == g:
         # keyframe start: bit-identical trim of every group
         # (frame indices pass through: the MHTC branch multiplies to plane
@@ -165,7 +171,8 @@ def _extract_temporal(data: bytes, a: int, b: int) -> bytes:
                              mvs=mv, frame_crcs=fc, first_len=out_fl)
 
 
-def extract_video(data: bytes, a: int, b: int) -> bytes:
+def extract_video(data: bytes, a: int, b: int,
+                  info: dict | None = None) -> bytes:
     """Frames [a, b) of a video container -> a NEW standalone container,
     without re-encoding (bit-identical code spans, trimmed + rebased).
 
@@ -174,9 +181,13 @@ def extract_video(data: bytes, a: int, b: int) -> bytes:
     without a table the CRC is unrecorded (0) — extraction never decodes
     (except an MHVT start inside a keyframe group, which re-encodes THAT
     group only; see :func:`_extract_temporal`).
+
+    ``info``, when given, is filled with what extraction actually did
+    (``reencoded_frames``: 0 for a pure splice) so callers report it
+    without re-deriving the keyframe-group math.
     """
     if data[:4] == temporal_mod.TEMPORAL_MAGIC:
-        return _extract_temporal(data, a, b)
+        return _extract_temporal(data, a, b, info)
     if data[:4] == color_mod.COLOR_MAGIC:
         inner, ch, layout, kind, cs = color_mod.unwrap(data)
         if layout != color_mod.LAYOUT_VIDEO:

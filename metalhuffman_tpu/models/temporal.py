@@ -720,6 +720,33 @@ def _decode_inner(inner: bytes, config: CodecConfig | None) -> np.ndarray:
     return decode_video(inner, cfg)
 
 
+def _strips_mc_exact(inner: bytes) -> bool:
+    """Header-only probe: will the packed-words MC fold apply to ``inner``?
+
+    True iff the raw-strips path applies (plain gray MHTV/MHV2, image
+    plan exists, no zero-init root fold) AND the strip geometry is exact
+    (no pad rows/columns — a circular roll over padding would wrap
+    through garbage). Reads only the fixed header bytes, so the caller
+    can pick the byte-image path WITHOUT first paying a full (discarded)
+    strips decode.
+    """
+    import struct as struct_mod
+
+    from ..ops import decode_pallas
+    from . import frame_stream
+
+    if inner[:4] == frame_stream.SHARED_MAGIC:
+        _t, h, w, _nb, bd, mode = struct_mod.unpack_from("<IIIIBB", inner, 4)
+    elif inner[:4] == frame_stream.SEGMENTED_MAGIC:
+        _t, h, w, bd, mode, _n = struct_mod.unpack_from("<IIIBBI", inner, 4)
+    else:
+        return False
+    if mode in (2, 4):  # zero-init: block_init root fold -> byte path
+        return False
+    plan = decode_pallas.image_plan_for(h, w, bd)
+    return (plan is not None and plan.bh * 8 == h and plan.w_pad == w)
+
+
 def _device_gray_strips(inner: bytes, config: CodecConfig):
     """Raw-strips device decode of a plain grayscale MHTV/MHV2 inner stream.
 
@@ -789,6 +816,13 @@ def _decode_temporal_device(inner: bytes, keyint: int, mvs,
     and color/u16 inners reconstruct from byte images (rolls there are
     pixel-granular; u16 folds after the hi/lo recombine).
     """
+    if mvs is not None and not _strips_mc_exact(inner):
+        # the MC words fold needs EXACT strip geometry; decide from the
+        # header alone so the padded/byte path never pays a discarded
+        # full strips decode first
+        res = _device_frames(inner, config)
+        return np.asarray(_jitted("fold_mc", temporal_decode_mc_jax)(
+            res, keyint=keyint, mvs=np.asarray(mvs), first_len=first_len))
     raw = _device_gray_strips(inner, _inner_config(config))
     if mvs is None:
         if raw is not None:
@@ -1224,14 +1258,23 @@ def decode_temporal_video_region(blob: bytes, a: int, b: int, y0: int,
     ``check`` verifies the touched residual blocks via the end-bit check
     (whole-frame/per-frame CRCs cannot cover a crop); the MC fallback
     instead verifies its full-frame range decode against the recorded
-    per-frame CRC table when present (``decode_temporal_range``).
+    per-frame CRC table (``decode_temporal_range``) — and REFUSES
+    ``check=True`` when the container records none, rather than silently
+    decoding unchecked.
     """
     from . import color, frame_stream
 
     if not 0 <= a < b:
         raise ValueError(f"invalid frame range [{a}, {b})")
-    inner, keyint, _crc_, mvs, _fcrcs, first_len = unwrap(blob)
+    inner, keyint, _crc_, mvs, fcrcs, first_len = unwrap(blob)
     if mvs is not None:
+        if check and fcrcs is None:
+            raise ValueError(
+                "motion compensation rolls pixels across the crop "
+                "boundary, so an MC region decodes via full-frame "
+                "reconstruction — which the end-bit crop check cannot "
+                "cover; a checked MC region needs the per-frame CRC "
+                "table (encode with --frame-crcs)")
         out = decode_temporal_range(blob, a, b, config)
         if not (0 <= y0 and y0 + rh <= out.shape[1]
                 and 0 <= x0 and x0 + rw <= out.shape[2]):

@@ -211,6 +211,62 @@ def test_temporal_region_check(tmp_path):
     np.testing.assert_array_equal(out, frames[2:5, 4:12, 4:12])
 
 
+def test_mc_region_check_requires_frame_crcs(tmp_path):
+    """The MC region fallback cannot run the end-bit crop check; check=True
+    must therefore refuse without a per-frame CRC table rather than
+    silently decode unchecked (round-4 review finding), and verify via
+    the table when one is recorded."""
+    from metalhuffman_tpu.models import temporal
+
+    frames = _frames(6, 16, 24, seed=11)
+    cfg = CodecConfig(backend="native", temporal=True, keyint=3, motion=True)
+    blob = temporal.encode_temporal_video(frames, cfg)
+    with pytest.raises(ValueError, match="frame-crcs|per-frame CRC"):
+        temporal.decode_temporal_video_region(
+            blob, 1, 4, 4, 4, 8, 8, cfg, check=True)
+    import dataclasses
+
+    blob2 = temporal.encode_temporal_video(
+        frames, dataclasses.replace(cfg, frame_crcs=True))
+    out = temporal.decode_temporal_video_region(
+        blob2, 1, 4, 4, 4, 8, 8, cfg, check=True)
+    np.testing.assert_array_equal(out, frames[1:4, 4:12, 4:12])
+
+
+def test_strips_mc_exact_predicts_raw_path():
+    """The header-only probe must agree with the strips decode's own
+    applicability + exact-geometry outcome (no discarded decodes)."""
+    from metalhuffman_tpu.models import temporal
+
+    cfg = CodecConfig(backend="pallas", interpret=True)
+    for h, w in [(16, 512), (16, 500), (12, 512)]:
+        frames = _frames(2, h, w, seed=13)
+        enc = frame_stream.encode_frames_shared(
+            frames, CodecConfig(backend="native"))
+        inner = frame_stream.write_shared(enc, 2, h, w,
+                                          CodecConfig(backend="native"))
+        raw = temporal._device_gray_strips(inner, cfg)
+        exact = (raw is not None and (raw[5], raw[4]) == (raw[2], raw[3]))
+        assert temporal._strips_mc_exact(inner) == exact, (h, w)
+
+
+def test_extract_reports_reencoded_frames():
+    from metalhuffman_tpu.models import surgery, temporal
+
+    frames = _frames(7, 16, 24, seed=15)
+    cfg = CodecConfig(backend="native", temporal=True, keyint=3)
+    blob = temporal.encode_temporal_video(frames, cfg)
+    info = {}
+    surgery.extract_video(blob, 3, 7, info)  # keyframe start
+    assert info["reencoded_frames"] == 0
+    info = {}
+    surgery.extract_video(blob, 4, 7, info)  # mid-group: re-keys 4..6
+    assert info["reencoded_frames"] == 2
+    info = {}
+    surgery.extract_video(blob, 4, 5, info)  # cut inside the group
+    assert info["reencoded_frames"] == 1
+
+
 def test_selection_end_targets_values():
     img = _image(16, 24, seed=10)
     codec = ImageCodec(CodecConfig(backend="native"))
