@@ -1557,6 +1557,26 @@ def cmd_concat(args) -> int:
     return 0
 
 
+def cmd_resegment(args) -> int:
+    """Re-cut a container's segment structure losslessly."""
+    from .models import surgery
+
+    data = Path(args.input).read_bytes()
+    if args.segment_frames < 1:
+        raise SystemExit("--segment-frames must be >= 1")
+    t0 = time.perf_counter()
+    try:
+        out = surgery.resegment_video(data, args.segment_frames)
+    except ValueError as e:
+        raise SystemExit(str(e))
+    Path(args.output).write_bytes(out)
+    print(f"{args.input}: resegmented at <= {args.segment_frames} "
+          f"frames/segment -> {args.output} ({len(out)} bytes, no "
+          f"re-encode, {(time.perf_counter() - t0) * 1e3:.1f} ms)")
+    _surgery_crc_note(out, "resegment")
+    return 0
+
+
 def cmd_verify(args) -> int:
     """Decode a container with every applicable integrity check and report.
 
@@ -1912,6 +1932,20 @@ def main(argv=None) -> int:
     p.add_argument("output")
     p.add_argument("inputs", nargs="+")
     p.set_defaults(fn=cmd_concat)
+
+    p = sub.add_parser(
+        "resegment",
+        help="re-cut a video container's MHV2 segment structure WITHOUT "
+             "re-encoding (bit-identical trimmed spans; CRC/FCRC carry "
+             "over verbatim) — gives a monolithic archive the segment "
+             "granularity that bounds decode-video --streaming memory")
+    p.add_argument("input")
+    p.add_argument("output")
+    p.add_argument("--segment-frames", type=int, required=True, metavar="N",
+                   help="max frames per output segment (input segments "
+                        "only ever split — each carries its own canonical "
+                        "table, so merging would need a re-encode)")
+    p.set_defaults(fn=cmd_resegment)
 
     p = sub.add_parser("info", help="describe an MHT1/MHTS container")
     p.add_argument("input")

@@ -325,3 +325,59 @@ def concat_videos(blobs: list[bytes]) -> bytes:
     fc = (np.concatenate(fcs) if all(f is not None for f in fcs) else None)
     return frame_stream.write_segmented(all_segs, h, w, cfg,
                                         source_crc32=crc, frame_crcs=fc)
+
+
+def resegment_video(data: bytes, frames_per_segment: int) -> bytes:
+    """Re-cut a video container's SEGMENT structure without re-encoding.
+
+    Any MHTV/MHV2 — bare, inside MHTC (color/u16), or inside MHVT — becomes
+    an MHV2 whose segments hold at most ``frames_per_segment`` frames, each
+    a bit-identical trimmed span of an input segment (:func:`_trim_stream`;
+    the canonical table repeats per segment — a few hundred bytes each is
+    the only growth). Purpose: a monolithic archive gains the segment
+    granularity that bounds streamed-decode memory
+    (``decode-video --streaming``) and random-access staging.
+
+    Segments can only be SPLIT this way, never merged: each carries its own
+    canonical table, so joining spans from different tables would need a
+    re-encode (input segments already shorter than the target stay as
+    they are). Whole-payload CRC and any FCRC table carry over verbatim —
+    the payload is unchanged. ``frames_per_segment`` counts TRUE frames at
+    every level (planes for MHTC inners, residuals for MHVT are 1:1).
+    """
+    if frames_per_segment < 1:
+        raise ValueError("frames_per_segment must be >= 1")
+    if data[:4] == temporal_mod.TEMPORAL_MAGIC:
+        inner, keyint, crc, mvs, fcrcs, first_len = temporal_mod.unwrap(data)
+        return temporal_mod.wrap(
+            resegment_video(inner, frames_per_segment), keyint,
+            source_crc32=crc, mvs=mvs, frame_crcs=fcrcs,
+            first_len=first_len)
+    if data[:4] == color_mod.COLOR_MAGIC:
+        inner, ch, layout, kind, cs = color_mod.unwrap(data)
+        if layout != color_mod.LAYOUT_VIDEO:
+            raise ValueError("resegment_video needs a video container")
+        n = 2 if kind == color_mod.KIND_U16 else ch
+        return color_mod.wrap(
+            resegment_video(inner, frames_per_segment * n), ch, layout,
+            kind, cs)
+    if data[:4] == frame_stream.SHARED_MAGIC:
+        stream, t, h, w, bd, delta = frame_stream.read_shared(data)
+        segs = [(stream, t)]
+    elif data[:4] == frame_stream.SEGMENTED_MAGIC:
+        segs, t, h, w, bd, delta = frame_stream.read_segmented(data)
+    else:
+        raise ValueError("not a video container")
+    bh, bw = blocks.block_grid(h, w, bd)
+    per_blk = bh * bw
+    out_segs = []
+    for stream, ft in segs:
+        for s in range(0, ft, frames_per_segment):
+            take = min(frames_per_segment, ft - s)
+            out_segs.append((_trim_stream(
+                stream, s * per_blk, (s + take) * per_blk, bd * bd), take))
+    cfg = dataclasses.replace(CodecConfig(), block_dim=bd, delta=delta)
+    return frame_stream.write_segmented(
+        out_segs, h, w, cfg,
+        source_crc32=frame_stream.source_crc32(data),
+        frame_crcs=frame_stream.read_frame_crcs(data))

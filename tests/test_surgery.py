@@ -336,3 +336,102 @@ def test_cli_extract_midgroup_and_crc_note(tmp_path, capsys):
           "--frames", "4", "9"])
     cap = capsys.readouterr()
     assert "note:" in cap.err and "records no whole-payload CRC" in cap.err
+
+
+# -- resegment (round 4) ------------------------------------------------------
+
+
+def test_resegment_mhtv_roundtrip_and_metadata():
+    frames = _frames(7)
+    cfg = CodecConfig(backend="native", frame_crcs=True)
+    blob = mh.encode_video(frames, cfg)
+    out = surgery.resegment_video(blob, 3)
+    segs, t, h, w, bd, delta = frame_stream.read_segmented(out)
+    assert [ft for _, ft in segs] == [3, 3, 1]
+    np.testing.assert_array_equal(
+        mh.decode_video(out, CodecConfig(backend="native")), frames)
+    # CRC + FCRC carry over verbatim (payload unchanged)
+    assert frame_stream.source_crc32(out) == frame_stream.source_crc32(blob)
+    np.testing.assert_array_equal(frame_stream.read_frame_crcs(out),
+                                  frame_stream.read_frame_crcs(blob))
+
+
+def test_resegment_splits_but_never_merges():
+    frames = _frames(8)
+    cfg = CodecConfig(backend="native")
+    blob = mh.encode_video(frames, cfg)
+    three = surgery.resegment_video(blob, 3)  # [3, 3, 2]
+    again = surgery.resegment_video(three, 5)  # each splits independently
+    segs, *_ = frame_stream.read_segmented(again)
+    assert [ft for _, ft in segs] == [3, 3, 2]  # unchanged: split-only
+    segs2, *_ = frame_stream.read_segmented(
+        surgery.resegment_video(three, 2))
+    assert [ft for _, ft in segs2] == [2, 1, 2, 1, 2]
+    np.testing.assert_array_equal(
+        mh.decode_video(again, CodecConfig(backend="native")), frames)
+
+
+def test_resegment_color_u16_temporal():
+    rng = np.random.default_rng(7)
+    cframes = np.clip(rng.normal(128, 25, (5, 16, 24, 3)), 0,
+                      255).astype(np.uint8)
+    cblob = color_mod.encode_color_video_to_bytes(
+        cframes, CodecConfig(backend="native"),
+        colorspace=color_mod.CS_SUBGREEN)
+    cout = surgery.resegment_video(cblob, 2)  # 2 frames = 6 planes/segment
+    inner, ch, layout, kind, cs = color_mod.unwrap(cout)
+    segs, *_ = frame_stream.read_segmented(inner)
+    assert [ft for _, ft in segs] == [6, 6, 3]
+    np.testing.assert_array_equal(
+        color_mod.decode_color_video_from_bytes(
+            cout, CodecConfig(backend="native")), cframes)
+
+    uframes = rng.integers(0, 65536, (4, 16, 24)).astype(np.uint16)
+    ublob = color_mod.encode_gray16_to_bytes(
+        uframes, CodecConfig(backend="native"))
+    uout = surgery.resegment_video(ublob, 2)
+    np.testing.assert_array_equal(
+        color_mod.decode_gray16_from_bytes(
+            uout, CodecConfig(backend="native")), uframes)
+
+    frames = _frames(7)
+    tcfg = CodecConfig(backend="native", temporal=True, keyint=3,
+                       motion=True, frame_crcs=True)
+    tblob = temporal.encode_temporal_video(frames, tcfg)
+    tout = surgery.resegment_video(tblob, 2)
+    np.testing.assert_array_equal(
+        temporal.decode_temporal_video(tout, CodecConfig(backend="native")),
+        frames)
+    # the wrapper survives: keyint, motion table, FCRC, short first group
+    cut = surgery.extract_video(tblob, 1, 7)  # short first group (2)
+    rcut = surgery.resegment_video(cut, 2)
+    np.testing.assert_array_equal(
+        temporal.decode_temporal_video(rcut, CodecConfig(backend="native")),
+        frames[1:7])
+
+
+def test_resegment_serves_streaming_decode(tmp_path):
+    """The use-case: a monolithic archive becomes streamed-decodable."""
+    from metalhuffman_tpu import cli
+
+    frames = _frames(9)
+    src = tmp_path / "f.npy"
+    np.save(src, frames)
+    mono = tmp_path / "mono.mhtv"
+    assert cli.main(["encode-video", str(src), str(mono),
+                     "--frame-crcs"]) == 0
+    seg = tmp_path / "seg.mhv2"
+    assert cli.main(["resegment", str(mono), str(seg),
+                     "--segment-frames", "4"]) == 0
+    assert cli.main(["verify", str(seg), "--backend", "native"]) == 0
+    dec = tmp_path / "d.npy"
+    assert cli.main(["decode-video", str(seg), str(dec), "--streaming",
+                     "--backend", "native"]) == 0
+    np.testing.assert_array_equal(np.load(dec), frames)
+
+
+def test_resegment_errors():
+    with pytest.raises(ValueError, match=">= 1"):
+        surgery.resegment_video(b"MHTV" + b"\0" * 40, 0)
+    with pytest.raises(ValueError, match="video container"):
+        surgery.resegment_video(b"MHT1" + b"\0" * 40, 2)
