@@ -1577,6 +1577,95 @@ def cmd_resegment(args) -> int:
     return 0
 
 
+def _cmd_verify_streaming(args, data: bytes, cfg) -> int:
+    """verify --streaming: the full integrity chain at constant memory.
+
+    For a segmented MHV2 (bare or inside MHTC) every check the batch
+    verify runs — on-device end-bit per segment (Pallas backend), the
+    recorded source CRC (chained chunk CRCs), the per-frame FCRC table
+    (verified chunk by chunk) — without ever holding more than one
+    decoded segment. The way to verify an archive bigger than RAM.
+    MHVT is refused: its inner-residual + outer-fold chain needs the
+    batch verify (or use ``decode-video --streaming``, which verifies
+    the outer CRC and FCRC table as it serves).
+    """
+    import dataclasses
+
+    from .models import color, frame_stream, temporal
+
+    if data[:4] == temporal.TEMPORAL_MAGIC:
+        raise SystemExit(
+            "verify --streaming covers segmented MHV2 (bare or MHTC); an "
+            "MHVT needs the batch verify for its inner residual checks — "
+            "or decode-video --streaming, which verifies the outer CRC "
+            "and any frame-CRC table as it serves")
+    wrapper = ""
+    inner = data
+    if data[:4] == color.COLOR_MAGIC:
+        try:
+            wrapper = color.describe(data) + " wrapping "
+            inner, _ch, layout, _kind, _cs = color.unwrap(data)
+        except ValueError as e:
+            raise SystemExit(str(e))
+        if layout != color.LAYOUT_VIDEO:
+            raise SystemExit("verify --streaming needs a video container")
+    if inner[:4] != frame_stream.SEGMENTED_MAGIC:
+        raise SystemExit(
+            "verify --streaming needs a segmented MHV2 container (other "
+            "containers verify whole; drop --streaming, or `resegment` "
+            "the archive first)")
+    pallas = args.backend == "pallas"
+    try:
+        segs, t, h, w, bd, delta = frame_stream.read_segmented(inner)
+    except ValueError as e:
+        raise SystemExit(str(e))
+    vcfg = dataclasses.replace(
+        cfg, block_dim=bd, delta=delta,
+        delta2d=bool(segs) and segs[0][0].predictor == "2d")
+    fcrcs = frame_stream.read_frame_crcs(inner)
+    recorded = frame_stream.source_crc32(inner)
+    crc = 0
+    base = 0
+    if pallas:
+        for si, fr, err in frame_stream.iter_frames_segmented_checked(
+                segs, h, w, vcfg):
+            if err.any():
+                idx = np.nonzero(err)[0]
+                raise SystemExit(
+                    f"stream integrity check failed in segment {si}: "
+                    f"{idx.size} corrupt block(s), first at "
+                    f"{idx[:8].tolist()}")
+            crc = zlib.crc32(np.ascontiguousarray(fr).tobytes(), crc)
+            try:
+                frame_stream.verify_frame_crcs(fr, fcrcs, base=base)
+            except ValueError as e:
+                raise SystemExit(str(e))
+            base += fr.shape[0]
+    else:
+        for fr in frame_stream.iter_frames_segmented(segs, h, w, vcfg):
+            crc = zlib.crc32(np.ascontiguousarray(fr).tobytes(), crc)
+            try:
+                frame_stream.verify_frame_crcs(fr, fcrcs, base=base)
+            except ValueError as e:
+                raise SystemExit(str(e))
+            base += fr.shape[0]
+    if recorded and crc != recorded:
+        raise SystemExit(
+            "decoded payload fails the recorded source CRC-32 — the "
+            "stream is corrupt")
+    print(f"{wrapper}MHV2: {t} frames {h}x{w} (streamed, "
+          f"{len(segs)} segments)")
+    print(f"  {'end-bit check':<14} "
+          + ("ok" if pallas else "skipped (needs --backend pallas)"))
+    print(f"  {'decode':<14} ok ({base} frames, {args.backend}, streamed)")
+    print(f"  {'source CRC-32':<14} " + ("ok" if recorded else "absent"))
+    print(f"  {'frame CRC table':<13} "
+          + (f"ok ({fcrcs.shape[0]} frames)" if fcrcs is not None
+             else "absent"))
+    print("PASS")
+    return 0
+
+
 def cmd_verify(args) -> int:
     """Decode a container with every applicable integrity check and report.
 
@@ -1593,6 +1682,8 @@ def cmd_verify(args) -> int:
 
     data = Path(args.input).read_bytes()
     cfg = _config(args)
+    if getattr(args, "streaming", False):
+        return _cmd_verify_streaming(args, data, cfg)
     pallas = args.backend == "pallas"
     lines = []
 
@@ -1956,6 +2047,11 @@ def main(argv=None) -> int:
         help="decode any container with every integrity check "
              "(end-bit + recorded CRC-32) and report per-check status")
     p.add_argument("input")
+    p.add_argument("--streaming", action="store_true",
+                   help="constant-memory verify of a segmented MHV2 (bare "
+                        "or MHTC): per-segment end-bit check, chained "
+                        "source CRC, per-chunk frame-CRC table — verify "
+                        "an archive bigger than RAM")
     _add_codec_flags(p)
     p.set_defaults(fn=cmd_verify)
 

@@ -631,6 +631,47 @@ def test_cli_streaming_decode_mhvt_color_and_short_first_group(tmp_path):
     np.testing.assert_array_equal(np.load(dec2), cframes[2:7])
 
 
+def test_cli_verify_streaming(tmp_path):
+    """verify --streaming: the full integrity chain at constant memory."""
+    from metalhuffman_tpu import cli
+
+    frames = _frames(6, 24, 32, seed=45)
+    src = tmp_path / "f.npy"
+    np.save(src, frames)
+    mhv2 = tmp_path / "s.mhv2"
+    assert cli.main(["encode-video", str(src), str(mhv2), "--streaming",
+                     "--segment-frames", "2", "--frame-crcs"]) == 0
+    assert cli.main(["verify", str(mhv2), "--streaming",
+                     "--backend", "native"]) == 0
+    assert cli.main(["verify", str(mhv2), "--streaming",
+                     "--backend", "pallas", "--interpret"]) == 0
+
+    # a desynced code byte fails the per-segment end-bit check
+    data = bytearray(mhv2.read_bytes())
+    data[4 + 18 + 12 + 8 + 256] ^= 0xFF
+    bad = tmp_path / "bad.mhv2"
+    bad.write_bytes(bytes(data))
+    with pytest.raises(SystemExit, match="integrity|CRC"):
+        cli.main(["verify", str(bad), "--streaming",
+                  "--backend", "pallas", "--interpret"])
+
+    # a corrupted recorded source CRC fails the chained check
+    data2 = bytearray(mhv2.read_bytes())
+    data2[frame_stream._trailer_offset(bytes(data2))] ^= 0x5A
+    bad2 = tmp_path / "bad2.mhv2"
+    bad2.write_bytes(bytes(data2))
+    with pytest.raises(SystemExit, match="CRC"):
+        cli.main(["verify", str(bad2), "--streaming",
+                  "--backend", "native"])
+
+    # MHVT is refused with guidance; MHTV needs resegmenting first
+    mhtv = tmp_path / "x.mhtv"
+    assert cli.main(["encode-video", str(src), str(mhtv)]) == 0
+    with pytest.raises(SystemExit, match="resegment"):
+        cli.main(["verify", str(mhtv), "--streaming",
+                  "--backend", "native"])
+
+
 def test_streamed_file_serves_every_reader_surface(tmp_path):
     """info/verify/random access treat a streamed MHV2 like any other."""
     from metalhuffman_tpu import cli
