@@ -631,6 +631,31 @@ def test_cli_streaming_decode_mhvt_color_and_short_first_group(tmp_path):
     np.testing.assert_array_equal(np.load(dec2), cframes[2:7])
 
 
+def test_streaming_iterators_on_device_backend():
+    """The chunked readers ride the device (interpret) pipeline too —
+    StreamingDecoder submit/result for MHV2 chunks, the jitted fold for
+    MHVT chunks — not just the native path the other tests use."""
+    from metalhuffman_tpu.models import temporal
+
+    frames = _frames(6, 16, 24, seed=47)
+    dcfg = CodecConfig(backend="pallas", interpret=True)
+    sink = io.BytesIO()
+    with StreamingEncoder(sink, 16, 24, CodecConfig(),
+                          max_segment_frames=2) as enc:
+        enc.push(frames)
+    segs, t, h, w, bd, delta = frame_stream.read_segmented(sink.getvalue())
+    chunks = list(frame_stream.iter_frames_segmented(segs, h, w, dcfg))
+    assert [c.shape[0] for c in chunks] == [2, 2, 2]
+    np.testing.assert_array_equal(np.concatenate(chunks), frames)
+
+    tcfg = CodecConfig(backend="native", temporal=True, keyint=2,
+                       motion=True)
+    blob = temporal.encode_temporal_video(frames, tcfg)
+    served = [c for _b, c in temporal.iter_temporal_video(
+        blob, dcfg, chunk_frames=2)]
+    np.testing.assert_array_equal(np.concatenate(served), frames)
+
+
 def test_cli_verify_streaming(tmp_path):
     """verify --streaming: the full integrity chain at constant memory."""
     from metalhuffman_tpu import cli
