@@ -1543,6 +1543,22 @@ def cmd_concat(args) -> int:
     """Splice video containers end to end WITHOUT re-encoding."""
     from .models import surgery
 
+    if getattr(args, "streaming", False):
+        t0 = time.perf_counter()
+        try:
+            info = surgery.concat_videos_streamed(args.inputs, args.output)
+        except (ValueError, OSError) as e:
+            raise SystemExit(str(e))
+        print(f"spliced {len(args.inputs)} file(s) -> {args.output} "
+              f"({info['bytes']} bytes, {info['segments']} segments, "
+              f"streamed copy, {(time.perf_counter() - t0) * 1e3:.1f} ms)")
+        if not info["crc_recorded"]:
+            # never re-read the (possibly huge) output just to notice this
+            print("note: output records no whole-payload CRC (an input "
+                  "lacked one) — `verify` cannot check it; re-encode with "
+                  "--frame-crcs to keep slice-level integrity",
+                  file=sys.stderr)
+        return 0
     blobs = [Path(x).read_bytes() for x in args.inputs]
     t0 = time.perf_counter()
     try:
@@ -2022,6 +2038,10 @@ def main(argv=None) -> int:
              "canonical tables)")
     p.add_argument("output")
     p.add_argument("inputs", nargs="+")
+    p.add_argument("--streaming", action="store_true",
+                   help="constant-memory file-to-file splice (mmap span "
+                        "copy; byte-identical output) for archives bigger "
+                        "than RAM — MHTV/MHV2/MHTC inputs")
     p.set_defaults(fn=cmd_concat)
 
     p = sub.add_parser(

@@ -381,3 +381,142 @@ def resegment_video(data: bytes, frames_per_segment: int) -> bytes:
         out_segs, h, w, cfg,
         source_crc32=frame_stream.source_crc32(data),
         frame_crcs=frame_stream.read_frame_crcs(data))
+
+
+# -- constant-memory file-to-file splicing ------------------------------------
+
+
+def _scan_concat_source(view) -> dict:
+    """Header-walk a bare MHTV/MHV2 buffer into segment-record SPANS.
+
+    Returns geometry/mode, the recorded trailer CRC / FCRC table, and each
+    segment record as a parts list — literal ``bytes`` to emit, or
+    ``(offset, length)`` spans of ``view`` to copy — WITHOUT materializing
+    core blobs: the whole scan reads fixed headers plus the (small) CRC
+    tables, so :func:`concat_videos_streamed` runs at copy speed in
+    constant memory.
+    """
+    import struct
+
+    head = bytes(view[:4])
+    if head == frame_stream.SHARED_MAGIC:
+        t, h, w, nb, bd, mode = struct.unpack_from("<IIIIBB", view, 4)
+        (core_len,) = struct.unpack_from("<I", view, 22)
+        body = core_len + 4 * nb + (nb if mode in (2, 4) else 0)
+        # an MHTV payload becomes ONE MHV2 segment record: the 12-byte
+        # record header is synthesized, core/offsets/init copy verbatim
+        recs = [(t, [struct.pack("<III", t, nb, core_len), (26, body)])]
+        tail = 26 + body
+    elif head == frame_stream.SEGMENTED_MAGIC:
+        t, h, w, bd, mode, n_seg = struct.unpack_from("<IIIBBI", view, 4)
+        pos = 4 + 18
+        recs = []
+        for _ in range(n_seg):
+            ft, nb, core_len = struct.unpack_from("<III", view, pos)
+            rec_len = 12 + core_len + 4 * nb + (nb if mode in (2, 4) else 0)
+            recs.append((ft, [(pos, rec_len)]))
+            pos += rec_len
+        tail = pos
+    else:
+        raise ValueError("not a video container")
+    if tail + 4 > len(view):
+        raise ValueError("truncated container (source-CRC trailer missing)")
+    (crc,) = struct.unpack_from("<I", view, tail)
+    fcrcs = None
+    if (tail + 12 <= len(view)
+            and bytes(view[tail + 4 : tail + 8]) == frame_stream.FRAME_CRC_MAGIC):
+        (n,) = struct.unpack_from("<I", view, tail + 8)
+        if tail + 12 + 4 * n > len(view):
+            raise ValueError("truncated FCRC table")
+        fcrcs = np.frombuffer(view, "<u4", count=n,
+                              offset=tail + 12).astype(np.uint32)
+    return dict(t=t, h=h, w=w, bd=bd, mode=mode, recs=recs, crc=crc,
+                fcrcs=fcrcs)
+
+
+def concat_videos_streamed(inputs, output) -> dict:
+    """Splice video FILES end to end at constant memory (mmap -> copy).
+
+    The file-to-file form of :func:`concat_videos` for archives bigger
+    than RAM: inputs are memory-mapped, their segment records are copied
+    span-by-span into the output (an MHTV payload becomes one MHV2
+    segment record — only its 12-byte record header is synthesized), and
+    the combined trailer is computed algebraically (``crc32_concat`` over
+    the recorded CRCs; FCRC tables concatenate) exactly as the in-memory
+    splice does. The output is byte-identical to
+    ``concat_videos([Path(p).read_bytes() for p in inputs])``.
+
+    Bare MHTV/MHV2 and MHTC (identical 8-byte wrapper headers) only;
+    MHVT needs the in-memory splice (its wrapper header carries the
+    whole-stream motion/CRC tables and group-alignment checks).
+
+    Returns ``{"frames", "segments", "bytes"}`` for reporting.
+    """
+    import mmap
+    import struct
+    from pathlib import Path
+
+    if not inputs:
+        raise ValueError("nothing to concatenate")
+    files = [open(Path(p), "rb") for p in inputs]
+    try:
+        maps = [mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
+                for f in files]
+        views = [memoryview(m) for m in maps]
+        magics = [bytes(v[:4]) for v in views]
+        if any(m == temporal_mod.TEMPORAL_MAGIC for m in magics):
+            raise ValueError(
+                "concat_videos_streamed splices MHTV/MHV2/MHTC files; "
+                "MHVT wrappers need the in-memory concat_videos (their "
+                "header carries whole-stream motion/CRC tables)")
+        color_head = b""
+        if magics[0] == color_mod.COLOR_MAGIC:
+            heads = {bytes(v[:8]) for v in views}
+            if len(heads) != 1:
+                raise ValueError(
+                    "MHTC inputs must share channels/layout/kind/colorspace")
+            color_head = heads.pop()
+            if color_head[5] != color_mod.LAYOUT_VIDEO:
+                raise ValueError("concat needs video containers")
+            views = [v[8:] for v in views]
+        scans = [_scan_concat_source(v) for v in views]
+        geom = {(s["h"], s["w"], s["bd"], s["mode"]) for s in scans}
+        if len(geom) != 1:
+            raise ValueError(f"geometry/mode mismatch across inputs: {geom}")
+        h, w, bd, mode = geom.pop()
+        total = sum(s["t"] for s in scans)
+        n_seg = sum(len(s["recs"]) for s in scans)
+        crc = (crc32_concat([(s["crc"], s["t"] * h * w) for s in scans])
+               if all(s["crc"] for s in scans) else 0)
+        fc = (np.concatenate([s["fcrcs"] for s in scans])
+              if all(s["fcrcs"] is not None for s in scans) else None)
+        written = 0
+        with open(Path(output), "wb") as out:
+            def emit(b):
+                nonlocal written
+                out.write(b)
+                written += len(b)
+
+            emit(color_head)
+            emit(frame_stream.SEGMENTED_MAGIC + struct.pack(
+                "<IIIBBI", total, h, w, bd, mode, n_seg))
+            for s, v in zip(scans, views):
+                for _ft, parts in s["recs"]:
+                    for p in parts:
+                        if isinstance(p, bytes):
+                            emit(p)
+                        else:
+                            off, ln = p
+                            step = 8 << 20  # copy spans in 8 MB slices
+                            for a in range(off, off + ln, step):
+                                emit(v[a : min(a + step, off + ln)])
+            emit(struct.pack("<I", crc & 0xFFFFFFFF))
+            if fc is not None:
+                emit(frame_stream.FRAME_CRC_MAGIC
+                     + struct.pack("<I", fc.shape[0])
+                     + fc.astype("<u4").tobytes())
+        return {"frames": total, "segments": n_seg, "bytes": written,
+                "crc_recorded": bool(crc)}
+    finally:
+        for fobj in files:
+            fobj.close()

@@ -435,3 +435,81 @@ def test_resegment_errors():
         surgery.resegment_video(b"MHTV" + b"\0" * 40, 0)
     with pytest.raises(ValueError, match="video container"):
         surgery.resegment_video(b"MHT1" + b"\0" * 40, 2)
+
+
+# -- constant-memory file-to-file concat (round 4) ----------------------------
+
+
+def test_streamed_concat_byte_identical(tmp_path):
+    """concat_videos_streamed == concat_videos, for every input mix."""
+    f1, f2 = _frames(5), _frames(4, seed=3)
+    cfg = CodecConfig(backend="native", frame_crcs=True)
+    b1 = mh.encode_video(f1, cfg)  # MHTV
+    b2 = surgery.resegment_video(mh.encode_video(f2, cfg), 2)  # MHV2
+    p1, p2 = tmp_path / "a.mhtv", tmp_path / "b.mhv2"
+    p1.write_bytes(b1)
+    p2.write_bytes(b2)
+    out = tmp_path / "cat.mhv2"
+    info = surgery.concat_videos_streamed([p1, p2], out)
+    assert out.read_bytes() == surgery.concat_videos([b1, b2])
+    assert (info["frames"], info["segments"]) == (9, 3)
+    assert info["crc_recorded"]
+    np.testing.assert_array_equal(
+        mh.decode_video(out.read_bytes(), CodecConfig(backend="native")),
+        np.concatenate([f1, f2]))
+    # FCRC table concatenated and usable
+    fc = frame_stream.read_frame_crcs(out.read_bytes())
+    assert fc is not None and fc.shape[0] == 9
+
+
+def test_streamed_concat_color_and_refusals(tmp_path):
+    rng = np.random.default_rng(11)
+    c1 = np.clip(rng.normal(128, 25, (3, 16, 24, 3)), 0,
+                 255).astype(np.uint8)
+    c2 = np.clip(rng.normal(90, 25, (2, 16, 24, 3)), 0,
+                 255).astype(np.uint8)
+    ncfg = CodecConfig(backend="native")
+    cb1 = color_mod.encode_color_video_to_bytes(
+        c1, ncfg, colorspace=color_mod.CS_SUBGREEN)
+    cb2 = color_mod.encode_color_video_to_bytes(
+        c2, ncfg, colorspace=color_mod.CS_SUBGREEN)
+    p1, p2 = tmp_path / "a.mhtc", tmp_path / "b.mhtc"
+    p1.write_bytes(cb1)
+    p2.write_bytes(cb2)
+    out = tmp_path / "cat.mhtc"
+    surgery.concat_videos_streamed([p1, p2], out)
+    assert out.read_bytes() == surgery.concat_videos([cb1, cb2])
+    np.testing.assert_array_equal(
+        color_mod.decode_color_video_from_bytes(out.read_bytes(), ncfg),
+        np.concatenate([c1, c2]))
+    # MHVT refused with guidance; mismatched headers refused
+    tb = temporal.encode_temporal_video(
+        _frames(4), CodecConfig(backend="native", temporal=True, keyint=2))
+    pt = tmp_path / "t.mhvt"
+    pt.write_bytes(tb)
+    with pytest.raises(ValueError, match="MHVT"):
+        surgery.concat_videos_streamed([pt, pt], tmp_path / "x")
+    cb3 = color_mod.encode_color_video_to_bytes(c1, ncfg)  # identity cs
+    p3 = tmp_path / "c.mhtc"
+    p3.write_bytes(cb3)
+    with pytest.raises(ValueError, match="share"):
+        surgery.concat_videos_streamed([p1, p3], tmp_path / "x")
+
+
+def test_streamed_concat_cli(tmp_path):
+    from metalhuffman_tpu import cli
+
+    frames = _frames(6)
+    src = tmp_path / "f.npy"
+    np.save(src, frames)
+    a = tmp_path / "a.mhtv"
+    assert cli.main(["encode-video", str(src), str(a),
+                     "--frame-crcs"]) == 0
+    out = tmp_path / "cat.mhv2"
+    assert cli.main(["concat", str(out), str(a), str(a),
+                     "--streaming"]) == 0
+    assert cli.main(["verify", str(out), "--streaming",
+                     "--backend", "native"]) == 0
+    np.testing.assert_array_equal(
+        mh.decode_video(out.read_bytes(), CodecConfig(backend="native")),
+        np.concatenate([frames, frames]))
