@@ -1574,22 +1574,40 @@ def cmd_concat(args) -> int:
 
 
 def cmd_resegment(args) -> int:
-    """Re-cut a container's segment structure losslessly."""
+    """Re-cut a container's segment structure losslessly.
+
+    Non-MHVT inputs ride the constant-memory file-to-file walker (mmap
+    span copy, byte-identical output) so archives bigger than RAM — the
+    feature's whole point — re-cut too; MHVT uses the in-memory form
+    (its wrapper tables are header-resident and small).
+    """
     from .models import surgery
 
-    data = Path(args.input).read_bytes()
     if args.segment_frames < 1:
         raise SystemExit("--segment-frames must be >= 1")
     t0 = time.perf_counter()
+    with open(args.input, "rb") as f:
+        head = f.read(4)
     try:
-        out = surgery.resegment_video(data, args.segment_frames)
-    except ValueError as e:
+        if head == b"MHVT":
+            out = surgery.resegment_video(
+                Path(args.input).read_bytes(), args.segment_frames)
+            Path(args.output).write_bytes(out)
+            nbytes, crc_note = len(out), None
+        else:
+            info = surgery.resegment_video_streamed(
+                args.input, args.output, args.segment_frames)
+            nbytes, crc_note = info["bytes"], info["crc_recorded"]
+    except (ValueError, OSError) as e:
         raise SystemExit(str(e))
-    Path(args.output).write_bytes(out)
     print(f"{args.input}: resegmented at <= {args.segment_frames} "
-          f"frames/segment -> {args.output} ({len(out)} bytes, no "
+          f"frames/segment -> {args.output} ({nbytes} bytes, no "
           f"re-encode, {(time.perf_counter() - t0) * 1e3:.1f} ms)")
-    _surgery_crc_note(out, "resegment")
+    if crc_note is None:
+        _surgery_crc_note(out, "resegment")
+    elif not crc_note:
+        print("note: output records no whole-payload CRC (the input "
+              "lacked one) — `verify` cannot check it", file=sys.stderr)
     return 0
 
 

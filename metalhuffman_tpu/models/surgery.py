@@ -398,30 +398,40 @@ def _scan_concat_source(view) -> dict:
     """
     import struct
 
-    head = bytes(view[:4])
-    if head == frame_stream.SHARED_MAGIC:
-        t, h, w, nb, bd, mode = struct.unpack_from("<IIIIBB", view, 4)
-        (core_len,) = struct.unpack_from("<I", view, 22)
-        body = core_len + 4 * nb + (nb if mode in (2, 4) else 0)
-        # an MHTV payload becomes ONE MHV2 segment record: the 12-byte
-        # record header is synthesized, core/offsets/init copy verbatim
-        recs = [(t, [struct.pack("<III", t, nb, core_len), (26, body)])]
-        tail = 26 + body
-    elif head == frame_stream.SEGMENTED_MAGIC:
-        t, h, w, bd, mode, n_seg = struct.unpack_from("<IIIBBI", view, 4)
-        pos = 4 + 18
-        recs = []
-        for _ in range(n_seg):
-            ft, nb, core_len = struct.unpack_from("<III", view, pos)
-            rec_len = 12 + core_len + 4 * nb + (nb if mode in (2, 4) else 0)
-            recs.append((ft, [(pos, rec_len)]))
-            pos += rec_len
-        tail = pos
-    else:
-        raise ValueError("not a video container")
-    if tail + 4 > len(view):
-        raise ValueError("truncated container (source-CRC trailer missing)")
-    (crc,) = struct.unpack_from("<I", view, tail)
+    try:
+        head = bytes(view[:4])
+        if head == frame_stream.SHARED_MAGIC:
+            t, h, w, nb, bd, mode = struct.unpack_from("<IIIIBB", view, 4)
+            (core_len,) = struct.unpack_from("<I", view, 22)
+            body = core_len + 4 * nb + (nb if mode in (2, 4) else 0)
+            if 26 + body > len(view):
+                raise ValueError("truncated container (payload incomplete)")
+            # an MHTV payload becomes ONE MHV2 segment record: the 12-byte
+            # record header is synthesized, core/offsets/init copy verbatim
+            recs = [(t, [struct.pack("<III", t, nb, core_len), (26, body)])]
+            tail = 26 + body
+        elif head == frame_stream.SEGMENTED_MAGIC:
+            t, h, w, bd, mode, n_seg = struct.unpack_from("<IIIBBI", view, 4)
+            pos = 4 + 18
+            recs = []
+            for _ in range(n_seg):
+                ft, nb, core_len = struct.unpack_from("<III", view, pos)
+                rec_len = (12 + core_len + 4 * nb
+                           + (nb if mode in (2, 4) else 0))
+                if pos + rec_len > len(view):
+                    raise ValueError(
+                        "truncated container (segment record incomplete)")
+                recs.append((ft, [(pos, rec_len)]))
+                pos += rec_len
+            tail = pos
+        else:
+            raise ValueError("not a video container")
+    except struct.error:
+        raise ValueError("truncated container (header incomplete)")
+    # trailer detected by length, like source_crc32: containers written
+    # before the CRC trailer existed parse as unrecorded, not as errors
+    crc = (struct.unpack_from("<I", view, tail)[0]
+           if tail + 4 <= len(view) else 0)
     fcrcs = None
     if (tail + 12 <= len(view)
             and bytes(view[tail + 4 : tail + 8]) == frame_stream.FRAME_CRC_MAGIC):
@@ -453,11 +463,51 @@ def concat_videos_streamed(inputs, output) -> dict:
     Returns ``{"frames", "segments", "bytes"}`` for reporting.
     """
     import mmap
+    import os
     import struct
     from pathlib import Path
 
     if not inputs:
         raise ValueError("nothing to concatenate")
+    # the output is opened 'wb' while the inputs stay mmapped: writing
+    # onto an input would truncate a live copy SOURCE (data loss + a
+    # SIGBUS reading the vanished pages) — refuse up front
+    out_res = Path(output).resolve()
+    for p in inputs:
+        pp = Path(p)
+        if (pp.resolve() == out_res
+                or (pp.exists() and out_res.exists()
+                    and os.path.samefile(pp, out_res))):
+            raise ValueError(
+                f"output {output!s} is also an input — the streamed "
+                "splice would truncate its own source; write to a new "
+                "file (the in-memory concat_videos can splice in place)")
+    if len(inputs) == 1:
+        # match concat_videos([blob]) -> blob verbatim: scan for the
+        # report, then a chunked file copy — constant memory either way
+        import shutil
+
+        src = Path(inputs[0])
+        with open(src, "rb") as fin:
+            m = mmap.mmap(fin.fileno(), 0, access=mmap.ACCESS_READ)
+            v = memoryview(m)
+            try:
+                if bytes(v[:4]) == temporal_mod.TEMPORAL_MAGIC:
+                    raise ValueError(
+                        "concat_videos_streamed splices MHTV/MHV2/MHTC "
+                        "files; MHVT wrappers need the in-memory "
+                        "concat_videos")
+                s = _scan_concat_source(
+                    v[8:] if bytes(v[:4]) == color_mod.COLOR_MAGIC else v)
+                info = {"frames": s["t"], "segments": len(s["recs"]),
+                        "bytes": src.stat().st_size,
+                        "crc_recorded": bool(s["crc"])}
+            finally:
+                v.release()
+                m.close()
+        with open(src, "rb") as fin, open(Path(output), "wb") as fout:
+            shutil.copyfileobj(fin, fout, 8 << 20)
+        return info
     files = [open(Path(p), "rb") for p in inputs]
     try:
         maps = [mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
@@ -520,3 +570,137 @@ def concat_videos_streamed(inputs, output) -> dict:
     finally:
         for fobj in files:
             fobj.close()
+
+
+def resegment_video_streamed(input_path, output_path,
+                             frames_per_segment: int) -> dict:
+    """File-to-file :func:`resegment_video` at constant memory.
+
+    The archives resegmenting exists for — monolithic files bigger than
+    RAM — cannot go through the in-memory path (it materializes trimmed
+    copies of every segment). This walker re-cuts them mmap-to-file:
+    widths/code/init regions copy as byte spans (the final code byte of
+    each cut is masked exactly as :func:`_trim_stream` does), and each
+    output segment's offset table is rebased in bounded chunks. Output is
+    **byte-identical** to ``resegment_video(data, n)`` (gated by test).
+    Bare MHTV/MHV2 and MHTC; MHVT routes through the in-memory form (its
+    wrapper tables are header-resident and small anyway).
+
+    Returns ``{"frames", "segments", "bytes", "crc_recorded"}``.
+    """
+    import mmap
+    import os
+    import struct
+    from pathlib import Path
+
+    if frames_per_segment < 1:
+        raise ValueError("frames_per_segment must be >= 1")
+    src, dst = Path(input_path), Path(output_path)
+    if (src.resolve() == dst.resolve()
+            or (src.exists() and dst.exists()
+                and os.path.samefile(src, dst))):
+        raise ValueError(
+            "output path is also the input — the streamed re-cut would "
+            "truncate its own source; write to a new file")
+    per = int(frames_per_segment)
+    written = 0
+    with open(src, "rb") as fin, open(dst, "wb") as out:
+        m = mmap.mmap(fin.fileno(), 0, access=mmap.ACCESS_READ)
+        view = memoryview(m)
+        try:
+            def emit(b):
+                nonlocal written
+                out.write(b)
+                written += len(b)
+
+            def emit_span(buf, off, ln, mask_last=None):
+                step = 8 << 20
+                end = off + ln
+                last = end - (1 if mask_last is not None else 0)
+                for a in range(off, last, step):
+                    emit(buf[a : min(a + step, last)])
+                if mask_last is not None:
+                    emit(bytes([buf[end - 1] & mask_last]))
+
+            if bytes(view[:4]) == temporal_mod.TEMPORAL_MAGIC:
+                raise ValueError(
+                    "resegment_video_streamed re-cuts MHTV/MHV2/MHTC "
+                    "files; MHVT routes through resegment_video (its "
+                    "wrapper tables are header-resident)")
+            base = 0
+            if bytes(view[:4]) == color_mod.COLOR_MAGIC:
+                ch, layout, kind, _cs = struct.unpack_from("<BBBB", view, 4)
+                if layout != color_mod.LAYOUT_VIDEO:
+                    raise ValueError(
+                        "resegment_video needs a video container")
+                emit(bytes(view[:8]))
+                base = 8
+                per *= 2 if kind == color_mod.KIND_U16 else ch
+            sub = view[base:]
+            scan = _scan_concat_source(sub)
+            h, w, bd, mode = scan["h"], scan["w"], scan["bd"], scan["mode"]
+            bh, bw = blocks.block_grid(h, w, bd)
+            per_blk = bh * bw
+            # field offsets per input record (scan spans are whole records)
+            fields = []
+            for ft, parts in scan["recs"]:
+                if isinstance(parts[0], bytes):  # MHTV: synthesized header
+                    core_off, core_len = 26, struct.unpack("<III",
+                                                           parts[0])[2]
+                else:
+                    rec_off = parts[0][0]
+                    _ft, _nb, core_len = struct.unpack_from(
+                        "<III", sub, rec_off)
+                    core_off = rec_off + 12
+                offs_off = core_off + core_len
+                init_off = offs_off + 4 * ft * per_blk
+                fields.append((ft, core_off, core_len, offs_off, init_off))
+            n_out = sum(-(-ft // per) for ft, *_ in fields)
+            emit(frame_stream.SEGMENTED_MAGIC + struct.pack(
+                "<IIIBBI", scan["t"], h, w, bd, mode, n_out))
+            for ft, core_off, core_len, offs_off, init_off in fields:
+                nb = ft * per_blk
+                code_off = core_off + 264
+                total_bits = 8 * (core_len - 264
+                                  - bitstream.READ_AHEAD_PAD_BYTES)
+                for s in range(0, ft, per):
+                    take = min(per, ft - s)
+                    b0, b1 = s * per_blk, (s + take) * per_blk
+                    (start_bit,) = struct.unpack_from(
+                        "<I", sub, offs_off + 4 * b0)
+                    end_bit = (struct.unpack_from(
+                        "<I", sub, offs_off + 4 * b1)[0]
+                        if b1 < nb else total_bits)
+                    lo, hi = start_bit // 8, -(-end_bit // 8)
+                    core_out = (264 + (hi - lo)
+                                + bitstream.READ_AHEAD_PAD_BYTES)
+                    emit(struct.pack("<III", take, b1 - b0, core_out))
+                    emit(struct.pack("<II", container.MAGIC,
+                                     (b1 - b0) * bd * bd))
+                    emit_span(sub, core_off + 8, 256)  # canonical width table
+                    keep = end_bit % 8
+                    emit_span(sub, code_off + lo, hi - lo,
+                              mask_last=((0xFF00 >> keep) & 0xFF
+                                         if keep else None))
+                    emit(b"\x00" * bitstream.READ_AHEAD_PAD_BYTES)
+                    # offset table, rebased in bounded chunks
+                    step = 1 << 20
+                    for a in range(b0, b1, step):
+                        n = min(step, b1 - a)
+                        offs = np.frombuffer(
+                            sub, "<u4", count=n,
+                            offset=offs_off + 4 * a).astype(np.int64)
+                        emit((offs - 8 * lo).astype("<u4").tobytes())
+                    if mode in (2, 4):
+                        emit_span(sub, init_off + b0, b1 - b0)
+            emit(struct.pack("<I", scan["crc"] & 0xFFFFFFFF))
+            if scan["fcrcs"] is not None:
+                emit(frame_stream.FRAME_CRC_MAGIC
+                     + struct.pack("<I", scan["fcrcs"].shape[0])
+                     + scan["fcrcs"].astype("<u4").tobytes())
+            return {"frames": scan["t"], "segments": n_out,
+                    "bytes": written, "crc_recorded": bool(scan["crc"])}
+        finally:
+            sub = None
+            view.release()
+            m.close()
