@@ -1067,21 +1067,23 @@ def _streamed_sink(out: Path, total: int, h: int, w: int, channels: int,
     return npy, sink, save
 
 
-def _discard_streamed_output(out: Path, npy: bool,
-                             frames_written: int) -> None:
+def _discard_streamed_output(out: Path, npy: bool) -> None:
     """Best-effort removal of a failed streaming decode's partial output.
 
     The batch decode paths fail before producing any file; the streaming
     paths write as they go, so on a failed integrity check the partial
     (possibly corrupt) .npy / frame images must not be left looking like
-    a good decode.
+    a good decode. Image-directory output removes EVERY ``frame_*.png``
+    in the directory, not just this run's — the directory is created
+    with ``exist_ok=True``, so frames surviving from a previous longer
+    run would otherwise masquerade as a complete good decode.
     """
     try:
         if npy:
             out.unlink(missing_ok=True)
         else:
-            for i in range(frames_written):
-                (out / f"frame_{i:05d}.png").unlink(missing_ok=True)
+            for p in out.glob("frame_*.png"):
+                p.unlink(missing_ok=True)
     except OSError:
         pass  # the original failure still propagates
 
@@ -1167,7 +1169,6 @@ def _cmd_decode_video_streaming(args, data: bytes, cfg, check: bool,
               else frame_stream.iter_frames_segmented(segs, h, w, cfg))
     crc = 0
     base = 0  # whole frames written so far
-    written = 0  # incl. any partially-saved chunk (for failure cleanup)
     carry = np.zeros((0, h, w), np.uint8)  # partial-frame planes
     try:
         for chunk in chunks:
@@ -1186,7 +1187,6 @@ def _cmd_decode_video_streaming(args, data: bytes, cfg, check: bool,
                 sink[base : base + frames.shape[0]] = frames
             else:
                 for i, f in enumerate(frames):
-                    written = base + i + 1
                     save(f, out / f"frame_{base + i:05d}.png")
             base += frames.shape[0]
         if n_corrupt:
@@ -1200,9 +1200,8 @@ def _cmd_decode_video_streaming(args, data: bytes, cfg, check: bool,
                     "the stream is corrupt")
     except BaseException:
         # no partially-written/corrupt output left behind — the batch
-        # path fails before producing any file; match it (``written``
-        # covers a chunk that failed mid-save)
-        _discard_streamed_output(out, npy, max(base, written))
+        # path fails before producing any file; match it
+        _discard_streamed_output(out, npy)
         raise
     if npy:
         sink.flush()
@@ -1259,7 +1258,6 @@ def _cmd_decode_video_streaming_temporal(args, data: bytes, cfg, check: bool,
     out = Path(args.output)
     npy, sink, save = _streamed_sink(out, total, h, w, channels, kind)
     base = 0
-    written = 0  # incl. any partially-saved chunk (for failure cleanup)
     try:
         try:
             for start, chunk in temporal.iter_temporal_video(data, cfg):
@@ -1267,7 +1265,6 @@ def _cmd_decode_video_streaming_temporal(args, data: bytes, cfg, check: bool,
                     sink[start : start + chunk.shape[0]] = chunk
                 else:
                     for i, f in enumerate(chunk):
-                        written = start + i + 1
                         save(f, out / f"frame_{start + i:05d}.png")
                 base = start + chunk.shape[0]
         except ValueError as e:
@@ -1275,7 +1272,7 @@ def _cmd_decode_video_streaming_temporal(args, data: bytes, cfg, check: bool,
     except BaseException:
         # a failed CRC chain (or any mid-stream error) must not leave a
         # partial output that looks like a good decode
-        _discard_streamed_output(out, npy, max(base, written))
+        _discard_streamed_output(out, npy)
         raise
     if npy:
         sink.flush()

@@ -174,6 +174,11 @@ class StreamingEncoder:
         input array). Encoding happens here, synchronously, whenever the
         buffer reaches the segment capacity — so a steady push loop does
         steady work instead of one giant close().
+
+        Shape/dtype validation raises before any state changes (the
+        stream stays usable); an encode or write failure mid-segment
+        discards the stream like :meth:`abort` — the no-torn-container
+        contract holds even for callers outside the context manager.
         """
         if self._closed:
             raise ValueError("push() after close()")
@@ -186,17 +191,25 @@ class StreamingEncoder:
                 f"{arr.shape}")
         if arr.dtype != np.uint8:
             raise ValueError("frames must be uint8")
-        for f in arr:
-            fc = np.array(f, copy=True)  # one contiguous copy per frame
-            self._crc = zlib.crc32(fc, self._crc)
-            if self._want_fcrcs:
-                self._fcrcs.append(zlib.crc32(fc))
-            self._buf.append(fc)
-            self._buffered += 1
-            # drain at segment granularity INSIDE the intake loop so a
-            # large push never holds more than one segment buffered
-            if self._buffered >= self._per:
-                self._emit(self._per)
+        try:
+            for f in arr:
+                fc = np.array(f, copy=True)  # one contiguous copy per frame
+                self._crc = zlib.crc32(fc, self._crc)
+                if self._want_fcrcs:
+                    self._fcrcs.append(zlib.crc32(fc))
+                self._buf.append(fc)
+                self._buffered += 1
+                # drain at segment granularity INSIDE the intake loop so a
+                # large push never holds more than one segment buffered
+                if self._buffered >= self._per:
+                    self._emit(self._per)
+        except BaseException:
+            # an _emit failure leaves the sink mid-segment; truncate it
+            # (abort) so a non-context-manager caller never keeps a torn
+            # container on disk (validation above raised before any state
+            # change, so it does NOT land here)
+            self.abort()
+            raise
 
     # -- segment emission -----------------------------------------------------
 
@@ -436,7 +449,13 @@ class ColorStreamingEncoder:
             t = arr.shape[0]
             planes = self._color._apply_cs(arr, self._cs).transpose(
                 0, 3, 1, 2).reshape(t * self._c, self._h, self._w)
-        self._inner.push(np.ascontiguousarray(planes))
+        try:
+            self._inner.push(np.ascontiguousarray(planes))
+        except BaseException:
+            # the inner writer self-aborted (truncated to offset 8); also
+            # drop the 8-byte MHTC header so no torn container remains
+            self.abort()
+            raise
         self._frames += t
 
     def close(self) -> StreamStats:

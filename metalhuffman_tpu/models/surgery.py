@@ -509,10 +509,13 @@ def concat_videos_streamed(inputs, output) -> dict:
             shutil.copyfileobj(fin, fout, 8 << 20)
         return info
     files = [open(Path(p), "rb") for p in inputs]
+    maps: list = []
+    all_views: list = []  # every view ever taken, released before the maps
     try:
         maps = [mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
                 for f in files]
         views = [memoryview(m) for m in maps]
+        all_views += views
         magics = [bytes(v[:4]) for v in views]
         if any(m == temporal_mod.TEMPORAL_MAGIC for m in magics):
             raise ValueError(
@@ -529,6 +532,7 @@ def concat_videos_streamed(inputs, output) -> dict:
             if color_head[5] != color_mod.LAYOUT_VIDEO:
                 raise ValueError("concat needs video containers")
             views = [v[8:] for v in views]
+            all_views += views
         scans = [_scan_concat_source(v) for v in views]
         geom = {(s["h"], s["w"], s["bd"], s["mode"]) for s in scans}
         if len(geom) != 1:
@@ -568,6 +572,14 @@ def concat_videos_streamed(inputs, output) -> dict:
         return {"frames": total, "segments": n_seg, "bytes": written,
                 "crc_recorded": bool(crc)}
     finally:
+        # release views BEFORE closing the maps (an exported view keeps
+        # mmap.close() raising BufferError), and do it explicitly rather
+        # than leaning on refcount GC — a traceback holding these frames
+        # would otherwise pin large mappings alive
+        for v in reversed(all_views):
+            v.release()
+        for mp in maps:
+            mp.close()
         for fobj in files:
             fobj.close()
 

@@ -713,3 +713,90 @@ def test_streamed_file_serves_every_reader_surface(tmp_path):
     cfg = CodecConfig(backend="native")
     out, h, w = frame_stream.decode_range(data, 1, 4, cfg)
     np.testing.assert_array_equal(out, frames[1:4])
+
+
+def test_push_failure_truncates_sink(tmp_path, monkeypatch):
+    """A push() whose segment encode fails must not leave a torn container
+    even when the caller never uses the context manager (round-4 advice)."""
+    frames = _frames(4, 16, 16)
+    path = tmp_path / "torn.mhv2"
+    enc = StreamingEncoder(path, 16, 16, max_segment_frames=2)
+    enc.push(frames[:2])  # one full segment written cleanly
+    enc._fh.flush()
+    assert path.stat().st_size > 0
+
+    def boom(*_a, **_k):
+        raise RuntimeError("simulated encode failure")
+
+    monkeypatch.setattr(frame_stream, "encode_frames_shared", boom)
+    with pytest.raises(RuntimeError, match="simulated"):
+        enc.push(frames[2:])  # fills the second segment -> _emit fails
+    assert path.read_bytes() == b""  # aborted, truncated to the base
+    with pytest.raises(ValueError, match="close"):
+        enc.push(frames[:1])  # the stream is dead, not half-alive
+
+
+def test_push_validation_error_keeps_stream_usable(tmp_path):
+    """Shape/dtype rejection raises BEFORE any state change: the caller
+    can drop the bad frame and keep pushing (no abort, no truncation)."""
+    frames = _frames(3, 16, 16)
+    path = tmp_path / "ok.mhv2"
+    with StreamingEncoder(path, 16, 16, max_segment_frames=2) as enc:
+        enc.push(frames[:1])
+        with pytest.raises(ValueError, match="expected"):
+            enc.push(np.zeros((8, 8), np.uint8))  # wrong geometry
+        with pytest.raises(ValueError, match="uint8"):
+            enc.push(frames[1:2].astype(np.uint16))
+        enc.push(frames[1:])  # still alive
+    data = path.read_bytes()
+    cfg = CodecConfig(backend="native")
+    out, _h, _w = frame_stream.decode_range(data, 0, 3, cfg)
+    np.testing.assert_array_equal(out, frames)
+
+
+def test_color_push_failure_removes_mhtc_header(tmp_path, monkeypatch):
+    from metalhuffman_tpu.models.stream_writer import ColorStreamingEncoder
+
+    rng = np.random.default_rng(3)
+    frames = rng.integers(0, 256, (4, 16, 16, 3), dtype=np.uint8)
+    path = tmp_path / "torn.mhtc"
+    enc = ColorStreamingEncoder(path, 16, 16, channels=3,
+                                max_segment_frames=1)
+
+    def boom(*_a, **_k):
+        raise RuntimeError("simulated encode failure")
+
+    monkeypatch.setattr(frame_stream, "encode_frames_shared", boom)
+    with pytest.raises(RuntimeError, match="simulated"):
+        enc.push(frames)
+    assert path.read_bytes() == b""  # MHTC header gone too
+
+
+def test_failed_streaming_decode_removes_stale_frames(tmp_path):
+    """A failed streaming decode into an image directory must remove EVERY
+    frame_*.png there — stale frames from a previous (longer) run would
+    otherwise masquerade as a complete good decode (round-4 advice)."""
+    from metalhuffman_tpu import cli
+    from metalhuffman_tpu.utils import imageio
+
+    frames = _frames(6, 16, 16, seed=37)
+    src = tmp_path / "f.npy"
+    np.save(src, frames)
+    mhv2 = tmp_path / "s.mhv2"
+    assert cli.main(["encode-video", str(src), str(mhv2), "--streaming",
+                     "--segment-frames", "2"]) == 0
+    outdir = tmp_path / "pngs"
+    outdir.mkdir()
+    # stale survivors from an imagined previous, longer run
+    for i in (3, 9):
+        imageio.save_grayscale(frames[0], outdir / f"frame_{i:05d}.png")
+    data = bytearray(mhv2.read_bytes())
+    # corrupt the recorded CRC trailer: every frame decodes and is saved,
+    # then the streamed chained-CRC check fails — the worst case for
+    # leaving a convincing-looking partial output behind
+    data[-1] ^= 0x5A
+    mhv2.write_bytes(bytes(data))
+    with pytest.raises(SystemExit, match="CRC"):
+        cli.main(["decode-video", str(mhv2), str(outdir), "--streaming",
+                  "--backend", "native"])
+    assert list(outdir.glob("frame_*.png")) == []
