@@ -350,18 +350,22 @@ def _cmd_encode_video_streaming(args) -> int:
     treats a 1-segment MHV2 exactly like MHTV.
     """
     from .models import color as color_mod
-    from .models.stream_writer import ColorStreamingEncoder, StreamingEncoder
+    from .models.stream_writer import (ColorStreamingEncoder,
+                                       StreamingEncoder,
+                                       TemporalStreamingEncoder)
     from .utils import imageio
 
     for flag, what in [
         ("per_frame_tables", "--per-frame-tables"), ("best", "--best"),
         ("best_fast", "--best-fast"),
-        ("temporal", "--temporal"), ("motion", "--motion"),
     ]:
         if getattr(args, flag, False):
             raise SystemExit(
                 f"--streaming writes MHV2 segments incrementally; "
                 f"{what} needs the full sequence in memory — drop one")
+    if getattr(args, "motion", False) and not getattr(args, "temporal",
+                                                      False):
+        raise SystemExit("--motion requires --temporal")
     is_color = getattr(args, "color", False)
     is_u16 = getattr(args, "gray16", False)
     if is_color and is_u16:
@@ -373,6 +377,31 @@ def _cmd_encode_video_streaming(args) -> int:
     cfg = _config(args)
     t0 = time.perf_counter()
     p = Path(args.input)
+
+    def make(h, w, channels=None, u16=False, colorspace=None):
+        """The writer for this geometry/kind: MHVT (trailer layout) when
+        --temporal, else the bare MHV2/MHTC writer."""
+        if cfg.temporal:
+            return TemporalStreamingEncoder(
+                args.output, h, w, cfg, channels=channels, u16=u16,
+                colorspace=colorspace,
+                max_segment_frames=args.segment_frames,
+                frame_crcs=cfg.frame_crcs)
+        if u16:
+            return ColorStreamingEncoder(
+                args.output, h, w, u16=True, config=cfg,
+                max_segment_frames=args.segment_frames,
+                frame_crcs=cfg.frame_crcs)
+        if channels is not None:
+            return ColorStreamingEncoder(
+                args.output, h, w, channels=channels, config=cfg,
+                colorspace=colorspace,
+                max_segment_frames=args.segment_frames,
+                frame_crcs=cfg.frame_crcs)
+        return StreamingEncoder(
+            args.output, h, w, cfg,
+            max_segment_frames=args.segment_frames,
+            frame_crcs=cfg.frame_crcs)
 
     def drive(make_enc, chunks, first=None):
         with make_enc() as enc:
@@ -392,10 +421,7 @@ def _cmd_encode_video_streaming(args) -> int:
                 "--gray16 video input must be a (T, H, W) uint16 .npy stack")
         t, h, w = frames.shape
         stats = drive(
-            lambda: ColorStreamingEncoder(
-                args.output, h, w, u16=True, config=cfg,
-                max_segment_frames=args.segment_frames,
-                frame_crcs=cfg.frame_crcs),
+            lambda: make(h, w, u16=True),
             (np.ascontiguousarray(frames[a : a + 16])
              for a in range(0, t, 16)))
         kind, bpp = "MHTC[u16", 2
@@ -411,10 +437,7 @@ def _cmd_encode_video_streaming(args) -> int:
             first = imageio.load_color(files[0])
             h, w, ch = first.shape
             stats = drive(
-                lambda: ColorStreamingEncoder(
-                    args.output, h, w, channels=ch, config=cfg,
-                    colorspace=cs, max_segment_frames=args.segment_frames,
-                    frame_crcs=cfg.frame_crcs),
+                lambda: make(h, w, channels=ch, colorspace=cs),
                 (imageio.load_color(f) for f in files[1:]), first=first)
         else:
             frames = np.load(p, mmap_mode="r")
@@ -423,10 +446,7 @@ def _cmd_encode_video_streaming(args) -> int:
                     ".npy input must be a (T, H, W, C) uint8 array")
             t, h, w, ch = frames.shape
             stats = drive(
-                lambda: ColorStreamingEncoder(
-                    args.output, h, w, channels=ch, config=cfg,
-                    colorspace=cs, max_segment_frames=args.segment_frames,
-                    frame_crcs=cfg.frame_crcs),
+                lambda: make(h, w, channels=ch, colorspace=cs),
                 (np.ascontiguousarray(frames[a : a + 16])
                  for a in range(0, t, 16)))
         kind, bpp = f"MHTC[{ch}ch", ch
@@ -441,10 +461,7 @@ def _cmd_encode_video_streaming(args) -> int:
             first = imageio.load_grayscale(files[0])
             h, w = first.shape
             stats = drive(
-                lambda: StreamingEncoder(
-                    args.output, h, w, cfg,
-                    max_segment_frames=args.segment_frames,
-                    frame_crcs=cfg.frame_crcs),
+                lambda: make(h, w),
                 (imageio.load_grayscale(f) for f in files[1:]), first=first)
         else:
             frames = np.load(p, mmap_mode="r")
@@ -453,15 +470,15 @@ def _cmd_encode_video_streaming(args) -> int:
                     ".npy input must be a (T, H, W) uint8 array")
             t, h, w = frames.shape
             stats = drive(
-                lambda: StreamingEncoder(
-                    args.output, h, w, cfg,
-                    max_segment_frames=args.segment_frames,
-                    frame_crcs=cfg.frame_crcs),
+                lambda: make(h, w),
                 (np.ascontiguousarray(frames[a : a + 64])
                  for a in range(0, t, 64)))
         kind, bpp = "MHV2[plain", 1
     dt = time.perf_counter() - t0
     raw = stats.total_frames * h * w * bpp
+    if cfg.temporal:
+        mc = ", motion" if cfg.motion else ""
+        kind = f"MHVT[keyint {cfg.keyint}{mc}]/" + kind
     print(
         f"{args.input}: {stats.total_frames} frames {h}x{w} -> "
         f"{kind}, {stats.num_segments} segments, streamed] "
@@ -1608,6 +1625,36 @@ def cmd_resegment(args) -> int:
     return 0
 
 
+def _cmd_verify_streaming_temporal(args, data: bytes, cfg) -> int:
+    """verify --streaming on an MHVT wrapper: reconstruct in keyframe-
+    group-aligned chunks, verifying the FCRC table per chunk and the
+    outer temporal CRC streamed — peak memory is one chunk of true
+    frames, independent of video length."""
+    from .models import temporal
+
+    try:
+        desc = temporal.describe(data)
+        _inner, _keyint, tcrc, _mvs, fcrcs, _fl = temporal.unwrap(data)
+    except ValueError as e:
+        raise SystemExit(str(e))
+    total = 0
+    try:
+        for base, chunk in temporal.iter_temporal_video(data, cfg):
+            total = base + chunk.shape[0]
+    except ValueError as e:
+        raise SystemExit(str(e))
+    print(desc)
+    print(f"  {'decode':<15} ok ({total} frames, {args.backend}, "
+          "streamed reconstruction)")
+    print(f"  {'temporal CRC-32':<15} "
+          + ("ok (chained, streamed)" if tcrc else "absent"))
+    print(f"  {'frame CRC table':<15} "
+          + (f"ok ({fcrcs.shape[0]} frames, per chunk)"
+             if fcrcs is not None else "absent"))
+    print("PASS")
+    return 0
+
+
 def _cmd_verify_streaming(args, data: bytes, cfg) -> int:
     """verify --streaming: the full integrity chain at constant memory.
 
@@ -1616,20 +1663,18 @@ def _cmd_verify_streaming(args, data: bytes, cfg) -> int:
     recorded source CRC (chained chunk CRCs), the per-frame FCRC table
     (verified chunk by chunk) — without ever holding more than one
     decoded segment. The way to verify an archive bigger than RAM.
-    MHVT is refused: its inner-residual + outer-fold chain needs the
-    batch verify (or use ``decode-video --streaming``, which verifies
-    the outer CRC and FCRC table as it serves).
+    An MHVT wrapper verifies through ``iter_temporal_video``: each
+    keyframe-group-aligned chunk reconstructs (at most one chunk of
+    true frames in memory), any FCRC table checks chunk by chunk, and
+    the outer temporal CRC verifies streamed (chained chunk CRCs) —
+    the outer CRC covers every inner bit, so nothing escapes.
     """
     import dataclasses
 
     from .models import color, frame_stream, temporal
 
     if data[:4] == temporal.TEMPORAL_MAGIC:
-        raise SystemExit(
-            "verify --streaming covers segmented MHV2 (bare or MHTC); an "
-            "MHVT needs the batch verify for its inner residual checks — "
-            "or decode-video --streaming, which verifies the outer CRC "
-            "and any frame-CRC table as it serves")
+        return _cmd_verify_streaming_temporal(args, data, cfg)
     wrapper = ""
     inner = data
     if data[:4] == color.COLOR_MAGIC:

@@ -72,11 +72,10 @@ class StreamingEncoder:
     height, width:
         Frame geometry; every pushed frame must match.
     config:
-        Codec configuration. ``temporal`` is refused — the MHVT wrapper
-        needs the per-frame motion-vector table and the inner length in
-        its *header*, so it cannot be laid down before the last frame is
-        seen; re-wrap a finished file with the batch temporal encoder, or
-        re-key with ``mht extract``, when inter prediction is wanted.
+        Codec configuration. ``temporal`` is refused here — this class
+        writes the bare residual/plain MHV2 stream; inter prediction
+        streams through :class:`TemporalStreamingEncoder`, which wraps
+        one of these in the MHVT trailer layout.
     max_segment_bits:
         Per-segment compressed-size budget (u32 block-offset cap), as in
         :func:`frame_stream.encode_frames_segmented`.
@@ -113,9 +112,8 @@ class StreamingEncoder:
         cfg = config or CodecConfig()
         if cfg.temporal:
             raise ValueError(
-                "StreamingEncoder writes plain MHV2; temporal (MHVT) needs "
-                "the full sequence in its header — use "
-                "temporal.encode_temporal_video on the finished stack")
+                "StreamingEncoder writes the bare MHV2 stream; temporal "
+                "(MHVT) streams through TemporalStreamingEncoder")
         if (cfg.zero_init or cfg.delta2d) and not cfg.delta:
             raise ValueError("zero_init/delta2d require delta precoding")
         if height <= 0 or width <= 0:
@@ -499,6 +497,265 @@ class ColorStreamingEncoder:
                 self._fh.close()
 
     def __enter__(self) -> "ColorStreamingEncoder":
+        return self
+
+    def __exit__(self, exc_type, exc, tb) -> None:
+        if exc_type is None:
+            self.close()
+        else:
+            self.abort()
+
+
+class TemporalStreamingEncoder:
+    """Streaming MHVT writer: push TRUE frames, stream inter-predicted video.
+
+    Round 4 left the two flagship capabilities mutually exclusive: the
+    batch temporal encoder (``temporal.encode_temporal_video``) needs the
+    whole stack because the classic MHVT layout carries the motion-vector
+    table and the inner length in its *header*, while the streaming
+    writers refused ``temporal`` outright. The trailer layout
+    (``temporal.FLAG_TRAILER``) removes the conflict: the header is laid
+    down knowing only ``keyint`` and which tables WILL exist (flags), the
+    motion/frame-CRC tables and source CRC follow the inner as a trailer,
+    and the single back-patched field is the u64 inner length — so this
+    writer holds exactly ONE previous true frame plus the inner writer's
+    one-segment buffer, independent of stream length.
+
+    Residual computation is inherently streamable: keyframes (every
+    ``config.keyint`` frames) are literal, every other frame is the
+    wrapping difference from its TRUE predecessor — optionally circularly
+    shifted by a per-frame global motion vector estimated on push
+    (``config.motion``). The residuals, vectors, and CRCs are exactly the
+    batch encoder's (same ``estimate_motion``, same mod-2^8/2^16
+    arithmetic), so the streamed file is **byte-identical** to
+    ``temporal.wrap(batch_inner, ..., trailer=True)`` of the same content
+    at the same segmentation (gated by test), and every existing decode
+    surface — ``decode_temporal_video``, ``--frame``/``--frames`` random
+    access, ``iter_temporal_video`` / ``decode-video --streaming``,
+    ``verify``, surgery — reads it through the layout-agnostic
+    ``temporal.unwrap``.
+
+    Inner kinds mirror the batch wrappers: grayscale (default) streams an
+    MHV2; ``channels=C`` streams color planes through an MHTC wrapper
+    (optional ``colorspace=color.CS_SUBGREEN``); ``u16=True`` streams
+    16-bit grayscale (residuals mod 65536 on the u16 values, THEN split
+    to hi/lo planes — a small depth change never rolls the hi plane).
+
+    The reference encodes once, in memory, and never writes a file
+    (``AAPLRenderer.m:374-688``); this closes the capture loop it only
+    hints at.
+    """
+
+    def __init__(
+        self,
+        sink,
+        height: int,
+        width: int,
+        config: CodecConfig | None = None,
+        channels: int | None = None,
+        u16: bool = False,
+        colorspace: int | None = None,
+        max_segment_bits: int = (1 << 32) - 1024,
+        max_segment_frames: int | None = None,
+        frame_crcs: bool = False,
+    ) -> None:
+        from . import color as color_mod
+        from . import temporal
+
+        cfg = config or CodecConfig()
+        if cfg.keyint < 1:
+            raise ValueError("keyint must be >= 1")
+        self._temporal = temporal
+        self._keyint = int(cfg.keyint)
+        self._motion = bool(cfg.motion)
+        self._want_fcrcs = bool(frame_crcs)
+        self._h, self._w = int(height), int(width)
+        self._u16 = bool(u16)
+        self._c = None if channels is None else int(channels)
+        if self._u16 and self._c not in (None, 2):
+            raise ValueError("u16 streams always carry 2 (hi/lo) planes")
+
+        if isinstance(sink, (str, Path)):
+            self._fh: io.IOBase = open(sink, "wb")
+            self._owns_fh = True
+        else:
+            self._fh = sink
+            self._owns_fh = False
+        if not (self._fh.seekable() and self._fh.writable()):
+            if self._owns_fh:
+                self._fh.close()
+            raise ValueError(
+                "sink must be a seekable writable binary file (the u64 "
+                "inner length and the inner MHV2 header are patched on "
+                "close)")
+        self._base = self._fh.tell()
+        flags = temporal.FLAG_TRAILER
+        if self._motion:
+            flags |= temporal.FLAG_MOTION
+        if self._want_fcrcs:
+            flags |= temporal.FLAG_FRAME_CRCS
+        inner_cfg = temporal._inner_config(cfg)
+        try:
+            self._fh.write(temporal.TEMPORAL_MAGIC + struct.pack(
+                temporal._HEADER, self._keyint, flags, 0))
+            self._fh.write(struct.pack("<Q", 0))  # u64, patched on close
+            if self._u16:
+                self._inner = ColorStreamingEncoder(
+                    self._fh, height, width, u16=True, config=inner_cfg,
+                    max_segment_bits=max_segment_bits,
+                    max_segment_frames=max_segment_frames)
+            elif self._c is not None:
+                self._inner = ColorStreamingEncoder(
+                    self._fh, height, width, channels=self._c,
+                    config=inner_cfg, colorspace=colorspace,
+                    max_segment_bits=max_segment_bits,
+                    max_segment_frames=max_segment_frames)
+            else:
+                self._inner = StreamingEncoder(
+                    self._fh, height, width, inner_cfg,
+                    max_segment_bits=max_segment_bits,
+                    max_segment_frames=max_segment_frames)
+        except BaseException:
+            try:
+                self._fh.seek(self._base)
+                self._fh.truncate(self._base)
+            finally:
+                if self._owns_fh:
+                    self._fh.close()
+            raise
+        self._prev: np.ndarray | None = None
+        self._t = 0
+        self._mvs: list[tuple[int, int]] = []
+        self._fcrcs: list[int] = []
+        self._crc = 0
+        self.stats: StreamStats | None = None
+
+    # -- frame intake ---------------------------------------------------------
+
+    def _validate(self, frames: np.ndarray) -> np.ndarray:
+        arr = np.asarray(frames)
+        if self._u16:
+            if arr.ndim == 2:
+                arr = arr[None]
+            if arr.ndim != 3 or arr.shape[1:] != (self._h, self._w):
+                raise ValueError(
+                    f"expected (T, {self._h}, {self._w}) u16 frames, got "
+                    f"{arr.shape}")
+            if arr.dtype != np.uint16:
+                raise ValueError("u16 frames must be uint16")
+        elif self._c is not None:
+            if arr.ndim == 3:
+                arr = arr[None]
+            if (arr.ndim != 4
+                    or arr.shape[1:] != (self._h, self._w, self._c)):
+                raise ValueError(
+                    f"expected (T, {self._h}, {self._w}, {self._c}) "
+                    f"frames, got {arr.shape}")
+            if arr.dtype != np.uint8:
+                raise ValueError("color frames must be uint8")
+        else:
+            if arr.ndim == 2:
+                arr = arr[None]
+            if arr.ndim != 3 or arr.shape[1:] != (self._h, self._w):
+                raise ValueError(
+                    f"expected (T, {self._h}, {self._w}) frames, got "
+                    f"{arr.shape}")
+            if arr.dtype != np.uint8:
+                raise ValueError("frames must be uint8")
+        return arr
+
+    def push(self, frames: np.ndarray) -> None:
+        """Buffer TRUE frame(s); residuals stream into the inner writer.
+
+        Exactly one previous true frame is held between calls. Validation
+        raises before any state change; an inner encode/write failure
+        aborts the stream (no torn container), as with the plain writers.
+        """
+        if self.stats is not None or self._fh.closed:
+            raise ValueError("push() after close()")
+        arr = self._validate(frames)
+        for f in arr:
+            fc = np.ascontiguousarray(f)
+            self._crc = zlib.crc32(fc, self._crc)
+            if self._want_fcrcs:
+                self._fcrcs.append(zlib.crc32(fc))
+            i = self._t
+            mv = (0, 0)
+            if i % self._keyint == 0:
+                res = fc
+            elif self._motion:
+                mv = self._temporal.estimate_motion(self._prev, fc)
+                pred = (np.roll(self._prev, mv, axis=(0, 1))
+                        if mv != (0, 0) else self._prev)
+                res = fc - pred  # unsigned wraparound IS the residual
+            else:
+                res = fc - self._prev
+            if self._motion:
+                self._mvs.append(mv)
+            try:
+                self._inner.push(res)
+            except BaseException:
+                self.abort()
+                raise
+            self._prev = np.array(fc, copy=True)
+            self._t += 1
+
+    # -- finalization ---------------------------------------------------------
+
+    def close(self) -> StreamStats:
+        """Finalize: close the inner stream, append the trailer tables +
+        source CRC, patch the u64 inner length. A failed close truncates
+        the sink back to the start (no torn container)."""
+        if self.stats is not None:
+            return self.stats
+        if self._fh.closed:
+            raise ValueError(
+                "close() after a failed close()/abort() — the sink was "
+                "truncated, there is no container to finalize")
+        try:
+            try:
+                inner = self._inner.close()  # patches the inner header(s)
+                if self._motion:
+                    mv = np.asarray(self._mvs, np.int16).reshape(-1, 2)
+                    self._fh.write(struct.pack("<I", mv.shape[0])
+                                   + mv.astype("<i2").tobytes())
+                if self._want_fcrcs:
+                    fc = np.asarray(self._fcrcs, np.uint32)
+                    self._fh.write(struct.pack("<I", fc.shape[0])
+                                   + fc.astype("<u4").tobytes())
+                self._fh.write(struct.pack("<I", self._crc & 0xFFFFFFFF))
+                end = self._fh.tell()
+                # the ONE back-patched field: u64 inner length at base+12
+                self._fh.seek(self._base + 12)
+                self._fh.write(struct.pack("<Q", inner.bytes_written))
+                self._fh.seek(end)
+            except BaseException:
+                if not self._fh.closed:
+                    self._fh.seek(self._base)
+                    self._fh.truncate(self._base)
+                raise
+            self.stats = StreamStats(
+                total_frames=self._t, num_segments=inner.num_segments,
+                bytes_written=end - self._base,
+                source_crc32=self._crc & 0xFFFFFFFF)
+            return self.stats
+        finally:
+            if self._owns_fh and not self._fh.closed:
+                self._fh.close()
+
+    def abort(self) -> None:
+        """Discard everything written and close the sink without finalizing."""
+        if self._fh.closed:
+            return
+        try:
+            self._inner.abort()
+            self._fh.seek(self._base)
+            self._fh.truncate(self._base)
+        finally:
+            if self._owns_fh:
+                self._fh.close()
+
+    def __enter__(self) -> "TemporalStreamingEncoder":
         return self
 
     def __exit__(self, exc_type, exc, tb) -> None:

@@ -27,6 +27,14 @@ checks. On disk::
            | inner video container (MHTV / MHV2 / MHTC video)
            | u32 source_crc32 of the TRUE frames (0 = unrecorded)
 
+With flags bit 4 (STREAMING/trailer layout, written by
+:class:`~.stream_writer.TemporalStreamingEncoder`) the u64 inner length
+always follows the header (u32 field reads 0; INNER64 must not combine)
+and the motion/frame-CRC tables move AFTER the inner, before the source
+CRC — so the header can be laid down before the stream's length, vectors,
+or CRCs exist and only the u64 is back-patched. Both layouts parse
+through :func:`unwrap`.
+
 Flags bit 0 marks global motion compensation (circular-shift predictors,
 see below); bit 1 marks a per-frame CRC table that lets RANDOM ACCESS
 (``decode_temporal_frame`` / ``decode_temporal_range``) verify exactly the
@@ -79,7 +87,16 @@ FLAG_INNER64 = 4
 #: written by arbitrary-start ``surgery.extract_video``, whose re-keyed
 #: first group is shorter than keyint while later groups splice losslessly
 FLAG_FIRST_LEN = 8
-_KNOWN_FLAGS = FLAG_MOTION | FLAG_FRAME_CRCS | FLAG_INNER64 | FLAG_FIRST_LEN
+#: header flag: STREAMING (trailer) layout — a u64 inner length follows
+#: the header (the u32 field reads 0, patched by the streaming writer on
+#: close) and the motion / frame-CRC tables sit AFTER the inner, before
+#: the source CRC. This is what lets ``TemporalStreamingEncoder`` lay the
+#: header down before the stream's length, vectors, or CRCs exist: the
+#: only field it back-patches is the u64. Mutually exclusive with
+#: FLAG_INNER64 (the trailer layout always carries the u64).
+FLAG_TRAILER = 16
+_KNOWN_FLAGS = (FLAG_MOTION | FLAG_FRAME_CRCS | FLAG_INNER64
+                | FLAG_FIRST_LEN | FLAG_TRAILER)
 
 
 def _group_start(i: int, keyint: int, first_len: int) -> int:
@@ -494,7 +511,8 @@ def _jitted(name: str, fn, static=("keyint", "first_len")):
 def wrap(inner: bytes, keyint: int, source_crc32: int = 0,
          mvs: np.ndarray | None = None,
          frame_crcs: np.ndarray | None = None,
-         first_len: int | None = None) -> bytes:
+         first_len: int | None = None,
+         trailer: bool = False) -> bytes:
     """Wrap an inner video container blob in the MHVT header + CRC trailer.
 
     With ``mvs`` (a (T, 2) int16 array of per-frame global motion vectors)
@@ -510,13 +528,24 @@ def wrap(inner: bytes, keyint: int, source_crc32: int = 0,
     arbitrary-start extraction, which re-keys only the first group and
     splices the rest losslessly; ``first_len`` of ``None``/``keyint``
     writes the plain layout.
+
+    ``trailer=True`` writes the STREAMING layout (flags bit 4): the inner
+    length is always the u64 after the header and the motion/frame-CRC
+    tables move AFTER the inner — the byte layout
+    :class:`~.stream_writer.TemporalStreamingEncoder` produces
+    incrementally, so the streamed file and this batch wrap of the same
+    content are byte-identical (gated by test). Both layouts parse
+    through :func:`unwrap` transparently.
     """
     if not 1 <= keyint <= 0xFFFF:
         raise ValueError("keyint must be in 1..65535")
-    flags = 0
+    flags = FLAG_TRAILER if trailer else 0
     extra = b""
     inner_len32 = len(inner)
-    if len(inner) > 0xFFFFFFFF:
+    if trailer:
+        inner_len32 = 0
+        extra += struct.pack("<Q", len(inner))
+    elif len(inner) > 0xFFFFFFFF:
         flags |= FLAG_INNER64
         inner_len32 = 0
         extra += struct.pack("<Q", len(inner))
@@ -535,45 +564,18 @@ def wrap(inner: bytes, keyint: int, source_crc32: int = 0,
         fc = np.asarray(frame_crcs, np.uint32).reshape(-1)
         flags |= FLAG_FRAME_CRCS
         fc_blob = struct.pack("<I", fc.shape[0]) + fc.astype("<u4").tobytes()
-    return (TEMPORAL_MAGIC + struct.pack(_HEADER, keyint, flags, inner_len32)
-            + extra + mv_blob + fc_blob + inner
-            + struct.pack("<I", source_crc32 & 0xFFFFFFFF))
+    tables = mv_blob + fc_blob
+    head = TEMPORAL_MAGIC + struct.pack(_HEADER, keyint, flags, inner_len32)
+    body = (head + extra + inner + tables if trailer
+            else head + extra + tables + inner)
+    return body + struct.pack("<I", source_crc32 & 0xFFFFFFFF)
 
 
-def unwrap(blob: bytes):
-    """MHVT blob -> (inner, keyint, source_crc32, mvs_or_None,
-    frame_crcs_or_None, first_len).
+def _parse_tables(blob: bytes, pos: int, flags: int):
+    """Parse the motion / frame-CRC tables at ``pos`` -> (mvs, fcrcs, pos).
 
-    ``first_len`` is the length of the first keyframe group — ``keyint``
-    unless the container records a short one (flags bit 3).
-    """
-    if blob[:4] != TEMPORAL_MAGIC:
-        raise ValueError("not an MHVT container")
-    if len(blob) < _HEADER_SIZE:
-        raise ValueError("truncated MHVT container (header incomplete)")
-    keyint, flags, inner_len = struct.unpack_from(_HEADER, blob, 4)
-    if keyint < 1:
-        raise ValueError("corrupt MHVT container (keyint 0)")
-    if flags & ~_KNOWN_FLAGS:
-        raise ValueError(
-            f"unsupported MHVT container (unknown flags 0x{flags:04x} — "
-            "written by a newer format revision?)")
-    pos = _HEADER_SIZE
-    if flags & FLAG_INNER64:
-        if len(blob) < pos + 8:
-            raise ValueError("truncated MHVT container (u64 inner length)")
-        (inner_len,) = struct.unpack_from("<Q", blob, pos)
-        pos += 8
-    first_len = keyint
-    if flags & FLAG_FIRST_LEN:
-        if len(blob) < pos + 2:
-            raise ValueError("truncated MHVT container (first_len field)")
-        (first_len,) = struct.unpack_from("<H", blob, pos)
-        pos += 2
-        if not 1 <= first_len <= keyint:
-            raise ValueError(
-                "corrupt MHVT container (first keyframe group length "
-                f"{first_len} outside 1..keyint={keyint})")
+    The SAME two tables appear before the inner (header layout) or after
+    it (trailer layout, flags bit 4) — one parser serves both."""
     mvs = None
     if flags & FLAG_MOTION:
         if len(blob) < pos + 4:
@@ -595,6 +597,63 @@ def unwrap(blob: bytes):
             raise ValueError("truncated MHVT container (frame CRC table)")
         fcrcs = np.frombuffer(blob, dtype="<u4", count=t, offset=pos).copy()
         pos += 4 * t
+    return mvs, fcrcs, pos
+
+
+def unwrap(blob: bytes):
+    """MHVT blob -> (inner, keyint, source_crc32, mvs_or_None,
+    frame_crcs_or_None, first_len).
+
+    ``first_len`` is the length of the first keyframe group — ``keyint``
+    unless the container records a short one (flags bit 3). Both the
+    header-table layout and the streaming trailer layout (flags bit 4)
+    parse here; every decode surface is layout-agnostic past this point.
+    """
+    if blob[:4] != TEMPORAL_MAGIC:
+        raise ValueError("not an MHVT container")
+    if len(blob) < _HEADER_SIZE:
+        raise ValueError("truncated MHVT container (header incomplete)")
+    keyint, flags, inner_len = struct.unpack_from(_HEADER, blob, 4)
+    if keyint < 1:
+        raise ValueError("corrupt MHVT container (keyint 0)")
+    if flags & ~_KNOWN_FLAGS:
+        raise ValueError(
+            f"unsupported MHVT container (unknown flags 0x{flags:04x} — "
+            "written by a newer format revision?)")
+    trailer = bool(flags & FLAG_TRAILER)
+    if trailer and flags & FLAG_INNER64:
+        raise ValueError(
+            "corrupt MHVT container (trailer layout carries its own u64 "
+            "inner length; INNER64 must not combine with it)")
+    pos = _HEADER_SIZE
+    if trailer or flags & FLAG_INNER64:
+        if len(blob) < pos + 8:
+            raise ValueError("truncated MHVT container (u64 inner length)")
+        (inner_len,) = struct.unpack_from("<Q", blob, pos)
+        pos += 8
+    first_len = keyint
+    if flags & FLAG_FIRST_LEN:
+        if len(blob) < pos + 2:
+            raise ValueError("truncated MHVT container (first_len field)")
+        (first_len,) = struct.unpack_from("<H", blob, pos)
+        pos += 2
+        if not 1 <= first_len <= keyint:
+            raise ValueError(
+                "corrupt MHVT container (first keyframe group length "
+                f"{first_len} outside 1..keyint={keyint})")
+    if trailer:
+        end = pos + inner_len
+        if len(blob) < end:
+            raise ValueError(
+                "truncated MHVT container (inner/trailer missing)")
+        inner = blob[pos:end]
+        mvs, fcrcs, tpos = _parse_tables(blob, end, flags)
+        if len(blob) < tpos + 4:
+            raise ValueError(
+                "truncated MHVT container (inner/trailer missing)")
+        (crc,) = struct.unpack_from("<I", blob, tpos)
+        return inner, keyint, crc, mvs, fcrcs, first_len
+    mvs, fcrcs, pos = _parse_tables(blob, pos, flags)
     end = pos + inner_len
     if len(blob) < end + 4:
         raise ValueError("truncated MHVT container (inner/trailer missing)")
@@ -1295,6 +1354,7 @@ def decode_temporal_video_region(blob: bytes, a: int, b: int, y0: int,
 def describe(blob: bytes) -> str:
     """One-line human description of the MHVT wrapper (for CLI ``info``)."""
     _, keyint, crc, mvs, fcrcs, first_len = unwrap(blob)
+    flags = struct.unpack_from(_HEADER, blob, 4)[1]
     motion = ""
     if mvs is not None:
         moving = int((mvs != 0).any(axis=1).sum())
@@ -1302,5 +1362,6 @@ def describe(blob: bytes) -> str:
     fc = f", per-frame CRCs ({fcrcs.shape[0]})" if fcrcs is not None else ""
     fl = (f", short first group ({first_len})"
           if first_len != keyint else "")
+    layout = ", streamed (trailer) layout" if flags & FLAG_TRAILER else ""
     return (f"MHVT: temporal prediction, keyframe every {keyint}{fl}"
-            f"{motion}{fc}, crc32={'recorded' if crc else 'absent'}")
+            f"{motion}{fc}{layout}, crc32={'recorded' if crc else 'absent'}")

@@ -310,11 +310,14 @@ def test_cli_streaming_refuses_whole_sequence_flags(tmp_path):
     src = tmp_path / "f.npy"
     np.save(src, _frames(2, 16, 16))
     out = tmp_path / "x.mhv2"
-    for extra in (["--temporal"], ["--best"], ["--best-fast"],
-                  ["--per-frame-tables"]):
+    for extra in (["--best"], ["--best-fast"], ["--per-frame-tables"]):
         with pytest.raises(SystemExit, match="streaming"):
             cli.main(["encode-video", str(src), str(out),
                       "--streaming", *extra])
+    # --motion still implies --temporal, streaming or not
+    with pytest.raises(SystemExit, match="temporal"):
+        cli.main(["encode-video", str(src), str(out),
+                  "--streaming", "--motion"])
     with pytest.raises(SystemExit, match="streaming"):
         cli.main(["encode-video", str(src), str(out),
                   "--segment-frames", "2"])
@@ -689,7 +692,7 @@ def test_cli_verify_streaming(tmp_path):
         cli.main(["verify", str(bad2), "--streaming",
                   "--backend", "native"])
 
-    # MHVT is refused with guidance; MHTV needs resegmenting first
+    # MHTV needs resegmenting first (MHVT verifies streamed since round 5)
     mhtv = tmp_path / "x.mhtv"
     assert cli.main(["encode-video", str(src), str(mhtv)]) == 0
     with pytest.raises(SystemExit, match="resegment"):

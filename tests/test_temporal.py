@@ -719,7 +719,8 @@ def test_wrap_unknown_flags_and_new_field_truncation():
     got = temporal.unwrap(blob)
     assert got[0] == inner and got[5] == 4  # first_len defaults to keyint
     # unknown flag bits must refuse (field layout would be unknowable)
-    bad = blob[:6] + struct.pack("<H", 0x10) + blob[8:]
+    # (0x10 became FLAG_TRAILER in round 5 — the next free bit is 0x20)
+    bad = blob[:6] + struct.pack("<H", 0x20) + blob[8:]
     with pytest.raises(ValueError, match="unknown flags"):
         temporal.unwrap(bad)
     # first_len out of range / truncated
