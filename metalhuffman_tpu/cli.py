@@ -351,25 +351,37 @@ def _cmd_encode_video_streaming(args) -> int:
     """
     from .models import color as color_mod
     from .models.stream_writer import (ColorStreamingEncoder,
+                                       MHTSStreamingEncoder,
                                        StreamingEncoder,
                                        TemporalStreamingEncoder)
     from .utils import imageio
 
-    for flag, what in [
-        ("per_frame_tables", "--per-frame-tables"), ("best", "--best"),
-        ("best_fast", "--best-fast"),
-    ]:
+    for flag, what in [("best", "--best"), ("best_fast", "--best-fast")]:
         if getattr(args, flag, False):
             raise SystemExit(
-                f"--streaming writes MHV2 segments incrementally; "
+                f"--streaming writes containers incrementally; "
                 f"{what} needs the full sequence in memory — drop one")
     if getattr(args, "motion", False) and not getattr(args, "temporal",
                                                       False):
         raise SystemExit("--motion requires --temporal")
     is_color = getattr(args, "color", False)
     is_u16 = getattr(args, "gray16", False)
+    mhts = getattr(args, "per_frame_tables", False)
     if is_color and is_u16:
         raise SystemExit("--gray16 and --color are mutually exclusive")
+    if mhts:
+        if getattr(args, "temporal", False):
+            raise SystemExit(
+                "--temporal writes a shared-table MHVT container; drop "
+                "--per-frame-tables")
+        if is_color or is_u16:
+            raise SystemExit(
+                "--per-frame-tables applies to grayscale MHTS output only "
+                "(MHTC planes share one canonical table)")
+        if args.segment_frames is not None:
+            raise SystemExit(
+                "MHTS has no segments (every frame is self-contained); "
+                "drop --segment-frames")
     if args.segment_frames is not None and args.segment_frames < 1:
         raise SystemExit("--segment-frames must be >= 1")
     if getattr(args, "subgreen", False) and not is_color:
@@ -379,8 +391,11 @@ def _cmd_encode_video_streaming(args) -> int:
     p = Path(args.input)
 
     def make(h, w, channels=None, u16=False, colorspace=None):
-        """The writer for this geometry/kind: MHVT (trailer layout) when
-        --temporal, else the bare MHV2/MHTC writer."""
+        """The writer for this geometry/kind: MHTS when --per-frame-tables,
+        MHVT (trailer layout) when --temporal, else the bare MHV2/MHTC
+        writer."""
+        if mhts:
+            return MHTSStreamingEncoder(args.output, h, w, cfg)
         if cfg.temporal:
             return TemporalStreamingEncoder(
                 args.output, h, w, cfg, channels=channels, u16=u16,
@@ -473,7 +488,7 @@ def _cmd_encode_video_streaming(args) -> int:
                 lambda: make(h, w),
                 (np.ascontiguousarray(frames[a : a + 64])
                  for a in range(0, t, 64)))
-        kind, bpp = "MHV2[plain", 1
+        kind, bpp = ("MHTS[per-frame" if mhts else "MHV2[plain"), 1
     dt = time.perf_counter() - t0
     raw = stats.total_frames * h * w * bpp
     if cfg.temporal:
@@ -1133,6 +1148,9 @@ def _cmd_decode_video_streaming(args, data: bytes, cfg, check: bool,
     if data[:4] == _temporal_magic():
         return _cmd_decode_video_streaming_temporal(args, data, cfg, check,
                                                     salvage)
+    if data[:4] == frame_stream.STREAM_MAGIC:
+        return _cmd_decode_video_streaming_mhts(args, data, cfg, check,
+                                                salvage)
     kind, cs, channels = color_mod.KIND_U8, color_mod.CS_IDENTITY, 0
     inner = data
     if data[:4] == color_mod.COLOR_MAGIC:
@@ -1143,8 +1161,9 @@ def _cmd_decode_video_streaming(args, data: bytes, cfg, check: bool,
                                   else channels)
     if inner[:4] != frame_stream.SEGMENTED_MAGIC:
         raise SystemExit(
-            "--streaming decode needs a segmented MHV2 (inner) container "
-            "(other containers decode in one piece; drop --streaming)")
+            "--streaming decode needs a segmented MHV2 (inner) or MHTS "
+            "container (a one-piece MHTV decodes whole — drop --streaming, "
+            "or `resegment` the archive first)")
     segs, n_planes, h, w, bd, delta = frame_stream.read_segmented(inner)
     if n_planes % ppf:
         raise SystemExit(
@@ -1228,6 +1247,85 @@ def _cmd_decode_video_streaming(args, data: bytes, cfg, check: bool,
     dt = time.perf_counter() - t0
     print(f"{args.input}: decoded {base}{what} frames {h}x{w} (streamed, "
           f"{len(segs)} segments) in {dt:.2f} s -> {args.output}")
+    return 0
+
+
+def _cmd_decode_video_streaming_mhts(args, data: bytes, cfg, check: bool,
+                                     salvage: bool) -> int:
+    """decode-video --streaming on an MHTS (per-frame-tables) container.
+
+    MHTS is the most naturally streamable container in the format — every
+    record is a self-contained MHT1 blob — so the reader is one frame at
+    a time (``frame_stream.iter_stream_frames``): peak memory is one
+    decoded frame. Each frame's recorded source CRC verifies as it is
+    produced; ``--check`` adds the on-device end-bit check per frame
+    (Pallas backend), with ``--salvage`` zero-filling corrupt blocks.
+    """
+    from .models import color as color_mod
+    from .models import frame_stream
+
+    if check and cfg.backend != "pallas":
+        raise SystemExit(
+            "--check requires --backend pallas (the on-device integrity "
+            "check is emitted by the TPU decode kernel)")
+    try:
+        total = frame_stream.stream_frame_count(data)
+        first = next(frame_stream._iter_stream_records(data), None)
+    except ValueError as e:
+        raise SystemExit(str(e))
+    if first is None:
+        raise SystemExit("empty MHTS stream")
+    _s, h, w, bd, _delta, _crc0 = first
+    t0 = time.perf_counter()
+    out = Path(args.output)
+    npy, sink, save = _streamed_sink(out, total, h, w, 0,
+                                     color_mod.KIND_U8)
+    n_corrupt = 0
+    base = 0
+    try:
+        try:
+            for i, frame, err, crc in frame_stream.iter_stream_frames(
+                    data, cfg, check=check):
+                salvaged = False
+                if err is not None and err.any():
+                    idx = np.nonzero(err)[0]
+                    if not salvage:
+                        raise SystemExit(
+                            f"stream integrity check failed in frame {i}: "
+                            f"{idx.size} corrupt block(s), first at "
+                            f"{idx[:8].tolist()}")
+                    fr, n = frame_stream.salvage_blocks(frame[None], err,
+                                                        bd)
+                    frame = fr[0]
+                    n_corrupt += n
+                    salvaged = True
+                    print(f"salvaged {idx.size} corrupt block(s) in frame "
+                          f"{i}, first at {idx[:8].tolist()} "
+                          "(zero-filled)", file=sys.stderr)
+                if not salvaged and crc and zlib.crc32(
+                        np.ascontiguousarray(frame).tobytes()) != crc:
+                    raise SystemExit(
+                        f"decoded frame {i} fails its recorded CRC-32 — "
+                        "the stream is corrupt")
+                if npy:
+                    sink[i] = frame
+                else:
+                    save(frame, out / f"frame_{i:05d}.png")
+                base += 1
+        except ValueError as e:
+            raise SystemExit(str(e))
+    except BaseException:
+        _discard_streamed_output(out, npy)
+        raise
+    if npy:
+        sink.flush()
+        del sink
+    if n_corrupt:
+        print(f"salvaged output: {n_corrupt} zero-filled block(s); their "
+              "frames' CRC checks skipped", file=sys.stderr)
+    dt = time.perf_counter() - t0
+    print(f"{args.input}: decoded {base} frames {h}x{w} (streamed MHTS, "
+          f"per-frame tables) in {dt:.2f} s -> {args.output}")
     return 0
 
 
@@ -1655,6 +1753,46 @@ def _cmd_verify_streaming_temporal(args, data: bytes, cfg) -> int:
     return 0
 
 
+def _cmd_verify_streaming_mhts(args, data: bytes, cfg) -> int:
+    """verify --streaming on an MHTS container: one frame at a time —
+    per-frame recorded source CRCs, plus the on-device end-bit check per
+    frame on the Pallas backend. Peak memory is one decoded frame."""
+    from .models import frame_stream
+
+    pallas = args.backend == "pallas"
+    total = 0
+    with_crc = 0
+    try:
+        for i, frame, err, crc in frame_stream.iter_stream_frames(
+                data, cfg, check=pallas):
+            if err is not None and err.any():
+                idx = np.nonzero(err)[0]
+                raise SystemExit(
+                    f"stream integrity check failed in frame {i}: "
+                    f"{idx.size} corrupt block(s), first at "
+                    f"{idx[:8].tolist()}")
+            if crc:
+                with_crc += 1
+                if zlib.crc32(
+                        np.ascontiguousarray(frame).tobytes()) != crc:
+                    raise SystemExit(
+                        f"decoded frame {i} fails its recorded CRC-32 — "
+                        "the stream is corrupt")
+            total += 1
+            h, w = frame.shape
+    except ValueError as e:
+        raise SystemExit(str(e))
+    print(f"MHTS: {total} frames {h}x{w} (streamed, per-frame tables)")
+    print(f"  {'end-bit check':<14} "
+          + ("ok (per frame)" if pallas
+             else "skipped (needs --backend pallas)"))
+    print(f"  {'decode':<14} ok ({total} frames, {args.backend}, streamed)")
+    print(f"  {'source CRC-32':<14} "
+          + (f"ok (per frame, {with_crc})" if with_crc else "absent"))
+    print("PASS")
+    return 0
+
+
 def _cmd_verify_streaming(args, data: bytes, cfg) -> int:
     """verify --streaming: the full integrity chain at constant memory.
 
@@ -1675,6 +1813,8 @@ def _cmd_verify_streaming(args, data: bytes, cfg) -> int:
 
     if data[:4] == temporal.TEMPORAL_MAGIC:
         return _cmd_verify_streaming_temporal(args, data, cfg)
+    if data[:4] == frame_stream.STREAM_MAGIC:
+        return _cmd_verify_streaming_mhts(args, data, cfg)
     wrapper = ""
     inner = data
     if data[:4] == color.COLOR_MAGIC:
@@ -1687,9 +1827,9 @@ def _cmd_verify_streaming(args, data: bytes, cfg) -> int:
             raise SystemExit("verify --streaming needs a video container")
     if inner[:4] != frame_stream.SEGMENTED_MAGIC:
         raise SystemExit(
-            "verify --streaming needs a segmented MHV2 container (other "
-            "containers verify whole; drop --streaming, or `resegment` "
-            "the archive first)")
+            "verify --streaming needs a segmented MHV2, MHTS, or MHVT "
+            "container (a one-piece MHTV verifies whole; drop --streaming, "
+            "or `resegment` the archive first)")
     pallas = args.backend == "pallas"
     try:
         segs, t, h, w, bd, delta = frame_stream.read_segmented(inner)

@@ -1346,6 +1346,59 @@ def read_stream_crcs(data: bytes) -> list[int]:
     return [rec[5] for rec in _iter_stream_records(data)]
 
 
+def stream_frame_count(data: bytes) -> int:
+    """Frame count recorded in an MHTS header (no record parsing)."""
+    if data[:4] != STREAM_MAGIC:
+        raise ValueError("not an MHTS container")
+    (count,) = struct.unpack_from("<I", data, 4)
+    return count
+
+
+def iter_stream_frames(data: bytes, config: CodecConfig | None = None,
+                       check: bool = False):
+    """Decode an MHTS container ONE FRAME AT A TIME (constant memory).
+
+    Yields ``(i, frame, err, recorded_crc)`` per frame: ``err`` is the
+    per-block end-bit error vector when ``check`` (Pallas backend), else
+    ``None``; ``recorded_crc`` is the frame's recorded source CRC-32
+    (0 = absent — the CALLER verifies, so a salvaging consumer can choose
+    to skip it). MHTS is the most naturally streamable container in the
+    format — every record is a self-contained MHT1 blob — so the reader
+    is just this loop; peak memory is one decoded frame, independent of
+    stream length. Mixed per-frame predictors (an append of delta2d and
+    delta frames) decode per record, exactly like the batch path.
+
+    Reference analog: per-frame self-contained encode,
+    ``HuffmanUtil.cpp:1051-1131`` — which only ever decodes one frame
+    into memory anyway; this keeps that property at container scale.
+    """
+    import dataclasses
+
+    cfg = config or CodecConfig()
+    geom = None
+    for i, (s, h, w, bd, delta, crc) in enumerate(_iter_stream_records(data)):
+        if geom is None:
+            geom = (h, w, bd, delta)
+        elif geom != (h, w, bd, delta):
+            raise ValueError("MHTS frames must share geometry")
+        fcfg = dataclasses.replace(cfg, block_dim=bd, delta=delta,
+                                   delta2d=s.predictor == "2d")
+        if check:
+            if cfg.backend != "pallas":
+                raise ValueError(
+                    "the end-bit integrity check needs the Pallas backend")
+            prep = prepare_shared(s, 1, h, w, fcfg, check=True)
+            img, err = decode_shared_step_checked(prep, fcfg)
+            yield i, np.asarray(img).reshape(h, w), np.asarray(err), crc
+        elif cfg.backend == "native":
+            img = decode_frames_segmented([(s, 1)], h, w, fcfg)
+            yield i, img.reshape(h, w), None, crc
+        else:
+            codec = ImageCodec(fcfg)
+            img = np.asarray(codec.decode_step(codec.prepare(s, h, w)))
+            yield i, img, None, crc
+
+
 @dataclass(frozen=True)
 class PreparedBatch:
     """Device-resident batch decode inputs (frame axis leading)."""

@@ -763,3 +763,150 @@ class TemporalStreamingEncoder:
             self.close()
         else:
             self.abort()
+
+
+class MHTSStreamingEncoder:
+    """Streaming MHTS writer: push frames, each becomes a self-contained
+    per-frame-table record written immediately.
+
+    MHTS is the MOST naturally streamable container in the format — every
+    record is a complete MHT1 blob (its own canonical table, offsets, and
+    recorded source CRC), and the only future-dependent header field is
+    the u32 frame count, back-patched on ``close()``. Peak memory is ONE
+    frame (raw + its encoded record), independent of stream length.
+
+    Byte contract: for the same frames and config, the file equals the
+    batch ``frame_stream.write_stream(frame_stream.encode_frames(frames,
+    cfg), h, w, cfg, source_crc32s=[crc32(f) for f in frames])`` —
+    exactly the CLI's ``encode-video --per-frame-tables`` bytes — no
+    matter how frames were chunked across ``push()`` (gated by test).
+
+    Reference analog: the per-frame self-contained encode loop,
+    ``HuffmanUtil.cpp:1051-1131`` — which never holds more than the frame
+    it is encoding; this preserves that property at container scale,
+    where the batch writer did not.
+    """
+
+    def __init__(
+        self,
+        sink,
+        height: int,
+        width: int,
+        config: CodecConfig | None = None,
+    ) -> None:
+        from .image_codec import ImageCodec
+
+        cfg = config or CodecConfig()
+        if cfg.temporal:
+            raise ValueError(
+                "MHTSStreamingEncoder writes per-frame-table records; "
+                "temporal (MHVT) wraps shared-table streams — drop one")
+        if (cfg.zero_init or cfg.delta2d) and not cfg.delta:
+            raise ValueError("zero_init/delta2d require delta precoding")
+        if height <= 0 or width <= 0:
+            raise ValueError("frame geometry must be positive")
+        self._cfg = cfg
+        self._codec = ImageCodec(cfg)
+        self._h, self._w = int(height), int(width)
+        self._t = 0
+        self._crc = 0  # chained, for stats only (MHTS records per-frame)
+        self.stats: StreamStats | None = None
+
+        if isinstance(sink, (str, Path)):
+            self._fh: io.IOBase = open(sink, "wb")
+            self._owns_fh = True
+        else:
+            self._fh = sink
+            self._owns_fh = False
+        if not (self._fh.seekable() and self._fh.writable()):
+            if self._owns_fh:
+                self._fh.close()
+            raise ValueError(
+                "sink must be a seekable writable binary file (the MHTS "
+                "frame count is patched on close)")
+        self._base = self._fh.tell()
+        self._fh.write(frame_stream.STREAM_MAGIC)
+        self._fh.write(struct.pack("<I", 0))  # count, patched on close
+
+    def push(self, frames: np.ndarray) -> None:
+        """Encode + write frame(s) immediately — no segment buffering.
+
+        Validation raises before any state change; an encode/write
+        failure truncates the sink (no torn container), as with the
+        other streaming writers.
+        """
+        if self.stats is not None or self._fh.closed:
+            raise ValueError("push() after close()")
+        arr = np.asarray(frames)
+        if arr.ndim == 2:
+            arr = arr[None]
+        if arr.ndim != 3 or arr.shape[1:] != (self._h, self._w):
+            raise ValueError(
+                f"expected (T, {self._h}, {self._w}) frames, got "
+                f"{arr.shape}")
+        if arr.dtype != np.uint8:
+            raise ValueError("frames must be uint8")
+        try:
+            for f in arr:
+                fc = np.ascontiguousarray(f)
+                crc = zlib.crc32(fc)
+                self._crc = zlib.crc32(fc, self._crc)
+                rec = container.write_frame(
+                    self._codec.encode(fc), self._h, self._w,
+                    self._cfg.block_dim, self._cfg.delta, source_crc32=crc)
+                self._fh.write(struct.pack("<I", len(rec)))
+                self._fh.write(rec)
+                self._t += 1
+        except BaseException:
+            self.abort()
+            raise
+
+    def close(self) -> StreamStats:
+        """Patch the frame count; a failed close truncates the sink."""
+        if self.stats is not None:
+            return self.stats
+        if self._fh.closed:
+            raise ValueError(
+                "close() after a failed close()/abort() — the sink was "
+                "truncated, there is no container to finalize")
+        try:
+            try:
+                if self._t == 0:
+                    raise ValueError("cannot encode an empty frame stack")
+                end = self._fh.tell()
+                self._fh.seek(self._base + 4)
+                self._fh.write(struct.pack("<I", self._t))
+                self._fh.seek(end)
+            except BaseException:
+                if not self._fh.closed:
+                    self._fh.seek(self._base)
+                    self._fh.truncate(self._base)
+                raise
+            self.stats = StreamStats(
+                total_frames=self._t, num_segments=self._t,
+                bytes_written=end - self._base,
+                source_crc32=self._crc & 0xFFFFFFFF)
+            return self.stats
+        finally:
+            if self._owns_fh and not self._fh.closed:
+                self._fh.close()
+
+    def abort(self) -> None:
+        """Discard everything written and close the sink without finalizing."""
+        if self._fh.closed:
+            return
+        try:
+            self._fh.seek(self._base)
+            self._fh.truncate(self._base)
+        finally:
+            if self._owns_fh:
+                self._fh.close()
+
+    def __enter__(self) -> "MHTSStreamingEncoder":
+        return self
+
+    def __exit__(self, exc_type, exc, tb) -> None:
+        if exc_type is None:
+            self.close()
+        else:
+            self.abort()

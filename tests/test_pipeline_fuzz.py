@@ -72,7 +72,7 @@ def _decode(kind, blob):
     return color_mod.decode_gray16_from_bytes(blob, dec)
 
 
-def test_pipeline_fuzz():
+def test_pipeline_fuzz(tmp_path):
     rng = np.random.default_rng(2026)
     for trial in range(60):
         kind, frames = _random_clip(rng)
@@ -125,6 +125,35 @@ def test_pipeline_fuzz():
                 blob, CodecConfig(**BACK), chunk_frames=ck)]
             assert np.array_equal(np.concatenate(served), frames), \
                 f"temporal streaming serve, {ctx}"
+            # round 5: streamed temporal re-encode (MHVT trailer layout)
+            # with a random cap + chunking decodes to the same frames
+            # through the layout-agnostic surfaces
+            import io
+
+            from metalhuffman_tpu.models.stream_writer import (
+                TemporalStreamingEncoder)
+
+            sink = io.BytesIO()
+            enc = TemporalStreamingEncoder(
+                sink, h, w, cfg,
+                channels=frames.shape[-1] if kind == "color" else None,
+                u16=kind == "u16",
+                max_segment_frames=int(rng.integers(1, t + 1)),
+                frame_crcs=cfg.frame_crcs)
+            i = 0
+            while i < t:
+                j = min(t, i + int(rng.integers(1, t + 1)))
+                enc.push(frames[i:j])
+                i = j
+            enc.close()
+            tblob = sink.getvalue()
+            assert np.array_equal(_decode(kind, tblob), frames), \
+                f"streamed temporal re-encode, {ctx}"
+            n2 = int(rng.integers(0, t))
+            assert np.array_equal(
+                temporal.decode_temporal_frame(tblob, n2,
+                                               CodecConfig(**BACK)),
+                frames[n2]), f"trailer-layout frame access, {ctx}"
         else:
             import io
 
@@ -164,6 +193,24 @@ def test_pipeline_fuzz():
                     segs2, h, w, rcfg))
                 assert np.array_equal(np.concatenate(chunks), frames), \
                     f"streamed serve, {ctx} cap={cap}"
+                # round 5: the MHTS streaming writer + one-frame-at-a-time
+                # reader join the matrix (gray only, like the batch CLI)
+                sink_m = io.BytesIO()
+                from metalhuffman_tpu.models.stream_writer import (
+                    MHTSStreamingEncoder)
+
+                with MHTSStreamingEncoder(sink_m, h, w, cfg) as enc_m:
+                    i = 0
+                    while i < t:
+                        j = min(t, i + int(rng.integers(1, t + 1)))
+                        enc_m.push(frames[i:j])
+                        i = j
+                mhts_blob = sink_m.getvalue()
+                served_m = [fr for _i, fr, _e, _c in
+                            frame_stream.iter_stream_frames(
+                                mhts_blob, CodecConfig(**BACK))]
+                assert np.array_equal(np.stack(served_m), frames), \
+                    f"MHTS streamed roundtrip, {ctx}"
 
         # lossless surgery when the container supports this range
         ki = cfg.keyint
@@ -180,3 +227,47 @@ def test_pipeline_fuzz():
                 assert np.array_equal(
                     _decode(kind, joined),
                     np.concatenate([frames, frames])), f"concat, {ctx}"
+
+        # round 5: resegment (in-memory + streamed, byte-identical) and
+        # streamed file-to-file concat join the composition matrix —
+        # these splice at mmap/byte level, where an off-by-one survives
+        # until a fuzzer finds it
+        per = int(rng.integers(1, t + 2))
+        reseg = surgery.resegment_video(blob, per)
+        assert np.array_equal(_decode(kind, reseg), frames), \
+            f"resegment, {ctx} per={per}"
+        if blob[:4] != temporal.TEMPORAL_MAGIC:
+            src_p = tmp_path / "in.bin"
+            src_p.write_bytes(blob)
+            dst_p = tmp_path / "reseg.bin"
+            surgery.resegment_video_streamed(src_p, dst_p, per)
+            assert dst_p.read_bytes() == reseg, \
+                f"streamed resegment byte-identity, {ctx} per={per}"
+            cat_p = tmp_path / "cat.bin"
+            surgery.concat_videos_streamed([src_p, src_p], cat_p)
+            assert cat_p.read_bytes() == surgery.concat_videos(
+                [blob, blob]), f"streamed concat byte-identity, {ctx}"
+
+        # truncation fuzz over the streamed readers: any cut must raise a
+        # controlled error (never IndexError/struct.error), or — when the
+        # cut only removes trailers — still serve correct frames
+        for _ in range(3):
+            cut = int(rng.integers(4, len(blob)))
+            try:
+                if blob[:4] == temporal.TEMPORAL_MAGIC:
+                    for _b, _c in temporal.iter_temporal_video(
+                            blob[:cut], CodecConfig(**BACK)):
+                        pass
+                elif kind == "gray" and \
+                        blob[:4] == frame_stream.SEGMENTED_MAGIC:
+                    segs3, _t3, h3, w3, bd3, d3 = \
+                        frame_stream.read_segmented(blob[:cut])
+                    import dataclasses as _dc
+
+                    rcfg3 = _dc.replace(
+                        CodecConfig(**BACK), block_dim=bd3, delta=d3)
+                    for _c in frame_stream.iter_frames_segmented(
+                            segs3, h3, w3, rcfg3):
+                        pass
+            except (ValueError, RuntimeError):
+                pass  # controlled rejection

@@ -310,7 +310,8 @@ def test_cli_streaming_refuses_whole_sequence_flags(tmp_path):
     src = tmp_path / "f.npy"
     np.save(src, _frames(2, 16, 16))
     out = tmp_path / "x.mhv2"
-    for extra in (["--best"], ["--best-fast"], ["--per-frame-tables"]):
+    # (--temporal and --per-frame-tables stream since round 5)
+    for extra in (["--best"], ["--best-fast"]):
         with pytest.raises(SystemExit, match="streaming"):
             cli.main(["encode-video", str(src), str(out),
                       "--streaming", *extra])
