@@ -387,39 +387,40 @@ def run_temporal_ext(height: int, width: int, frames: int, iters: int,
               file=sys.stderr)
         sys.exit(1)
     interpret = jax.default_backend() in ("cpu", "gpu")
-    words_mc = motion and inner == "gray" and (p0.bh * 8, p0.w_pad) == (
-        height, width)
     rows_pf, wpw = p0.bh * 8, p0.w_pad // 4
+    ppf = 2 if inner == "u16" else (3 if inner == "color" else 1)
+    n_planes = frames * ppf
 
     @partial(jax.jit, static_argnames=(
         "bounds", "adj_inc", "wpr", "h2", "g", "interp", "fold"))
     def step(rows, init, pair, mv, *, bounds, adj_inc, wpr, h2, g, interp,
              fold):
-        if words_mc:
-            # production MC path for exact strip geometry: packed words in,
-            # packed words out (host views bytes for free)
-            strips = frame_stream._decode_shared_strips_jit(
-                rows, init, pair, bounds=bounds, adj_inc=adj_inc, wpr=wpr,
-                h2=h2, delta=True, interpret=interp, group_tiles=g)
-            x = strips.reshape(-1, wpw)[: frames * rows_pf]
-            if not fold:
-                return x
-            return temporal.temporal_fold_words_mc_jax(
-                x.reshape(frames, rows_pf, wpw), keyint, mv,
-                height=height, width=width)
-        img = frame_stream._decode_shared_image_jit(
+        # the round-5 production chain for EVERY kind: raw packed strips
+        # from the kernel -> SWAR word fold (plane-major for color, carry
+        # pairs for u16, double-roll padded MC) -> one device relayout
+        # for color/u16 (gray words are a free host byte view)
+        strips = frame_stream._decode_shared_strips_jit(
             rows, init, pair, bounds=bounds, adj_inc=adj_inc, wpr=wpr,
-            num_frames=p0.num_frames, height=height, width=width, h2=h2,
-            delta=True, interpret=interp, w_pad=p0.w_pad, bh=p0.bh,
-            group_tiles=g, d2_bd=0)
+            h2=h2, delta=True, interpret=interp, group_tiles=g)
+        x = strips.reshape(-1, wpw)[: n_planes * rows_pf]
+        x = x.reshape(n_planes, rows_pf, wpw)
         if not fold:
-            return img
-        if inner != "gray":
-            img = color.fold_video_planes_jax(img, channels, kind,
-                                              color.CS_IDENTITY)
+            return x
         if motion:
-            return temporal.temporal_decode_mc_jax(img, keyint, mv)
-        return temporal.temporal_decode_jax(img, keyint)
+            folded = temporal.temporal_fold_words_mc_jax(
+                x, keyint, mv, height=height, width=width,
+                planes_per_frame=ppf, carry_u16=inner == "u16")
+        elif inner == "u16":
+            folded = temporal.temporal_fold_u16_words_jax(x, keyint)
+        elif inner == "color":
+            folded = temporal.temporal_fold_plane_words_jax(x, keyint, ppf)
+        else:
+            folded = temporal.temporal_fold_words_jax(x, keyint)
+        if inner == "gray":
+            return folded
+        return temporal._plane_words_relayout_jax(
+            folded, channels=channels, kind=kind, cs=color.CS_IDENTITY,
+            height=height, width=width)
 
     def make(s, fold):
         _fr, _st, p, mv = s
@@ -433,8 +434,11 @@ def run_temporal_ext(height: int, width: int, frames: int, iters: int,
     for v, (s, d) in enumerate(zip(sets, decodes)):
         t0 = time.perf_counter()
         out = np.asarray(d())
-        if words_mc:
-            out = out.view(np.uint8).reshape(frames, height, width)
+        if inner == "gray":
+            # gray production output is packed words; the host byte view
+            # is free (exactly what _decode_temporal_device fetches)
+            out = out.view(np.uint8).reshape(
+                frames, rows_pf, p0.w_pad)[:, :height, :width]
         print(f"variant {v} first decode+fold+fetch "
               f"{time.perf_counter() - t0:.0f} s", file=sys.stderr)
         if not np.array_equal(out, s[0]):

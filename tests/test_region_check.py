@@ -233,9 +233,10 @@ def test_mc_region_check_requires_frame_crcs(tmp_path):
     np.testing.assert_array_equal(out, frames[1:4, 4:12, 4:12])
 
 
-def test_strips_mc_exact_predicts_raw_path():
+def test_strips_available_predicts_raw_path():
     """The header-only probe must agree with the strips decode's own
-    applicability + exact-geometry outcome (no discarded decodes)."""
+    applicability (no discarded decodes). Geometry no longer gates it —
+    round 5's padded roll lets MC ride any plannable strip layout."""
     from metalhuffman_tpu.models import temporal
 
     cfg = CodecConfig(backend="pallas", interpret=True)
@@ -246,8 +247,7 @@ def test_strips_mc_exact_predicts_raw_path():
         inner = frame_stream.write_shared(enc, 2, h, w,
                                           CodecConfig(backend="native"))
         raw = temporal._device_gray_strips(inner, cfg)
-        exact = (raw is not None and (raw[5], raw[4]) == (raw[2], raw[3]))
-        assert temporal._strips_mc_exact(inner) == exact, (h, w)
+        assert temporal._strips_available(inner) == (raw is not None), (h, w)
 
 
 def test_extract_reports_reencoded_frames():
