@@ -1,4 +1,4 @@
-"""Multi-host sharded decode demo / test worker.
+"""Multi-host sharded codec demo / test worker (decode AND encode).
 
 Run N processes (multi-host simulation on CPU, or one per TPU host on a pod):
 
@@ -8,7 +8,10 @@ Run N processes (multi-host simulation on CPU, or one per TPU host on a pod):
 Each process: joins the jax.distributed cluster, encodes the same synthetic
 frame (stands in for "the stream was broadcast"), builds the global mesh,
 decodes its block ranges, all-gathers the decoded blocks over DCN, and
-verifies bit-exactness. Exit code 0 on success.
+verifies bit-exactness. Then the ENCODE direction (round-5): per-host
+histograms reduced over DCN, stage-1 pack on the global mesh, per-host
+merges over addressable shards writing disjoint byte spans — asserted
+byte-identical to the host encoder. Exit code 0 on success.
 
 On a real TPU pod slice, omit all arguments (auto-detected) and drop
 --devices-per-host.
@@ -74,6 +77,25 @@ def main():
         sys.exit(1)
     print(f"[p{pid}] bit-exact across {pcount} hosts "
           f"({mesh.shape}) OK", flush=True)
+
+    # ENCODE direction: the full distributed pipeline (per-host histogram
+    # -> DCN reduce, global-mesh stage-1 pack, per-host merges over
+    # addressable shards) must be byte-identical to the host encoder —
+    # including a partial tail block and shards that straddle hosts
+    from metalhuffman_tpu import native
+
+    data = delta.delta_encode_blocks(blk).ravel()
+    data = np.concatenate([data, data[: 64 * 5 + 13]])  # uneven + tail
+    enc_mh = multihost.encode_symbols_multihost(
+        data, mesh=mesh, interpret=True)
+    enc_host = native.encode_symbols(data, 64)
+    if not (np.array_equal(enc_mh.code_bytes, enc_host.code_bytes)
+            and np.array_equal(enc_mh.block_offsets, enc_host.block_offsets)
+            and np.array_equal(enc_mh.widths, enc_host.widths)):
+        print(f"[p{pid}] ENCODE MISMATCH", flush=True)
+        sys.exit(1)
+    print(f"[p{pid}] encode byte-identical across {pcount} hosts "
+          f"({enc_host.compressed_size} B) OK", flush=True)
 
 
 if __name__ == "__main__":

@@ -47,3 +47,5 @@ def test_two_process_decode():
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"process {i} failed:\n{out}"
         assert "bit-exact across 2 hosts" in out
+        # round 5: the same cluster certifies the ENCODE direction
+        assert "encode byte-identical across 2 hosts" in out
