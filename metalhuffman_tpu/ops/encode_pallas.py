@@ -51,12 +51,25 @@ BLOCKS_PER_TILE = SUBLANES * LANES
 BLOCK_SYMBOLS = 64  # kernel is specialized to 8x8 blocks (16 groups of 4)
 
 
-def make_encode_kernel(wmax: int):
+def make_encode_kernel(wmax: int, min_w: int = 1, max_w: int = 16):
     """Stage-1 kernel: (1, 64, 8, 128) symbols -> (1, wmax+1, 8, 128) rows.
 
     Output words 0..wmax-1 are the block's MSB-first packed bits (zero
     padded); word wmax is the block's total bit count (redundant with the
     host-side width sum — kept as a cheap cross-check output).
+
+    ``min_w``/``max_w`` are the canonical table's min/max USED symbol
+    widths: group g's in-block bit offset t is statically bounded by
+    ``[4g*min_w, 4g*max_w]``, so the one-hot deposit scans only words
+    ``[t_lo>>5, (t_hi>>5)+2]`` instead of all wmax — the dual of the
+    decode kernel's static per-group refill ranges. The round-5 encode
+    roofline (scratch/roofline_encode.py) identified the full-scan
+    deposit as 37-70%% of kernel ops; ranging it removes ~16-29%% of the
+    total. Padding blocks past n_blocks may carry symbols outside the
+    used-width band (their widths can even be 0) and deposit outside the
+    ranged window — their rows are garbage by contract and masked out of
+    the merge, so correctness only needs real symbols' widths inside
+    [min_w, max_w].
     """
 
     def kernel(sym_ref, codes_ref, widths_ref, out_ref):
@@ -101,7 +114,9 @@ def make_encode_kernel(wmax: int):
                    | jax.lax.shift_right_logical(C1, sh))
             d2 = jax.lax.shift_left(C1, 1)
             d2 = jax.lax.shift_left(d2, 31 - sh)
-            for j in range(wmax):
+            lo = (4 * g * min_w) >> 5
+            hi = min(wmax - 1, ((4 * g * max_w) >> 5) + 2)
+            for j in range(lo, hi + 1):
                 words[j] = (words[j]
                             | jnp.where(wi == j, d0, 0)
                             | jnp.where(wi == j - 1, mid, 0)
@@ -114,13 +129,14 @@ def make_encode_kernel(wmax: int):
     return kernel
 
 
-@partial(jax.jit, static_argnames=("wmax", "interpret"))
+@partial(jax.jit, static_argnames=("wmax", "min_w", "max_w", "interpret"))
 def encode_rows(sym_tiled, codes_pair, widths_pair, *, wmax: int,
+                min_w: int = 1, max_w: int = 16,
                 interpret: bool = False):
     """(nt, 64, 8, 128) int32 symbols -> (nt, wmax+1, 8, 128) int32 rows."""
     nt = sym_tiled.shape[0]
     return pl.pallas_call(
-        make_encode_kernel(wmax),
+        make_encode_kernel(wmax, min_w, max_w),
         grid=(nt,),
         in_specs=[
             pl.BlockSpec((1, BLOCK_SYMBOLS, SUBLANES, LANES),
@@ -137,6 +153,15 @@ def encode_rows(sym_tiled, codes_pair, widths_pair, *, wmax: int,
                                        jnp.int32),
         interpret=interpret,
     )(sym_tiled, codes_pair, widths_pair)
+
+
+def used_width_band(widths: np.ndarray) -> tuple[int, int]:
+    """(min, max) USED symbol width of a canonical table (width 0 =
+    unused symbol). Static bounds for the kernel's ranged deposit."""
+    used = np.asarray(widths)[np.asarray(widths) > 0]
+    if used.size == 0:
+        return 1, 16
+    return int(used.min()), int(used.max())
 
 
 def pack_code_tables(widths: np.ndarray, codes: np.ndarray):
@@ -230,6 +255,7 @@ def encode_symbols_hybrid(data: np.ndarray, block_size: int = 64,
             "stream exceeds 2^32 bits — u32 block offsets overflow; "
             "split the input (e.g. per-frame or segmented MHTV)")
     wmax = int(bits_pb.max()) // 32 + 2  # ceil + 1 spare (merge bound check)
+    min_w, max_w = used_width_band(widths)
 
     # stage 1 on device: pad the block axis to whole (8,128) tiles
     nb_pad = -(-n_blocks // BLOCKS_PER_TILE) * BLOCKS_PER_TILE
@@ -240,7 +266,7 @@ def encode_symbols_hybrid(data: np.ndarray, block_size: int = 64,
     sym_tiled = _stage_symbols(jax.device_put(jnp.asarray(padded)), nt=nt)
     out = encode_rows(sym_tiled, jnp.asarray(codes_pair),
                       jnp.asarray(widths_pair), wmax=wmax,
-                      interpret=interpret)
+                      min_w=min_w, max_w=max_w, interpret=interpret)
     rows = np.asarray(
         _rows_block_major(out, wmax=wmax, n_blocks=n_blocks)
     ).view(np.uint32)

@@ -235,6 +235,7 @@ def encode_symbols_multihost(
             "stream exceeds 2^32 bits — u32 block offsets overflow; "
             "split the input (e.g. per-frame or segmented MHTV)")
     wmax = gmax // 32 + 2
+    min_w, max_w = encode_pallas.used_width_band(widths)
 
     # 2) stage-1 pack on the global mesh; each host materializes only its
     #    addressable shards of the symbol tiles
@@ -258,7 +259,8 @@ def encode_symbols_multihost(
         widths_pair.shape, rep, lambda idx: widths_pair[idx])
     out, shard_bits = shard_encode.encode_rows_sharded(
         g_sym, g_cp, g_wp, g_mask,
-        mesh=mesh, wmax=wmax, axis_name=axis_name, interpret=interpret)
+        mesh=mesh, wmax=wmax, min_w=min_w, max_w=max_w,
+        axis_name=axis_name, interpret=interpret)
     # the all_gather output is fully replicated (out_specs P()): every
     # process reads its own addressable copy — no extra collective
     shard_bits = np.asarray(

@@ -67,7 +67,8 @@ SUBLANES, LANES = encode_pallas.SUBLANES, encode_pallas.LANES
 
 @partial(
     jax.jit,
-    static_argnames=("mesh", "wmax", "axis_name", "interpret"),
+    static_argnames=("mesh", "wmax", "min_w", "max_w", "axis_name",
+                     "interpret"),
 )
 def encode_rows_sharded(
     sym_tiled,
@@ -77,6 +78,8 @@ def encode_rows_sharded(
     *,
     mesh: Mesh,
     wmax: int,
+    min_w: int = 1,
+    max_w: int = 16,
     axis_name: str = SEQ_AXIS,
     interpret: bool = False,
 ):
@@ -102,7 +105,8 @@ def encode_rows_sharded(
 
     def local(sym_l, cp, wp, mask_l):
         out = encode_pallas.encode_rows(
-            sym_l, cp, wp, wmax=wmax, interpret=interpret)
+            sym_l, cp, wp, wmax=wmax, min_w=min_w, max_w=max_w,
+            interpret=interpret)
         bits = out[:, wmax].astype(jnp.uint32) * mask_l
         local_total = bits.sum(dtype=jnp.uint32)
         totals = jax.lax.all_gather(local_total, axis_name)
@@ -182,6 +186,7 @@ def encode_symbols_sharded(
             "stream exceeds 2^32 bits — u32 block offsets overflow; "
             "split the input (e.g. per-frame or segmented MHTV)")
     wmax = int(bits_pb.max()) // 32 + 2
+    min_w, max_w = encode_pallas.used_width_band(widths)
 
     n_shards = mesh.shape[axis_name]
     # pad the block axis to whole tiles AND a whole number per shard
@@ -203,7 +208,8 @@ def encode_symbols_sharded(
         jax.device_put(jnp.asarray(codes_pair), rep),
         jax.device_put(jnp.asarray(widths_pair), rep),
         jax.device_put(jnp.asarray(mask_tiled), seq),
-        mesh=mesh, wmax=wmax, axis_name=axis_name, interpret=interpret,
+        mesh=mesh, wmax=wmax, min_w=min_w, max_w=max_w,
+        axis_name=axis_name, interpret=interpret,
     )
     # block-major fetch: (nb_pad, wmax+1); word wmax = per-block bit count
     rows_all = np.asarray(out).transpose(0, 2, 3, 1).reshape(
