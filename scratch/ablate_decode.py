@@ -274,6 +274,8 @@ def main():
 
     variants = sys.argv[1:] or ["base", "maxw", "gatheradj", "g12"]
     T, H, W = 30, 1536, 2048
+    if os.environ.get("MHT_ABL_GEOM"):  # e.g. MHT_ABL_GEOM=1080x1920
+        H, W = map(int, os.environ["MHT_ABL_GEOM"].split("x"))
     if jax.default_backend() in ("cpu", "gpu"):
         T, H, W = 3, 64, 1024  # interpret-mode correctness check only
     if os.environ.get("MHT_ABL_CONTENT") == "synthetic":
