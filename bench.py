@@ -418,9 +418,11 @@ def run_temporal_ext(height: int, width: int, frames: int, iters: int,
             folded = temporal.temporal_fold_words_jax(x, keyint)
         if inner == "gray":
             return folded
-        return temporal._plane_words_relayout_jax(
-            folded, channels=channels, kind=kind, cs=color.CS_IDENTITY,
-            height=height, width=width)
+        # production relayout: word-domain channel interleave (the host
+        # view of the fetched words IS the frame bytes / u16 pixels)
+        return temporal._interleave_words_jax(
+            folded, channels=(2 if inner == "u16" else channels),
+            u16=inner == "u16", cs=color.CS_IDENTITY)
 
     def make(s, fold):
         _fr, _st, p, mv = s
@@ -439,6 +441,12 @@ def run_temporal_ext(height: int, width: int, frames: int, iters: int,
             # is free (exactly what _decode_temporal_device fetches)
             out = out.view(np.uint8).reshape(
                 frames, rows_pf, p0.w_pad)[:, :height, :width]
+        elif inner == "u16":
+            out = out.view("<u2").reshape(
+                frames, rows_pf, p0.w_pad)[:, :height, :width]
+        else:
+            out = out.view(np.uint8).reshape(
+                frames, rows_pf, p0.w_pad, channels)[:, :height, :width, :]
         print(f"variant {v} first decode+fold+fetch "
               f"{time.perf_counter() - t0:.0f} s", file=sys.stderr)
         if not np.array_equal(out, s[0]):
@@ -551,12 +559,15 @@ def run_encode(height: int, width: int, frames: int, iters: int,
         padded[: s.size] = s
         staged.append(encode_pallas._stage_symbols(
             jax.device_put(jnp.asarray(padded)), nt=nb_pad // 1024))
-    outs = [encode_pallas.encode_rows(st, cp, wp, wmax=wmax) for st in staged]
+    min_w, max_w = encode_pallas.used_width_band(widths)  # ranged deposit
+    outs = [encode_pallas.encode_rows(st, cp, wp, wmax=wmax, min_w=min_w,
+                                      max_w=max_w) for st in staged]
     _barrier(outs[-1])
     t0 = time.perf_counter()
     r = None
     for i in range(iters):
-        r = encode_pallas.encode_rows(staged[i % 2], cp, wp, wmax=wmax)
+        r = encode_pallas.encode_rows(staged[i % 2], cp, wp, wmax=wmax,
+                                      min_w=min_w, max_w=max_w)
     _barrier(r)
     stage1_gbps = payload * iters / (time.perf_counter() - t0) / 1e9
 

@@ -1023,7 +1023,13 @@ def _plane_words_relayout_jax(words, *, channels: int, kind: int, cs: int,
     """Folded PLANE words -> true frames, on device: bitcast to bytes,
     crop the strip padding, interleave channels / recombine hi-lo, invert
     the colorspace — one fused pass after the packed fold, so the host
-    fetch is final frames exactly as on the grayscale path."""
+    fetch is final frames exactly as on the grayscale path.
+
+    This is the FALLBACK relayout (odd channel counts): the bitcast to
+    bytes materializes a byte-granular layout change that the round-5
+    component ablation (scratch/ablate_color_fold.py) measured at ~40% of
+    the whole chain's time. Channel counts 2/3/4 take
+    :func:`_interleave_words_jax` instead — a word-domain shuffle."""
     import jax.numpy as jnp
     from jax import lax
 
@@ -1033,6 +1039,57 @@ def _plane_words_relayout_jax(words, *, channels: int, kind: int, cs: int,
     b = lax.bitcast_convert_type(words, jnp.uint8).reshape(
         n, rows_pf, wpw * 4)[:, :height, :width]
     return color.fold_video_planes_jax(b, channels, kind, cs)
+
+
+def _interleave_words_jax(words, *, channels: int, u16: bool, cs: int):
+    """Folded plane words -> words of the channel-INTERLEAVED byte image,
+    never leaving int32: (T*C, rows, wpw) -> (T, rows, C*wpw).
+
+    The round-5 component ablation showed the chain's real cost was never
+    the fold but the byte-granular relayout (bitcast + crop: ~40% of the
+    u16 chain; the interleave transpose then fused for free). This stays
+    word-granular instead: each output word is 4 byte extracts + 3 ORs
+    from the input plane words (out word ``C*w + m`` takes byte
+    ``(4m+k)//C`` of plane ``(4m+k)%C``'s word ``w``), and the factor-C
+    minor interleave is a word-level stack+reshape. Measured +37% on the
+    u16 chain vs the bitcast path (10.5 -> 14.4 GB/s end to end).
+
+    For u16 the planes arrive [hi, lo] per frame and the output byte
+    order is little-endian [lo, hi] — handled by reversing the plane
+    order. The sub-green inverse (``R=r+G, B=b+G`` — linear, commutes
+    with the fold) happens here in the word domain as two SWAR adds, so
+    NO byte-granular pass exists anywhere: the host views the fetched
+    words as (T, rows, w_pad[, C]) bytes / u16 for free, exactly like
+    the grayscale path.
+    """
+    import jax.numpy as jnp
+    from jax import lax
+
+    from . import color
+
+    tp, rows, wpw = words.shape
+    c = channels
+    t = tp // c
+    x = words.reshape(t, c, rows, wpw)
+    if u16:
+        x = x[:, ::-1]  # [hi, lo] planes -> LE byte order [lo, hi]
+    elif cs == color.CS_SUBGREEN:
+        parts = [_swar_add8(x[:, 0], x[:, 1]), x[:, 1],
+                 _swar_add8(x[:, 2], x[:, 1])]
+        parts += [x[:, i] for i in range(3, c)]
+        x = jnp.stack(parts, axis=1)
+    planes = [x[:, i] for i in range(c)]
+    outs = []
+    for m in range(c):
+        o = None
+        for k in range(4):
+            idx = 4 * m + k
+            b = lax.shift_right_logical(
+                planes[idx % c], 8 * (idx // c)) & 0xFF
+            term = lax.shift_left(b, 8 * k)
+            o = term if o is None else o | term
+        outs.append(o)
+    return jnp.stack(outs, axis=-1).reshape(t, rows, c * wpw)
 
 
 def _decode_temporal_device(inner: bytes, keyint: int, mvs,
@@ -1111,6 +1168,23 @@ def _decode_temporal_device(inner: bytes, keyint: int, mvs,
     if cinfo is None:
         out = np.asarray(folded).view(np.uint8).reshape(tp, rows_pf, w_pad)
         return out if (rows_pf, w_pad) == (h, w) else out[:, :h, :w]
+    t = tp // ppf
+    if u16:
+        # word-domain [lo, hi] interleave; the host view IS the u16 frame
+        iw = _jitted("interleave_u16", _interleave_words_jax,
+                     static=("channels", "u16", "cs"))(
+                         folded, channels=2, u16=True, cs=0)
+        out = np.asarray(iw).view("<u2").reshape(t, rows_pf, w_pad)
+        return out if (rows_pf, w_pad) == (h, w) else out[:, :h, :w]
+    if ch in (2, 3, 4):
+        # word-domain cs-invert + channel interleave; host views bytes
+        iw = _jitted("interleave_color", _interleave_words_jax,
+                     static=("channels", "u16", "cs"))(
+                         folded, channels=ch, u16=False, cs=cs)
+        out = np.asarray(iw).view(np.uint8).reshape(
+            t, rows_pf, w_pad, ch)
+        return (out if (rows_pf, w_pad) == (h, w)
+                else out[:, :h, :w, :])
     frames = _jitted(
         "plane_relayout", _plane_words_relayout_jax,
         static=("channels", "kind", "cs", "height", "width"))(
