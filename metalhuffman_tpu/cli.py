@@ -1727,14 +1727,28 @@ def _cmd_verify_streaming_temporal(args, data: bytes, cfg) -> int:
     """verify --streaming on an MHVT wrapper: reconstruct in keyframe-
     group-aligned chunks, verifying the FCRC table per chunk and the
     outer temporal CRC streamed — peak memory is one chunk of true
-    frames, independent of video length."""
+    frames, independent of video length. The wrapper is parsed once for
+    the report fields (plus ``iter_temporal_video``'s own working
+    parse). A container recording NEITHER CRC is refused: a streamed
+    verify that checks nothing must not print PASS — the batch verify
+    covers those files via the inner stream's own checks."""
+    import struct as struct_mod
+
     from .models import temporal
 
     try:
-        desc = temporal.describe(data)
-        _inner, _keyint, tcrc, _mvs, fcrcs, _fl = temporal.unwrap(data)
+        _inner, keyint, tcrc, mvs, fcrcs, fl = temporal.unwrap(data)
+        flags = struct_mod.unpack_from("<HHI", data, 4)[1]
+        desc = temporal._describe_parts(keyint, tcrc, mvs, fcrcs, fl,
+                                        flags)
     except ValueError as e:
         raise SystemExit(str(e))
+    if not tcrc and fcrcs is None:
+        raise SystemExit(
+            "this MHVT records neither an outer CRC nor a per-frame CRC "
+            "table, so the streamed verify has nothing to check — run "
+            "the batch `verify` (it checks the inner residual stream's "
+            "own CRC / end-bit integrity)")
     total = 0
     try:
         for base, chunk in temporal.iter_temporal_video(data, cfg):
@@ -1762,6 +1776,7 @@ def _cmd_verify_streaming_mhts(args, data: bytes, cfg) -> int:
     pallas = args.backend == "pallas"
     total = 0
     with_crc = 0
+    h = w = None
     try:
         for i, frame, err, crc in frame_stream.iter_stream_frames(
                 data, cfg, check=pallas):
@@ -1782,6 +1797,11 @@ def _cmd_verify_streaming_mhts(args, data: bytes, cfg) -> int:
             h, w = frame.shape
     except ValueError as e:
         raise SystemExit(str(e))
+    if total == 0:
+        # a zero-count header (corrupt or crafted) must not reach the
+        # summary print with unbound geometry — and "verified nothing"
+        # is not a PASS
+        raise SystemExit("empty MHTS stream")
     print(f"MHTS: {total} frames {h}x{w} (streamed, per-frame tables)")
     print(f"  {'end-bit check':<14} "
           + ("ok (per frame)" if pallas

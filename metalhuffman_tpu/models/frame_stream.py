@@ -1318,11 +1318,19 @@ def write_stream(streams: list[container.EncodedStream], height: int, width: int
 def _iter_stream_records(data: bytes):
     if data[:4] != STREAM_MAGIC:
         raise ValueError("not an MHTS container")
+    if len(data) < 8:
+        raise ValueError("truncated MHTS container (header incomplete)")
     (count,) = struct.unpack_from("<I", data, 4)
     pos = 8
-    for _ in range(count):
+    for i in range(count):
+        if len(data) < pos + 4:
+            raise ValueError(
+                f"truncated MHTS container (record {i} length missing)")
         (rec_len,) = struct.unpack_from("<I", data, pos)
         pos += 4
+        if len(data) < pos + rec_len:
+            raise ValueError(
+                f"truncated MHTS container (record {i} incomplete)")
         yield container.read_frame(data[pos : pos + rec_len])
         pos += rec_len
 
@@ -1350,6 +1358,8 @@ def stream_frame_count(data: bytes) -> int:
     """Frame count recorded in an MHTS header (no record parsing)."""
     if data[:4] != STREAM_MAGIC:
         raise ValueError("not an MHTS container")
+    if len(data) < 8:
+        raise ValueError("truncated MHTS container (header incomplete)")
     (count,) = struct.unpack_from("<I", data, 4)
     return count
 

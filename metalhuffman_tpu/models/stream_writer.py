@@ -419,6 +419,11 @@ class ColorStreamingEncoder:
 
     def push(self, frames: np.ndarray) -> None:
         """Buffer one frame or a stack: (T, H, W, C) uint8 / (T, H, W) u16."""
+        if self.stats is not None or self._fh.closed:
+            # guard BEFORE delegating: the inner writer's own "push()
+            # after close()" error must not trip the abort wrapper below,
+            # which would truncate an already-finalized container
+            raise ValueError("push() after close()")
         arr = np.asarray(frames)
         if self._u16:
             if arr.ndim == 2:

@@ -325,25 +325,31 @@ def temporal_fold_u16_words_jax(words, keyint: int,
     return out.reshape(tp, rows, wpw)
 
 
-def _roll_words(frame, dy, dx):
-    """Circular (dy, dx) pixel roll of one PACKED frame: (rows, W//4) int32
-    little-endian words (pixel 4i+k in bits 8k of word i).
-
-    ``dy`` rolls whole rows; ``dx`` splits into a word roll (dx>>2) plus a
-    0..3-byte rotate done with variable shifts against the left-neighbor
-    word — no byte-granular relayout anywhere. The ``>>1 >>(31-8r)`` form
-    makes the r=0 case a shift by 32 = contribute nothing (int32 shifts
-    past 31 are undefined as single ops).
-    """
+def _col_roll_words(z, s):
+    """Circular roll of packed words along the column (word) axis by ``s``
+    BYTES over the full packed width: a word roll (s>>2) plus a 0..3-byte
+    rotate done with variable shifts against the left-neighbor word — no
+    byte-granular relayout anywhere. The ``>>1 >>(31-8r)`` form makes the
+    r=0 case a shift by 32 = contribute nothing (int32 shifts past 31 are
+    undefined as single ops). Shared by the exact-geometry and padded
+    rolls so the rotate logic can never silently diverge."""
     import jax.numpy as jnp
     from jax import lax
 
-    frame = jnp.roll(frame, dy, axis=0)
-    a = jnp.roll(frame, lax.shift_right_logical(dx, 2), axis=1)
-    r8 = (dx & 3) << 3
+    a = jnp.roll(z, lax.shift_right_logical(s, 2), axis=1)
+    r8 = (s & 3) << 3
     prev = jnp.roll(a, 1, axis=1)
     return lax.shift_left(a, r8) | lax.shift_right_logical(
         lax.shift_right_logical(prev, 1), 31 - r8)
+
+
+def _roll_words(frame, dy, dx):
+    """Circular (dy, dx) pixel roll of one PACKED frame: (rows, W//4) int32
+    little-endian words (pixel 4i+k in bits 8k of word i) — valid when the
+    packed extent IS the image extent (no padding)."""
+    import jax.numpy as jnp
+
+    return _col_roll_words(jnp.roll(frame, dy, axis=0), dx)
 
 
 def _roll_words_general(frame, dy, dx, height: int, width: int):
@@ -366,7 +372,6 @@ def _roll_words_general(frame, dy, dx, height: int, width: int):
     crosses into the cropped view.
     """
     import jax.numpy as jnp
-    from jax import lax
 
     rows_pf, wpw = frame.shape
     w_pad = wpw * 4
@@ -378,18 +383,10 @@ def _roll_words_general(frame, dy, dx, height: int, width: int):
         x = jnp.where(jnp.arange(rows_pf)[:, None] < dy, b, a)
     else:
         x = a
-
-    def colroll(z, s):
-        zz = jnp.roll(z, lax.shift_right_logical(s, 2), axis=1)
-        r8 = (s & 3) << 3
-        prev = jnp.roll(zz, 1, axis=1)
-        return lax.shift_left(zz, r8) | lax.shift_right_logical(
-            lax.shift_right_logical(prev, 1), 31 - r8)
-
-    ca = colroll(x, dx)
+    ca = _col_roll_words(x, dx)
     if w_pad == width:
         return ca
-    cb = colroll(x, dx + w_pad - width)
+    cb = _col_roll_words(x, dx + w_pad - width)
     lanes = jnp.arange(wpw)[:, None] * 4 + jnp.arange(4)[None, :]
     m = jnp.where(lanes < dx, jnp.int32(0xFF), jnp.int32(0))
     mask = m[:, 0] | (m[:, 1] << 8) | (m[:, 2] << 16) | (m[:, 3] << 24)
@@ -1637,10 +1634,11 @@ def decode_temporal_video_region(blob: bytes, a: int, b: int, y0: int,
     return temporal_decode(res, keyint, first_len=span_fl)[a - kf :]
 
 
-def describe(blob: bytes) -> str:
-    """One-line human description of the MHVT wrapper (for CLI ``info``)."""
-    _, keyint, crc, mvs, fcrcs, first_len = unwrap(blob)
-    flags = struct.unpack_from(_HEADER, blob, 4)[1]
+def _describe_parts(keyint: int, crc: int, mvs, fcrcs, first_len: int,
+                    flags: int) -> str:
+    """The :func:`describe` line from already-unwrapped fields — so a
+    caller that parsed once (e.g. the streamed verify) never re-parses
+    a whole-payload container just for its description."""
     motion = ""
     if mvs is not None:
         moving = int((mvs != 0).any(axis=1).sum())
@@ -1651,3 +1649,10 @@ def describe(blob: bytes) -> str:
     layout = ", streamed (trailer) layout" if flags & FLAG_TRAILER else ""
     return (f"MHVT: temporal prediction, keyframe every {keyint}{fl}"
             f"{motion}{fc}{layout}, crc32={'recorded' if crc else 'absent'}")
+
+
+def describe(blob: bytes) -> str:
+    """One-line human description of the MHVT wrapper (for CLI ``info``)."""
+    _, keyint, crc, mvs, fcrcs, first_len = unwrap(blob)
+    flags = struct.unpack_from(_HEADER, blob, 4)[1]
+    return _describe_parts(keyint, crc, mvs, fcrcs, first_len, flags)

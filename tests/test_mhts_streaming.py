@@ -220,3 +220,31 @@ def test_cli_mhts_streaming_corruption(tmp_path):
     with pytest.raises(SystemExit, match="segments"):
         cli.main(["encode-video", str(src), str(out), "--streaming",
                   "--per-frame-tables", "--segment-frames", "2"])
+
+
+def test_truncated_mhts_raises_clean_errors(tmp_path):
+    """Round-5 review finding: every truncation of an MHTS must surface
+    as ValueError (never struct.error) through the streaming readers,
+    and the CLI must turn it into a clean exit."""
+    from metalhuffman_tpu import cli
+
+    frames = _frames(3, 16, 16, seed=21)
+    blob = _batch_bytes(frames, NATIVE)
+    for cut in [5, 6, 9, 11, len(blob) // 2, len(blob) - 1]:
+        with pytest.raises(ValueError):
+            list(frame_stream.iter_stream_frames(blob[:cut], NATIVE))
+    with pytest.raises(ValueError):
+        frame_stream.stream_frame_count(b"MHTS\x01")
+    p = tmp_path / "cut.mhts"
+    p.write_bytes(blob[: len(blob) // 2])
+    with pytest.raises(SystemExit):
+        cli.main(["decode-video", str(p), str(tmp_path / "o.npy"),
+                  "--streaming", "--backend", "native"])
+    with pytest.raises(SystemExit):
+        cli.main(["verify", str(p), "--streaming", "--backend", "native"])
+    # zero-frame-count header: clean refusal, not a NameError
+    p0 = tmp_path / "empty.mhts"
+    p0.write_bytes(b"MHTS" + b"\x00" * 4)
+    with pytest.raises(SystemExit, match="empty"):
+        cli.main(["verify", str(p0), "--streaming", "--backend",
+                  "native"])

@@ -211,6 +211,14 @@ def test_pipeline_fuzz(tmp_path):
                                 mhts_blob, CodecConfig(**BACK))]
                 assert np.array_equal(np.stack(served_m), frames), \
                     f"MHTS streamed roundtrip, {ctx}"
+                # truncations of the MHTS must raise controlled errors
+                for _ in range(2):
+                    cut = int(rng.integers(4, len(mhts_blob)))
+                    try:
+                        list(frame_stream.iter_stream_frames(
+                            mhts_blob[:cut], CodecConfig(**BACK)))
+                    except (ValueError, RuntimeError):
+                        pass
 
         # lossless surgery when the container supports this range
         ki = cfg.keyint

@@ -804,3 +804,23 @@ def test_failed_streaming_decode_removes_stale_frames(tmp_path):
         cli.main(["decode-video", str(mhv2), str(outdir), "--streaming",
                   "--backend", "native"])
     assert list(outdir.glob("frame_*.png")) == []
+
+
+def test_color_push_after_close_preserves_container(tmp_path):
+    """Round-5 review finding: a push() after a successful close() must
+    raise WITHOUT tripping the abort wrapper (which would truncate the
+    finalized container — silent data loss on file-object sinks)."""
+    from metalhuffman_tpu.models.stream_writer import ColorStreamingEncoder
+
+    rng = np.random.default_rng(5)
+    frames = rng.integers(0, 200, (3, 16, 16, 3)).astype(np.uint8)
+    sink = io.BytesIO()
+    enc = ColorStreamingEncoder(sink, 16, 16, channels=3,
+                                config=CodecConfig(backend="native"))
+    enc.push(frames)
+    enc.close()
+    good = sink.getvalue()
+    assert len(good) > 0
+    with pytest.raises(ValueError, match="after close"):
+        enc.push(frames)
+    assert sink.getvalue() == good  # finalized container untouched

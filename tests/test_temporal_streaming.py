@@ -391,3 +391,22 @@ def test_cli_streaming_temporal_color_u16(tmp_path):
     np.testing.assert_array_equal(np.load(dec2), u16)
     assert cli.main(["verify", str(out2), "--streaming",
                      "--backend", "native"]) == 0
+
+
+def test_verify_streaming_refuses_checkless_mhvt(tmp_path):
+    """Round-5 review finding: an MHVT recording neither CRC must not
+    PASS a streamed verify that checked nothing."""
+    from metalhuffman_tpu import cli
+    from metalhuffman_tpu import encode_video
+
+    frames = _frames(4, 16, 16, seed=41)
+    cfg = CodecConfig(backend="native")
+    inner = encode_video(temporal.temporal_encode(frames, 2),
+                         temporal._inner_config(cfg))
+    blob = temporal.wrap(inner, 2, source_crc32=0)  # no CRCs anywhere
+    p = tmp_path / "nocrc.mhvt"
+    p.write_bytes(blob)
+    with pytest.raises(SystemExit, match="nothing to check"):
+        cli.main(["verify", str(p), "--streaming", "--backend", "native"])
+    # the batch verify still covers it
+    assert cli.main(["verify", str(p), "--backend", "native"]) == 0
