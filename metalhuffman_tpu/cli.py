@@ -1040,14 +1040,15 @@ def _cmd_decode_video_region(args, data: bytes, cfg) -> int:
             out = color.decode_color_video_region(
                 data, a, b, y0, x0, rhh, rww, cfg, check=check)
         elif data[:4] in (frame_stream.SHARED_MAGIC,
-                          frame_stream.SEGMENTED_MAGIC):
+                          frame_stream.SEGMENTED_MAGIC,
+                          frame_stream.STREAM_MAGIC):
             (total,) = struct_mod.unpack_from("<I", data, 4)
             a, b = _frame_span(args, total)
             out = frame_stream.decode_video_region(
                 data, a, b, y0, x0, rhh, rww, cfg, check=check)
         else:
             raise SystemExit(
-                "--region supports MHTV/MHV2/MHTC/MHVT containers")
+                "--region supports MHTV/MHV2/MHTS/MHTC/MHVT containers")
     except ValueError as e:
         raise SystemExit(str(e))
     dt = time.perf_counter() - t0

@@ -1093,7 +1093,7 @@ def decode_video_region(data: bytes, a: int, b: int, y0: int, x0: int,
                         config: CodecConfig | None = None,
                         check: bool = False) -> np.ndarray:
     """Spatio-temporal ROI: the (rh, rw) crop of frames [a, b) of an
-    MHTV/MHV2 container -> (b-a, rh, rw) uint8.
+    MHTV/MHV2/MHTS container -> (b-a, rh, rw) uint8.
 
     Only the blocks covering the region IN THOSE FRAMES decode — the full
     random-access power of the per-block offset index (time via
@@ -1118,6 +1118,36 @@ def decode_video_region(data: bytes, a: int, b: int, y0: int, x0: int,
 
     from .image_codec import decode_blocks_selection
 
+    if data[:4] == STREAM_MAGIC:
+        # MHTS: every record is a self-contained frame — the region is a
+        # per-frame ImageCodec.decode_region loop over [a, b) (round 5;
+        # previously the one container without an ROI surface)
+        from .image_codec import ImageCodec
+
+        cfg0 = config or CodecConfig()
+        outs = []
+        geom = None
+        for i, (s, h, w, bd, delta, _crc) in enumerate(
+                _iter_stream_records(data)):
+            if geom is None:
+                geom = (h, w)
+                if not (0 <= y0 and y0 + rh <= h
+                        and 0 <= x0 and x0 + rw <= w):
+                    raise ValueError("region out of bounds")
+            if i < a:
+                continue
+            if i >= b:
+                break
+            fcfg = dataclasses.replace(cfg0, block_dim=bd, delta=delta,
+                                       delta2d=s.predictor == "2d")
+            codec = ImageCodec(fcfg)
+            outs.append(codec.decode_region(s, h, w, y0, x0, rh, rw,
+                                            check=check))
+        if len(outs) != b - a or not 0 <= a < b:
+            raise ValueError(
+                f"frames [{a}, {b}) out of range "
+                f"({len(outs) + a} frames reachable)")
+        return np.stack(outs)
     if data[:4] == SHARED_MAGIC:
         stream, t, h, w, bd, delta = read_shared(data)
         segs = [(stream, t)]

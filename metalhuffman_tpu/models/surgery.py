@@ -14,7 +14,9 @@ The reference has no containers at all (its encoded stream lives only in
 memory, ``AAPLRenderer.m:577-585``); this is the editing/ingestion surface
 a production codec needs. CLI: ``mht extract`` / ``mht concat``.
 
-Supported: MHTV, MHV2, MHTC video (plane ranges), MHVT. An MHVT extract
+Supported: MHTV, MHV2, MHTS (verbatim record splices — the per-frame
+tables make it the easiest surgery in the format), MHTC video (plane
+ranges), MHVT. An MHVT extract
 may start ANYWHERE: a start inside a keyframe group re-encodes ONLY that
 group (the start frame becomes a literal keyframe — at most keyint frames
 decode and re-encode) and splices every later group losslessly; the output
@@ -112,6 +114,62 @@ def _encode_like(inner: bytes, frames: np.ndarray) -> bytes:
     return encode_video(frames, _cfg_like(inner))
 
 
+def _mhts_spans(data: bytes):
+    """MHTS -> (spans, count, geom, end): raw byte spans per record
+    (INCLUDING each u32 length prefix), the declared frame count, the
+    shared (h, w, bd, delta_bool) geometry, and the offset one past the
+    last record. Length-checked so truncation is a clean ValueError.
+    MHTS records are self-contained, so surgery on them is pure byte
+    splicing — no trim, no rebase, no CRC algebra (each record carries
+    its own per-frame CRC)."""
+    import struct
+
+    if data[:4] != frame_stream.STREAM_MAGIC:
+        raise ValueError("not an MHTS container")
+    if len(data) < 8:
+        raise ValueError("truncated MHTS container (header incomplete)")
+    (count,) = struct.unpack_from("<I", data, 4)
+    spans, geom = [], None
+    pos = 8
+    for i in range(count):
+        if len(data) < pos + 4:
+            raise ValueError(
+                f"truncated MHTS container (record {i} length missing)")
+        (rec_len,) = struct.unpack_from("<I", data, pos)
+        if len(data) < pos + 4 + rec_len or rec_len < 18:
+            raise ValueError(
+                f"truncated MHTS container (record {i} incomplete)")
+        h, w, _nb, bd, mode = struct.unpack_from("<IIIBB", data, pos + 8)
+        g = (h, w, bd, mode != 0)
+        if geom is None:
+            geom = g
+        elif geom != g:
+            raise ValueError("MHTS frames must share geometry")
+        spans.append((pos, 4 + rec_len))
+        pos += 4 + rec_len
+    if geom is None:
+        raise ValueError("empty MHTS stream")
+    return spans, count, geom, pos
+
+
+def _extract_mhts(data: bytes, a: int, b: int,
+                  info: dict | None = None) -> bytes:
+    """MHTS extract: records [a, b) copied verbatim + a new count — the
+    easiest surgery in the format (per-frame CRCs travel inside the
+    records)."""
+    import struct
+
+    spans, count, _geom, _end = _mhts_spans(data)
+    if not 0 <= a < b <= count:
+        raise ValueError(f"frames [{a}, {b}) out of range ({count} frames)")
+    if info is not None:
+        info["reencoded_frames"] = 0
+    lo = spans[a][0]
+    hi = spans[b - 1][0] + spans[b - 1][1]
+    return (frame_stream.STREAM_MAGIC + struct.pack("<I", b - a)
+            + data[lo:hi])
+
+
 def _extract_temporal(data: bytes, a: int, b: int,
                       info: dict | None = None) -> bytes:
     """MHVT extract: lossless when ``a`` is a keyframe, else the FIRST
@@ -188,6 +246,8 @@ def extract_video(data: bytes, a: int, b: int,
     """
     if data[:4] == temporal_mod.TEMPORAL_MAGIC:
         return _extract_temporal(data, a, b, info)
+    if data[:4] == frame_stream.STREAM_MAGIC:
+        return _extract_mhts(data, a, b, info)
     if data[:4] == color_mod.COLOR_MAGIC:
         inner, ch, layout, kind, cs = color_mod.unwrap(data)
         if layout != color_mod.LAYOUT_VIDEO:
@@ -291,6 +351,21 @@ def concat_videos(blobs: list[bytes]) -> bytes:
         out_fl = first_len if first_len < keyint else None
         return temporal_mod.wrap(inner, keyint, source_crc32=crc, mvs=mvs,
                                  frame_crcs=fc, first_len=out_fl)
+    if kind == frame_stream.STREAM_MAGIC:
+        import struct
+
+        total, geom, runs = 0, None, []
+        for x in blobs:
+            _spans, count, g, end = _mhts_spans(x)
+            if geom is None:
+                geom = g
+            elif geom != g:
+                raise ValueError(
+                    f"geometry/mode mismatch: {geom} vs {g}")
+            total += count
+            runs.append(x[8:end])  # the record region, verbatim
+        return (frame_stream.STREAM_MAGIC + struct.pack("<I", total)
+                + b"".join(runs))
     if kind == color_mod.COLOR_MAGIC:
         parts = [color_mod.unwrap(x) for x in blobs]
         meta = {(p[1], p[2], p[3], p[4]) for p in parts}
@@ -347,6 +422,11 @@ def resegment_video(data: bytes, frames_per_segment: int) -> bytes:
     """
     if frames_per_segment < 1:
         raise ValueError("frames_per_segment must be >= 1")
+    if data[:4] == frame_stream.STREAM_MAGIC:
+        raise ValueError(
+            "MHTS has no segment structure to re-cut — every record is "
+            "already self-contained (streaming decode reads it one frame "
+            "at a time); use extract/concat for range surgery")
     if data[:4] == temporal_mod.TEMPORAL_MAGIC:
         inner, keyint, crc, mvs, fcrcs, first_len = temporal_mod.unwrap(data)
         return temporal_mod.wrap(

@@ -248,3 +248,68 @@ def test_truncated_mhts_raises_clean_errors(tmp_path):
     with pytest.raises(SystemExit, match="empty"):
         cli.main(["verify", str(p0), "--streaming", "--backend",
                   "native"])
+
+
+def test_mhts_surgery_and_region(tmp_path):
+    """Round-5 completion: MHTS joins every surgery/random-access surface
+    — extract/concat are verbatim record splices (the easiest surgery in
+    the format), region decode loops per-frame decode_region."""
+    from metalhuffman_tpu import cli
+    from metalhuffman_tpu.models import surgery
+
+    frames = _frames(6, 24, 32, seed=17)
+    blob = _batch_bytes(frames, NATIVE)
+
+    # extract: verbatim splice, lossless, info reports zero re-encodes
+    info = {}
+    part = surgery.extract_video(blob, 2, 5, info)
+    assert info["reencoded_frames"] == 0
+    outs = [f for _, f, _, _ in
+            frame_stream.iter_stream_frames(part, NATIVE)]
+    np.testing.assert_array_equal(np.stack(outs), frames[2:5])
+    assert surgery.extract_video(blob, 0, 6) == blob  # full = verbatim
+
+    # concat: record regions verbatim, count summed
+    cat = surgery.concat_videos([blob, part])
+    outs = [f for _, f, _, _ in
+            frame_stream.iter_stream_frames(cat, NATIVE)]
+    np.testing.assert_array_equal(
+        np.stack(outs), np.concatenate([frames, frames[2:5]]))
+    # geometry mismatch refused
+    other = _batch_bytes(_frames(2, 16, 16, seed=19), NATIVE)
+    with pytest.raises(ValueError, match="mismatch"):
+        surgery.concat_videos([blob, other])
+
+    # resegment: clean refusal (no segments to re-cut)
+    with pytest.raises(ValueError, match="self-contained"):
+        surgery.resegment_video(blob, 2)
+
+    # region decode (library + per-frame CRC-independent)
+    roi = frame_stream.decode_video_region(blob, 1, 4, 4, 8, 8, 16,
+                                           NATIVE)
+    np.testing.assert_array_equal(roi, frames[1:4, 4:12, 8:24])
+    with pytest.raises(ValueError, match="out of bounds"):
+        frame_stream.decode_video_region(blob, 0, 2, 20, 0, 8, 8, NATIVE)
+    with pytest.raises(ValueError, match="out of range"):
+        frame_stream.decode_video_region(blob, 4, 9, 0, 0, 8, 8, NATIVE)
+
+    # CLI: extract/concat/region on MHTS files
+    p = tmp_path / "s.mhts"
+    p.write_bytes(blob)
+    out = tmp_path / "part.mhts"
+    assert cli.main(["extract", str(p), str(out), "--frames", "2",
+                     "5"]) == 0
+    assert out.read_bytes() == part
+    cat_p = tmp_path / "cat.mhts"
+    assert cli.main(["concat", str(cat_p), str(p), str(out)]) == 0
+    assert cat_p.read_bytes() == cat
+    dec = tmp_path / "roi.npy"
+    assert cli.main(["decode-video", str(p), str(dec), "--frames", "1",
+                     "4", "--region", "4", "8", "8", "16",
+                     "--backend", "native"]) == 0
+    np.testing.assert_array_equal(np.load(dec), frames[1:4, 4:12, 8:24])
+    # region with on-device end-bit check (interpret)
+    assert cli.main(["decode-video", str(p), str(dec), "--frames", "1",
+                     "3", "--region", "4", "8", "8", "16", "--check",
+                     "--backend", "pallas", "--interpret"]) == 0
+    np.testing.assert_array_equal(np.load(dec), frames[1:3, 4:12, 8:24])

@@ -219,6 +219,23 @@ def test_pipeline_fuzz(tmp_path):
                             mhts_blob[:cut], CodecConfig(**BACK)))
                     except (ValueError, RuntimeError):
                         pass
+                # MHTS surgery: verbatim record splices (round 5)
+                ma = int(rng.integers(0, t))
+                mb = int(rng.integers(ma + 1, t + 1))
+                mpart = surgery.extract_video(mhts_blob, ma, mb)
+                got_m = [fr for _i, fr, _e, _c in
+                         frame_stream.iter_stream_frames(
+                             mpart, CodecConfig(**BACK))]
+                assert np.array_equal(np.stack(got_m), frames[ma:mb]), \
+                    f"MHTS extract, {ctx}"
+                mcat = surgery.concat_videos([mhts_blob, mpart])
+                got_c = [fr for _i, fr, _e, _c in
+                         frame_stream.iter_stream_frames(
+                             mcat, CodecConfig(**BACK))]
+                assert np.array_equal(
+                    np.stack(got_c),
+                    np.concatenate([frames, frames[ma:mb]])), \
+                    f"MHTS concat, {ctx}"
 
         # lossless surgery when the container supports this range
         ki = cfg.keyint
