@@ -361,6 +361,11 @@ def _cmd_encode_video_streaming(args) -> int:
             raise SystemExit(
                 f"--streaming writes containers incrementally; "
                 f"{what} needs the full sequence in memory — drop one")
+    appending = getattr(args, "append", False)
+    if appending and not Path(args.output).exists():
+        raise SystemExit(
+            f"--append resumes an existing container, but {args.output} "
+            "does not exist (drop --append for a fresh capture)")
     if getattr(args, "motion", False) and not getattr(args, "temporal",
                                                       False):
         raise SystemExit("--motion requires --temporal")
@@ -395,28 +400,29 @@ def _cmd_encode_video_streaming(args) -> int:
         MHVT (trailer layout) when --temporal, else the bare MHV2/MHTC
         writer."""
         if mhts:
-            return MHTSStreamingEncoder(args.output, h, w, cfg)
+            return MHTSStreamingEncoder(args.output, h, w, cfg,
+                                        append=appending)
         if cfg.temporal:
             return TemporalStreamingEncoder(
                 args.output, h, w, cfg, channels=channels, u16=u16,
                 colorspace=colorspace,
                 max_segment_frames=args.segment_frames,
-                frame_crcs=cfg.frame_crcs)
+                frame_crcs=cfg.frame_crcs, append=appending)
         if u16:
             return ColorStreamingEncoder(
                 args.output, h, w, u16=True, config=cfg,
                 max_segment_frames=args.segment_frames,
-                frame_crcs=cfg.frame_crcs)
+                frame_crcs=cfg.frame_crcs, append=appending)
         if channels is not None:
             return ColorStreamingEncoder(
                 args.output, h, w, channels=channels, config=cfg,
                 colorspace=colorspace,
                 max_segment_frames=args.segment_frames,
-                frame_crcs=cfg.frame_crcs)
+                frame_crcs=cfg.frame_crcs, append=appending)
         return StreamingEncoder(
             args.output, h, w, cfg,
             max_segment_frames=args.segment_frames,
-            frame_crcs=cfg.frame_crcs)
+            frame_crcs=cfg.frame_crcs, append=appending)
 
     def drive(make_enc, chunks, first=None):
         with make_enc() as enc:
@@ -494,6 +500,8 @@ def _cmd_encode_video_streaming(args) -> int:
     if cfg.temporal:
         mc = ", motion" if cfg.motion else ""
         kind = f"MHVT[keyint {cfg.keyint}{mc}]/" + kind
+    if appending:
+        kind += ", appended"
     print(
         f"{args.input}: {stats.total_frames} frames {h}x{w} -> "
         f"{kind}, {stats.num_segments} segments, streamed] "
@@ -510,6 +518,8 @@ def cmd_encode_video(args) -> int:
         return _cmd_encode_video_streaming(args)
     if getattr(args, "segment_frames", None) is not None:
         raise SystemExit("--segment-frames requires --streaming")
+    if getattr(args, "append", False):
+        raise SystemExit("--append requires --streaming")
     if getattr(args, "motion", False) and not getattr(args, "temporal", False):
         raise SystemExit("--motion requires --temporal")
     if getattr(args, "gray16", False) or getattr(args, "color", False):
@@ -2192,8 +2202,17 @@ def main(argv=None) -> int:
                         "image at a time) and write MHV2 segments as they "
                         "fill — peak memory is one segment of raw frames, "
                         "independent of video length; composes with "
-                        "--color/--gray16/--subgreen (MHTC wrapping a "
-                        "streamed inner MHV2) but not --temporal/--best")
+                        "--color/--gray16/--subgreen (MHTC), --temporal "
+                        "[--motion] (MHVT trailer layout), and "
+                        "--per-frame-tables (MHTS) — but not --best")
+    p.add_argument("--append", action="store_true",
+                   help="with --streaming: RESUME an existing finalized "
+                        "container in place (capture resume) — new frames "
+                        "chain onto the recorded CRC/FCRC tables and, for "
+                        "--temporal, the keyframe cadence and motion "
+                        "table continue; byte-identical to concatenating "
+                        "the parts, and a failed append restores the "
+                        "original file untouched")
     p.add_argument("--segment-frames", type=int, default=None, metavar="N",
                    help="with --streaming: cap frames per MHV2 segment to "
                         "bound peak memory below the u32 offset-cap "

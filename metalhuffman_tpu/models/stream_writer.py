@@ -108,6 +108,7 @@ class StreamingEncoder:
         max_segment_bits: int = (1 << 32) - 1024,
         max_segment_frames: int | None = None,
         frame_crcs: bool = False,
+        append: bool = False,
     ) -> None:
         cfg = config or CodecConfig()
         if cfg.temporal:
@@ -134,16 +135,22 @@ class StreamingEncoder:
         self._want_fcrcs = bool(frame_crcs)
         self._fcrcs: list[int] = []
         self._crc = 0
+        self._crc_valid = True  # False: combined CRC unrecordable (append
+        #                         onto a file that records none)
         self._buf: list[np.ndarray] = []  # pending frames, each (H, W)
         self._buffered = 0
         self._total = 0
         self._n_seg = 0
         self._mode: int | None = None
         self._closed = False
+        #: (trailer_start, original trailer bytes, original header bytes)
+        #: when appending — failure RESTORES the original file instead of
+        #: truncating to nothing
+        self._restore: tuple | None = None
         self.stats: StreamStats | None = None
 
         if isinstance(sink, (str, Path)):
-            self._fh: io.IOBase = open(sink, "wb")
+            self._fh: io.IOBase = open(sink, "r+b" if append else "wb")
             self._owns_fh = True
         else:
             self._fh = sink
@@ -153,10 +160,89 @@ class StreamingEncoder:
                 "sink must be a seekable writable binary file (the MHV2 "
                 "header's frame/segment counts are patched on close)")
         self._base = self._fh.tell()
-        # placeholder header; total_frames and n_seg patched on close()
-        self._fh.write(frame_stream.SEGMENTED_MAGIC)
-        self._fh.write(struct.pack(
-            self._HEADER_FMT, 0, self._h, self._w, cfg.block_dim, 0, 0))
+        try:
+            if append:
+                self._open_for_append()
+            else:
+                # placeholder header; totals patched on close()
+                self._fh.write(frame_stream.SEGMENTED_MAGIC)
+                self._fh.write(struct.pack(
+                    self._HEADER_FMT, 0, self._h, self._w, cfg.block_dim,
+                    0, 0))
+        except BaseException:
+            if self._owns_fh:
+                self._fh.close()
+            raise
+
+    def _open_for_append(self) -> None:
+        """Resume/append mode: parse the EXISTING finalized MHV2, seed the
+        writer's state from it, and peel its trailer off.
+
+        The capture-resume story (SURVEY section 5 checkpoint/resume): a
+        crashed capture leaves either a valid container (closed cleanly)
+        or — by the no-torn-container contract — nothing; appending to
+        the valid container continues it in place. New frames chain onto
+        the recorded CRC (``zlib.crc32(new, old)`` IS the CRC of the
+        concatenated payload) and any FCRC table extends, so the result
+        is byte-identical to ``surgery.concat_videos([old, new])`` of the
+        same content (gated by test). Only segment headers and the small
+        trailer are read — the payload bytes are never touched. A failed
+        append RESTORES the original trailer/header: the pre-existing
+        container survives any error.
+        """
+        fh = self._fh
+        fh.seek(self._base)
+        head = fh.read(22)
+        if len(head) < 22 or head[:4] != frame_stream.SEGMENTED_MAGIC:
+            raise ValueError(
+                "append needs an existing segmented MHV2 container "
+                "(`resegment` converts an MHTV losslessly)")
+        total, h, w, bd, mode, n_seg = struct.unpack(self._HEADER_FMT,
+                                                     head[4:])
+        if (h, w) != (self._h, self._w):
+            raise ValueError(
+                f"existing container is {h}x{w}, not "
+                f"{self._h}x{self._w}")
+        if bd != self._cfg.block_dim:
+            raise ValueError(
+                f"existing container uses block_dim={bd}, the config "
+                f"says {self._cfg.block_dim}")
+        pos = self._base + 22
+        for i in range(n_seg):
+            fh.seek(pos)
+            rec = fh.read(12)
+            if len(rec) < 12:
+                raise ValueError(
+                    f"truncated MHV2 container (segment {i} header)")
+            _t, nb, ln = struct.unpack("<III", rec)
+            pos += 12 + ln + 4 * nb + (nb if mode in (2, 4) else 0)
+        fh.seek(pos)
+        trailer = fh.read()
+        if len(trailer) < 4:
+            raise ValueError("truncated MHV2 container (trailer missing)")
+        (crc,) = struct.unpack_from("<I", trailer, 0)
+        old_fcrcs = None
+        if (len(trailer) >= 12
+                and trailer[4:8] == frame_stream.FRAME_CRC_MAGIC):
+            (n,) = struct.unpack_from("<I", trailer, 8)
+            if len(trailer) < 12 + 4 * n:
+                raise ValueError("truncated FCRC table")
+            old_fcrcs = np.frombuffer(trailer, "<u4", count=n, offset=12)
+        self._total, self._n_seg, self._mode = total, n_seg, mode
+        self._crc = crc
+        self._crc_valid = crc != 0
+        if old_fcrcs is not None:
+            # the table continues whether or not the caller asked — a
+            # plain append must never silently DROP recorded metadata
+            self._want_fcrcs = True
+            self._fcrcs = [int(c) for c in old_fcrcs]
+        elif self._want_fcrcs:
+            raise ValueError(
+                "cannot start a per-frame CRC table mid-stream: the "
+                "existing container records none (drop frame_crcs)")
+        self._restore = (pos, trailer, head)
+        fh.truncate(pos)
+        fh.seek(pos)
 
     @property
     def segment_frames(self) -> int:
@@ -273,7 +359,8 @@ class StreamingEncoder:
                     self._emit(self._buffered)
                 if self._total == 0:
                     raise ValueError("cannot encode an empty frame stack")
-                self._fh.write(struct.pack("<I", self._crc & 0xFFFFFFFF))
+                crc_out = self._crc & 0xFFFFFFFF if self._crc_valid else 0
+                self._fh.write(struct.pack("<I", crc_out))
                 if self._want_fcrcs:
                     self._fh.write(frame_stream._frame_crc_blob(
                         np.array(self._fcrcs, np.uint32)))
@@ -285,34 +372,46 @@ class StreamingEncoder:
                     self._cfg.block_dim, self._mode, self._n_seg))
                 self._fh.seek(end)
             except BaseException:
-                self._fh.seek(self._base)
-                self._fh.truncate(self._base)
+                self._discard()
                 raise
             self.stats = StreamStats(
                 total_frames=self._total, num_segments=self._n_seg,
                 bytes_written=end - self._base,
-                source_crc32=self._crc & 0xFFFFFFFF)
+                source_crc32=crc_out)
             return self.stats
         finally:
             self._closed = True
             if self._owns_fh:
                 self._fh.close()
 
-    def abort(self) -> None:
-        """Discard everything written and close the sink without finalizing.
+    def _discard(self) -> None:
+        """Failure/abort cleanup: a fresh stream truncates to the start
+        (no torn container); an APPEND restores the original trailer and
+        header, so the pre-existing container survives intact."""
+        if self._fh.closed:
+            return
+        if self._restore is not None:
+            start, trailer, head = self._restore
+            self._fh.truncate(start)
+            self._fh.seek(start)
+            self._fh.write(trailer)
+            self._fh.seek(self._base)
+            self._fh.write(head)
+        else:
+            self._fh.seek(self._base)
+            self._fh.truncate(self._base)
 
-        The sink is truncated back to where this writer started, so no
-        torn container is left behind — for error paths where close()
-        would mask the original exception with its own.
-        """
+    def abort(self) -> None:
+        """Discard everything written and close the sink without
+        finalizing: truncate a fresh stream to nothing, or — in append
+        mode — restore the original container untouched."""
         self._closed = True
         self._buf.clear()
         self._buffered = 0
         if self._fh.closed:
             return
         try:
-            self._fh.seek(self._base)
-            self._fh.truncate(self._base)
+            self._discard()
         finally:
             if self._owns_fh:
                 self._fh.close()
@@ -359,6 +458,7 @@ class ColorStreamingEncoder:
         max_segment_bits: int = (1 << 32) - 1024,
         max_segment_frames: int | None = None,
         frame_crcs: bool = False,
+        append: bool = False,
     ) -> None:
         from . import color
 
@@ -379,10 +479,11 @@ class ColorStreamingEncoder:
         self._u16 = bool(u16)
         self._c = int(channels)
         self._cs = cs
+        self._append = bool(append)
         self._h, self._w = int(height), int(width)
 
         if isinstance(sink, (str, Path)):
-            self._fh: io.IOBase = open(sink, "wb")
+            self._fh: io.IOBase = open(sink, "r+b" if append else "wb")
             self._owns_fh = True
         else:
             self._fh = sink
@@ -394,27 +495,43 @@ class ColorStreamingEncoder:
                 "sink must be a seekable writable binary file (the inner "
                 "MHV2 header's frame/segment counts are patched on close)")
         self._base = self._fh.tell()
+        planes_per_frame = 2 if u16 else self._c
         try:
-            self._fh.write(color.COLOR_MAGIC + struct.pack(
-                "<BBBB", self._c, color.LAYOUT_VIDEO, kind, cs))
-            planes_per_frame = 2 if u16 else self._c
+            want = color.COLOR_MAGIC + struct.pack(
+                "<BBBB", self._c, color.LAYOUT_VIDEO, kind, cs)
+            if append:
+                # the MHTC header is immutable: append = validate it and
+                # run the inner writer's append machinery at offset 8
+                self._fh.seek(self._base)
+                head = self._fh.read(8)
+                if head[:4] != color.COLOR_MAGIC:
+                    raise ValueError(
+                        "append needs an existing MHTC container")
+                if head != want:
+                    raise ValueError(
+                        "existing MHTC channels/layout/kind/colorspace "
+                        "disagree with the requested configuration")
+            else:
+                self._fh.write(want)
             self._inner = StreamingEncoder(
                 self._fh, height, width, config,
                 max_segment_bits=max_segment_bits,
                 max_segment_frames=(
                     None if max_segment_frames is None
                     else max_segment_frames * planes_per_frame),
-                frame_crcs=frame_crcs)
+                frame_crcs=frame_crcs, append=append)
         except BaseException:
             # leave neither a torn 8-byte MHTC header nor a leaked handle
+            # (append mode wrote nothing: close the handle, touch nothing)
             try:
-                self._fh.seek(self._base)
-                self._fh.truncate(self._base)
+                if not append:
+                    self._fh.seek(self._base)
+                    self._fh.truncate(self._base)
             finally:
                 if self._owns_fh:
                     self._fh.close()
             raise
-        self._frames = 0
+        self._frames = self._inner._total // planes_per_frame
         self.stats: StreamStats | None = None
 
     def push(self, frames: np.ndarray) -> None:
@@ -473,8 +590,11 @@ class ColorStreamingEncoder:
         try:
             inner = self._inner.close()
         except BaseException:
+            # the inner's failure handling already restored (append) or
+            # truncated (fresh) its own region; a fresh stream also drops
+            # the 8-byte MHTC header, an append leaves the original file
             try:
-                if not self._fh.closed:  # already closed after abort()
+                if not self._fh.closed and not self._append:
                     self._fh.seek(self._base)
                     self._fh.truncate(self._base)
             finally:
@@ -490,13 +610,15 @@ class ColorStreamingEncoder:
         return self.stats
 
     def abort(self) -> None:
-        """Discard everything (incl. the MHTC header) and close the sink."""
+        """Discard everything (incl. the MHTC header) and close the sink;
+        in append mode the original container is restored instead."""
         if self._fh.closed:
             return
         try:
             self._inner.abort()
-            self._fh.seek(self._base)
-            self._fh.truncate(self._base)
+            if not self._append:
+                self._fh.seek(self._base)
+                self._fh.truncate(self._base)
         finally:
             if self._owns_fh:
                 self._fh.close()
@@ -563,6 +685,7 @@ class TemporalStreamingEncoder:
         max_segment_bits: int = (1 << 32) - 1024,
         max_segment_frames: int | None = None,
         frame_crcs: bool = False,
+        append: bool = False,
     ) -> None:
         from . import color as color_mod
         from . import temporal
@@ -579,9 +702,13 @@ class TemporalStreamingEncoder:
         self._c = None if channels is None else int(channels)
         if self._u16 and self._c not in (None, 2):
             raise ValueError("u16 streams always carry 2 (hi/lo) planes")
+        if append and (self._u16 or self._c is not None):
+            raise ValueError(
+                "append currently supports grayscale temporal streams; "
+                "splice color/u16 captures with surgery.concat_videos")
 
         if isinstance(sink, (str, Path)):
-            self._fh: io.IOBase = open(sink, "wb")
+            self._fh: io.IOBase = open(sink, "r+b" if append else "wb")
             self._owns_fh = True
         else:
             self._fh = sink
@@ -594,46 +721,129 @@ class TemporalStreamingEncoder:
                 "inner length and the inner MHV2 header are patched on "
                 "close)")
         self._base = self._fh.tell()
-        flags = temporal.FLAG_TRAILER
-        if self._motion:
-            flags |= temporal.FLAG_MOTION
-        if self._want_fcrcs:
-            flags |= temporal.FLAG_FRAME_CRCS
+        self._prev: np.ndarray | None = None
+        self._t = 0
+        self._fl: int | None = None  # short first group (append resumes it)
+        self._mvs: list[tuple[int, int]] = []
+        self._fcrcs: list[int] = []
+        self._crc = 0
+        self._crc_valid = True
+        self._restore: tuple | None = None
         inner_cfg = temporal._inner_config(cfg)
         try:
-            self._fh.write(temporal.TEMPORAL_MAGIC + struct.pack(
-                temporal._HEADER, self._keyint, flags, 0))
-            self._fh.write(struct.pack("<Q", 0))  # u64, patched on close
-            if self._u16:
-                self._inner = ColorStreamingEncoder(
-                    self._fh, height, width, u16=True, config=inner_cfg,
-                    max_segment_bits=max_segment_bits,
-                    max_segment_frames=max_segment_frames)
-            elif self._c is not None:
-                self._inner = ColorStreamingEncoder(
-                    self._fh, height, width, channels=self._c,
-                    config=inner_cfg, colorspace=colorspace,
-                    max_segment_bits=max_segment_bits,
-                    max_segment_frames=max_segment_frames)
+            if append:
+                self._open_for_append(inner_cfg, max_segment_bits,
+                                      max_segment_frames)
             else:
-                self._inner = StreamingEncoder(
-                    self._fh, height, width, inner_cfg,
-                    max_segment_bits=max_segment_bits,
-                    max_segment_frames=max_segment_frames)
+                flags = temporal.FLAG_TRAILER
+                if self._motion:
+                    flags |= temporal.FLAG_MOTION
+                if self._want_fcrcs:
+                    flags |= temporal.FLAG_FRAME_CRCS
+                self._fh.write(temporal.TEMPORAL_MAGIC + struct.pack(
+                    temporal._HEADER, self._keyint, flags, 0))
+                self._fh.write(struct.pack("<Q", 0))  # u64, patched on close
+                if self._u16:
+                    self._inner = ColorStreamingEncoder(
+                        self._fh, height, width, u16=True, config=inner_cfg,
+                        max_segment_bits=max_segment_bits,
+                        max_segment_frames=max_segment_frames)
+                elif self._c is not None:
+                    self._inner = ColorStreamingEncoder(
+                        self._fh, height, width, channels=self._c,
+                        config=inner_cfg, colorspace=colorspace,
+                        max_segment_bits=max_segment_bits,
+                        max_segment_frames=max_segment_frames)
+                else:
+                    self._inner = StreamingEncoder(
+                        self._fh, height, width, inner_cfg,
+                        max_segment_bits=max_segment_bits,
+                        max_segment_frames=max_segment_frames)
         except BaseException:
             try:
-                self._fh.seek(self._base)
-                self._fh.truncate(self._base)
+                if not append:
+                    self._fh.seek(self._base)
+                    self._fh.truncate(self._base)
             finally:
                 if self._owns_fh:
                     self._fh.close()
             raise
-        self._prev: np.ndarray | None = None
-        self._t = 0
-        self._mvs: list[tuple[int, int]] = []
-        self._fcrcs: list[int] = []
-        self._crc = 0
         self.stats: StreamStats | None = None
+
+    def _open_for_append(self, inner_cfg, max_segment_bits,
+                         max_segment_frames) -> None:
+        """Resume a temporally-predicted capture in place.
+
+        Requires the TRAILER layout (this writer's own output; a batch
+        header-layout file splices with ``surgery.concat_videos``). The
+        previous TRUE frame — the predictor for the first appended
+        residual — comes from one random access
+        (``decode_temporal_frame``), the keyframe cadence continues from
+        the recorded ``first_len``/``keyint``, the motion/FCRC tables
+        seed from the old trailer, and the chained outer CRC extends
+        (``zlib.crc32(new, old)``). The inner MHV2 appends through
+        :class:`StreamingEncoder`'s own append machinery. Failure
+        restores the original file completely (outer header + inner
+        header/trailer + outer tables).
+        """
+        import struct as struct_mod
+
+        temporal = self._temporal
+        fh = self._fh
+        fh.seek(self._base)
+        data = fh.read()
+        inner, keyint, tcrc, mvs, fcrcs, fl = temporal.unwrap(data)
+        flags = struct_mod.unpack_from("<HHI", data, 4)[1]
+        if not flags & temporal.FLAG_TRAILER:
+            raise ValueError(
+                "append needs the streamed (trailer) MHVT layout; splice "
+                "header-layout files with surgery.concat_videos")
+        if keyint != self._keyint:
+            raise ValueError(
+                f"existing container uses keyint={keyint}, the config "
+                f"says {self._keyint}")
+        if (mvs is not None) != self._motion:
+            raise ValueError(
+                "motion-compensation presence must match the existing "
+                "container (it records "
+                + ("a" if mvs is not None else "no") + " motion table)")
+        t = temporal._inner_frame_count(inner)
+        if t is None or t == 0:
+            raise ValueError(
+                "corrupt MHVT container (unrecognized inner stream)")
+        from .image_codec import CodecConfig as _CC
+
+        self._prev = np.ascontiguousarray(temporal.decode_temporal_frame(
+            data, t - 1, _CC(backend="native")))
+        if self._prev.shape != (self._h, self._w):
+            raise ValueError(
+                f"existing container is {self._prev.shape}, not "
+                f"({self._h}, {self._w})")
+        self._t = t
+        self._fl = fl if fl != keyint else None
+        if self._motion:
+            self._mvs = [(int(v[0]), int(v[1])) for v in mvs]
+        if fcrcs is not None:
+            self._want_fcrcs = True
+            self._fcrcs = [int(c) for c in fcrcs]
+        elif self._want_fcrcs:
+            raise ValueError(
+                "cannot start a per-frame CRC table mid-stream: the "
+                "existing container records none (drop frame_crcs)")
+        self._crc = tcrc
+        self._crc_valid = tcrc != 0
+        inner_start = (self._base + 12 + 8
+                       + (2 if flags & temporal.FLAG_FIRST_LEN else 0))
+        inner_end = inner_start + len(inner)
+        head = data[: inner_start - self._base]
+        tables = data[inner_end - self._base :]
+        self._restore = (inner_end, tables, head)
+        fh.truncate(inner_end)
+        fh.seek(inner_start)
+        self._inner = StreamingEncoder(
+            self._fh, self._h, self._w, inner_cfg,
+            max_segment_bits=max_segment_bits,
+            max_segment_frames=max_segment_frames, append=True)
 
     # -- frame intake ---------------------------------------------------------
 
@@ -685,8 +895,9 @@ class TemporalStreamingEncoder:
             if self._want_fcrcs:
                 self._fcrcs.append(zlib.crc32(fc))
             i = self._t
+            fl = self._fl if self._fl is not None else self._keyint
             mv = (0, 0)
-            if i % self._keyint == 0:
+            if i == 0 or (i >= fl and (i - fl) % self._keyint == 0):
                 res = fc
             elif self._motion:
                 mv = self._temporal.estimate_motion(self._prev, fc)
@@ -728,34 +939,56 @@ class TemporalStreamingEncoder:
                     fc = np.asarray(self._fcrcs, np.uint32)
                     self._fh.write(struct.pack("<I", fc.shape[0])
                                    + fc.astype("<u4").tobytes())
-                self._fh.write(struct.pack("<I", self._crc & 0xFFFFFFFF))
+                crc_out = self._crc & 0xFFFFFFFF if self._crc_valid else 0
+                self._fh.write(struct.pack("<I", crc_out))
                 end = self._fh.tell()
                 # the ONE back-patched field: u64 inner length at base+12
                 self._fh.seek(self._base + 12)
                 self._fh.write(struct.pack("<Q", inner.bytes_written))
                 self._fh.seek(end)
             except BaseException:
-                if not self._fh.closed:
-                    self._fh.seek(self._base)
-                    self._fh.truncate(self._base)
+                self._discard()
                 raise
             self.stats = StreamStats(
                 total_frames=self._t, num_segments=inner.num_segments,
                 bytes_written=end - self._base,
-                source_crc32=self._crc & 0xFFFFFFFF)
+                source_crc32=crc_out)
             return self.stats
         finally:
             if self._owns_fh and not self._fh.closed:
                 self._fh.close()
 
+    def _discard(self) -> None:
+        """Failure/abort cleanup: fresh streams truncate to the start; an
+        APPEND restores the inner writer's header/trailer and the outer
+        header/tables, leaving the original container intact."""
+        if self._fh.closed:
+            return
+        if self._restore is not None:
+            self._inner._discard()  # inner header + trailer back in place
+            end, tables, head = self._restore
+            self._fh.truncate(end)
+            self._fh.seek(end)
+            self._fh.write(tables)
+            self._fh.seek(self._base)
+            self._fh.write(head)
+        else:
+            self._fh.seek(self._base)
+            self._fh.truncate(self._base)
+
     def abort(self) -> None:
-        """Discard everything written and close the sink without finalizing."""
+        """Discard everything written and close the sink without
+        finalizing; in append mode the original container is restored."""
         if self._fh.closed:
             return
         try:
-            self._inner.abort()
-            self._fh.seek(self._base)
-            self._fh.truncate(self._base)
+            if self._restore is not None:
+                self._discard()
+                self._inner._closed = True  # poison further pushes
+            else:
+                self._inner.abort()
+                self._fh.seek(self._base)
+                self._fh.truncate(self._base)
         finally:
             if self._owns_fh:
                 self._fh.close()
@@ -798,6 +1031,7 @@ class MHTSStreamingEncoder:
         height: int,
         width: int,
         config: CodecConfig | None = None,
+        append: bool = False,
     ) -> None:
         from .image_codec import ImageCodec
 
@@ -815,10 +1049,11 @@ class MHTSStreamingEncoder:
         self._h, self._w = int(height), int(width)
         self._t = 0
         self._crc = 0  # chained, for stats only (MHTS records per-frame)
+        self._restore: tuple | None = None
         self.stats: StreamStats | None = None
 
         if isinstance(sink, (str, Path)):
-            self._fh: io.IOBase = open(sink, "wb")
+            self._fh: io.IOBase = open(sink, "r+b" if append else "wb")
             self._owns_fh = True
         else:
             self._fh = sink
@@ -830,8 +1065,55 @@ class MHTSStreamingEncoder:
                 "sink must be a seekable writable binary file (the MHTS "
                 "frame count is patched on close)")
         self._base = self._fh.tell()
-        self._fh.write(frame_stream.STREAM_MAGIC)
-        self._fh.write(struct.pack("<I", 0))  # count, patched on close
+        try:
+            if append:
+                self._open_for_append()
+            else:
+                self._fh.write(frame_stream.STREAM_MAGIC)
+                self._fh.write(struct.pack("<I", 0))  # patched on close
+        except BaseException:
+            if self._owns_fh:
+                self._fh.close()
+            raise
+
+    def _open_for_append(self) -> None:
+        """Resume/append: records are self-contained, so appending to an
+        MHTS is a seek to the end + a count patch at close — the walk
+        reads only each record's 18-byte head (geometry validation),
+        never the payloads. New records may use a different precoder
+        (mixed per-record modes are a decoded surface already). Failure
+        truncates back to the original end: the pre-existing container
+        survives."""
+        fh = self._fh
+        fh.seek(self._base)
+        head = fh.read(8)
+        if len(head) < 8 or head[:4] != frame_stream.STREAM_MAGIC:
+            raise ValueError("append needs an existing MHTS container")
+        (count,) = struct.unpack_from("<I", head, 4)
+        if count == 0:
+            raise ValueError("empty MHTS stream")
+        pos = self._base + 8
+        for i in range(count):
+            fh.seek(pos)
+            rec = fh.read(22)
+            if len(rec) < 22:
+                raise ValueError(
+                    f"truncated MHTS container (record {i} incomplete)")
+            (rec_len,) = struct.unpack_from("<I", rec, 0)
+            h, w, _nb, bd, _mode = struct.unpack_from("<IIIBB", rec, 8)
+            if (h, w) != (self._h, self._w):
+                raise ValueError(
+                    f"existing container is {h}x{w}, not "
+                    f"{self._h}x{self._w}")
+            if bd != self._cfg.block_dim:
+                raise ValueError(
+                    f"existing container uses block_dim={bd}, the "
+                    f"config says {self._cfg.block_dim}")
+            pos += 4 + rec_len
+        self._t = count
+        self._restore = (pos, head)
+        fh.truncate(pos)
+        fh.seek(pos)
 
     def push(self, frames: np.ndarray) -> None:
         """Encode + write frame(s) immediately — no segment buffering.
@@ -883,9 +1165,7 @@ class MHTSStreamingEncoder:
                 self._fh.write(struct.pack("<I", self._t))
                 self._fh.seek(end)
             except BaseException:
-                if not self._fh.closed:
-                    self._fh.seek(self._base)
-                    self._fh.truncate(self._base)
+                self._discard()
                 raise
             self.stats = StreamStats(
                 total_frames=self._t, num_segments=self._t,
@@ -896,13 +1176,28 @@ class MHTSStreamingEncoder:
             if self._owns_fh and not self._fh.closed:
                 self._fh.close()
 
+    def _discard(self) -> None:
+        """Failure/abort cleanup: truncate a fresh stream to nothing; an
+        APPEND truncates back to the original end and restores the
+        original count header."""
+        if self._fh.closed:
+            return
+        if self._restore is not None:
+            end, head = self._restore
+            self._fh.truncate(end)
+            self._fh.seek(self._base)
+            self._fh.write(head)
+        else:
+            self._fh.seek(self._base)
+            self._fh.truncate(self._base)
+
     def abort(self) -> None:
-        """Discard everything written and close the sink without finalizing."""
+        """Discard everything written and close the sink without
+        finalizing; in append mode the original container is restored."""
         if self._fh.closed:
             return
         try:
-            self._fh.seek(self._base)
-            self._fh.truncate(self._base)
+            self._discard()
         finally:
             if self._owns_fh:
                 self._fh.close()

@@ -21,6 +21,8 @@ and asserts bit-exactness against the source frames:
      --streaming -> --frame N --check random access
   6. MHTS per-frame tables: streamed encode -> streamed decode --check
   7. resegment (streamed, file-to-file) -> verify --streaming
+  8. capture RESUME: --append continues the temporal container in place,
+     byte-identical to the one-shot capture
 
 Prints one PASS line per stage and exits non-zero on the first failure.
 Runs from anywhere; never starts two TPU processes at once (commands run
@@ -159,6 +161,29 @@ def main() -> int:
     run("decode-video", str(tmp / "g2.mhv2"), str(tmp / "g2_out.npy"),
         "--streaming", *dev)
     check(tmp / "g2_out.npy", gray, "resegmented archive streamed decode")
+
+    # 8) capture resume: append half the frames, then the rest — must be
+    # byte-identical to the one-shot temporal capture (round-5 append)
+    half = t // 2
+    np.save(tmp / "h1.npy", gray[:half])
+    np.save(tmp / "h2.npy", gray[half:])
+    targs = ["--streaming", "--temporal", "--motion", "--keyint", "4",
+             "--frame-crcs", "--segment-frames", str(half),
+             "--backend", "native"]
+    run("encode-video", str(tmp / "h1.npy"), str(tmp / "resume.mhvt"),
+        *targs)
+    run("encode-video", str(tmp / "h2.npy"), str(tmp / "resume.mhvt"),
+        "--append", *targs)
+    run("encode-video", str(tmp / "gray.npy"), str(tmp / "one.mhvt"),
+        *targs)
+    if (tmp / "resume.mhvt").read_bytes() != (tmp / "one.mhvt").read_bytes():
+        print("FAIL: resumed capture != one-shot capture bytes")
+        sys.exit(1)
+    print("PASS  capture resume (--append): byte-identical to one-shot",
+          flush=True)
+    run("decode-video", str(tmp / "resume.mhvt"),
+        str(tmp / "resume_out.npy"), "--streaming", *dev)
+    check(tmp / "resume_out.npy", gray, "resumed capture streamed decode")
 
     print("\nSTREAMING GATE: ALL PASS "
           f"({'interpret/CPU' if args.interpret else 'real device'})")

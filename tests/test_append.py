@@ -1,0 +1,313 @@
+"""In-place append / capture resume (round-5 beyond-verdict capability).
+
+SURVEY section 5's checkpoint/resume axis: a crashed capture leaves
+either a finalized container (clean close) or — by the no-torn-container
+contract — nothing; ``append=True`` resumes the finalized container IN
+PLACE. Contracts:
+
+- the appended file is byte-identical to
+  ``surgery.concat_videos([first, second_standalone])`` — and to the
+  ONE-SHOT capture when the first part ended on a segment boundary
+  (MHTS always: records have no segmentation);
+- CRCs chain (``zlib.crc32(new, old)`` IS the combined payload CRC) and
+  FCRC/motion tables extend; a file recording no CRC stays unrecorded;
+- temporal append continues the keyframe cadence and predicts the first
+  appended residual from the last true frame (one random access);
+- a FAILED append restores the original container untouched — the
+  no-torn contract's append form.
+"""
+
+import io
+import zlib
+
+import numpy as np
+import pytest
+
+from metalhuffman_tpu.models import (CodecConfig, color, frame_stream,
+                                     surgery, temporal)
+from metalhuffman_tpu.models.stream_writer import (
+    ColorStreamingEncoder,
+    MHTSStreamingEncoder,
+    StreamingEncoder,
+    TemporalStreamingEncoder,
+)
+
+NATIVE = CodecConfig(backend="native")
+
+
+def _frames(t, h, w, seed=0, pan=0):
+    rng = np.random.default_rng(seed)
+    yy, xx = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
+    return np.stack([
+        np.clip(100 + 60 * np.sin((xx + pan * i) / 13.0)
+                * np.cos(yy / 11.0) + rng.normal(0, 2, (h, w)),
+                0, 255).astype(np.uint8)
+        for i in range(t)])
+
+
+def test_mhv2_append_equals_concat_and_oneshot(tmp_path):
+    f = _frames(11, 24, 32, seed=1)
+    f1, f2 = f[:6], f[6:]  # 6 % cap(3) == 0: one-shot identity too
+    p = tmp_path / "cap.mhv2"
+    with StreamingEncoder(p, 24, 32, NATIVE, max_segment_frames=3,
+                          frame_crcs=True) as enc:
+        enc.push(f1)
+    first = p.read_bytes()
+    with StreamingEncoder(p, 24, 32, NATIVE, max_segment_frames=3,
+                          append=True) as enc:
+        enc.push(f2)
+    got = p.read_bytes()
+    q = tmp_path / "b.mhv2"
+    with StreamingEncoder(q, 24, 32, NATIVE, max_segment_frames=3,
+                          frame_crcs=True) as enc:
+        enc.push(f2)
+    assert got == surgery.concat_videos([first, q.read_bytes()])
+    one = tmp_path / "one.mhv2"
+    with StreamingEncoder(one, 24, 32, NATIVE, max_segment_frames=3,
+                          frame_crcs=True) as enc:
+        enc.push(f)
+    assert got == one.read_bytes()  # boundary-aligned: one-shot identity
+    # combined integrity metadata
+    assert frame_stream.source_crc32(got) == zlib.crc32(f.tobytes())
+    np.testing.assert_array_equal(
+        frame_stream.read_frame_crcs(got),
+        frame_stream.compute_frame_crcs(f))
+    out, _h, _w = frame_stream.decode_range(got, 0, 11, NATIVE)
+    np.testing.assert_array_equal(out, f)
+    # stats count the WHOLE stream
+    with StreamingEncoder(p, 24, 32, NATIVE, max_segment_frames=3,
+                          append=True) as enc:
+        enc.push(f1[:1])
+    assert enc.stats.total_frames == 12
+
+
+def test_append_failure_restores_original(tmp_path):
+    f = _frames(5, 16, 16, seed=3)
+    p = tmp_path / "cap.mhv2"
+    with StreamingEncoder(p, 16, 16, NATIVE, max_segment_frames=2) as enc:
+        enc.push(f)
+    orig = p.read_bytes()
+
+    class Boom(Exception):
+        pass
+
+    with pytest.raises(Boom):
+        with StreamingEncoder(p, 16, 16, NATIVE, max_segment_frames=2,
+                              append=True) as enc:
+            enc.push(f[:3])  # a full segment lands on disk
+            raise Boom()
+    assert p.read_bytes() == orig  # bit-for-bit restoration
+    # the restored file still appends cleanly afterwards
+    with StreamingEncoder(p, 16, 16, NATIVE, max_segment_frames=2,
+                          append=True) as enc:
+        enc.push(f[:2])
+    out, _h, _w = frame_stream.decode_range(p.read_bytes(), 0, 7, NATIVE)
+    np.testing.assert_array_equal(out, np.concatenate([f, f[:2]]))
+
+
+def test_append_validation(tmp_path):
+    f = _frames(3, 16, 16, seed=5)
+    p = tmp_path / "cap.mhv2"
+    with StreamingEncoder(p, 16, 16, NATIVE) as enc:
+        enc.push(f)
+    with pytest.raises(ValueError, match="16x16"):
+        StreamingEncoder(p, 24, 24, NATIVE, append=True)
+    # unrecorded CRC stays unrecorded; cannot start FCRC mid-stream
+    with pytest.raises(ValueError, match="mid-stream"):
+        StreamingEncoder(p, 16, 16, NATIVE, append=True, frame_crcs=True)
+    # appending to an MHTV (non-segmented) is refused with guidance
+    mhtv = tmp_path / "x.mhtv"
+    from metalhuffman_tpu import encode_video
+
+    mhtv.write_bytes(encode_video(f, NATIVE))
+    with pytest.raises(ValueError, match="resegment"):
+        StreamingEncoder(mhtv, 16, 16, NATIVE, append=True)
+
+
+def test_unrecorded_crc_append_stays_unrecorded(tmp_path):
+    """Appending onto a CRC-less file must not invent a bogus CRC."""
+    f = _frames(4, 16, 16, seed=7)
+    import struct
+
+    p = tmp_path / "cap.mhv2"
+    with StreamingEncoder(p, 16, 16, NATIVE, max_segment_frames=2) as enc:
+        enc.push(f[:2])
+    data = bytearray(p.read_bytes())
+    off = frame_stream._trailer_offset(bytes(data))
+    struct.pack_into("<I", data, off, 0)  # blank the recorded CRC
+    p.write_bytes(bytes(data))
+    with StreamingEncoder(p, 16, 16, NATIVE, max_segment_frames=2,
+                          append=True) as enc:
+        enc.push(f[2:])
+    assert frame_stream.source_crc32(p.read_bytes()) == 0
+    out, _h, _w = frame_stream.decode_range(p.read_bytes(), 0, 4, NATIVE)
+    np.testing.assert_array_equal(out, f)
+
+
+def test_temporal_append_oneshot_identity_and_resume(tmp_path):
+    cfg = CodecConfig(backend="native", temporal=True, motion=True,
+                      keyint=4)
+    f = _frames(12, 24, 32, seed=9, pan=5)
+    f1, f2 = f[:6], f[6:]  # 6 % cap(3) == 0
+    p = tmp_path / "cap.mhvt"
+    with TemporalStreamingEncoder(p, 24, 32, cfg, max_segment_frames=3,
+                                  frame_crcs=True) as enc:
+        enc.push(f1)
+    orig = p.read_bytes()
+    with TemporalStreamingEncoder(p, 24, 32, cfg, max_segment_frames=3,
+                                  append=True) as enc:
+        enc.push(f2)
+    got = p.read_bytes()
+    one = tmp_path / "one.mhvt"
+    with TemporalStreamingEncoder(one, 24, 32, cfg, max_segment_frames=3,
+                                  frame_crcs=True) as enc:
+        enc.push(f)
+    # the whole point: residual cadence, motion table, FCRCs, and outer
+    # CRC continue EXACTLY as if the capture never stopped
+    assert got == one.read_bytes()
+    np.testing.assert_array_equal(
+        temporal.decode_temporal_video(got, NATIVE), f)
+    # failed temporal append restores everything (outer header + inner
+    # header/trailer + tables)
+    class Boom(Exception):
+        pass
+
+    with pytest.raises(Boom):
+        with TemporalStreamingEncoder(p, 24, 32, cfg,
+                                      max_segment_frames=3,
+                                      append=True) as enc:
+            enc.push(f1)
+            raise Boom()
+    assert p.read_bytes() == got
+    # cadence/misconfig validation
+    bad = CodecConfig(backend="native", temporal=True, motion=False,
+                      keyint=4)
+    with pytest.raises(ValueError, match="motion"):
+        TemporalStreamingEncoder(p, 24, 32, bad, append=True)
+    bad2 = CodecConfig(backend="native", temporal=True, motion=True,
+                       keyint=5)
+    with pytest.raises(ValueError, match="keyint"):
+        TemporalStreamingEncoder(p, 24, 32, bad2, append=True)
+    # header-layout files are refused with guidance
+    batch = tmp_path / "batch.mhvt"
+    batch.write_bytes(temporal.encode_temporal_video(f1, cfg))
+    with pytest.raises(ValueError, match="trailer"):
+        TemporalStreamingEncoder(batch, 24, 32, cfg, append=True)
+
+
+def test_temporal_append_short_first_group_cadence(tmp_path):
+    """Appending to an arbitrary-start extract continues the SHORT first
+    group's keyframe cadence (fl, fl+keyint, ...)."""
+    cfg = CodecConfig(backend="native", temporal=True, keyint=4)
+    f = _frames(10, 16, 16, seed=11)
+    blob = temporal.encode_temporal_video(f, cfg)
+    ext = surgery.extract_video(blob, 2, 10)  # mid-group: first_len = 2
+    # convert to the trailer layout losslessly (re-wrap the same parts)
+    inner, keyint, crc, mvs, fcrcs, fl = temporal.unwrap(ext)
+    assert fl == 2
+    # the trailer re-wrap needs a SEGMENTED inner for the inner append
+    inner = surgery.resegment_video(inner, 3)
+    p = tmp_path / "ext.mhvt"
+    p.write_bytes(temporal.wrap(inner, keyint, crc, mvs=mvs,
+                                frame_crcs=fcrcs, first_len=fl,
+                                trailer=True))
+    extra = _frames(5, 16, 16, seed=12)
+    with TemporalStreamingEncoder(p, 16, 16, cfg, max_segment_frames=3,
+                                  append=True) as enc:
+        enc.push(extra)
+    out = temporal.decode_temporal_video(p.read_bytes(), NATIVE)
+    np.testing.assert_array_equal(out,
+                                  np.concatenate([f[2:], extra]))
+
+
+def test_mhts_append_always_oneshot_identical(tmp_path):
+    f = _frames(7, 16, 24, seed=13)
+    p = tmp_path / "cap.mhts"
+    with MHTSStreamingEncoder(p, 16, 24, NATIVE) as enc:
+        enc.push(f[:3])
+    with MHTSStreamingEncoder(p, 16, 24, NATIVE, append=True) as enc:
+        enc.push(f[3:])
+    one = tmp_path / "one.mhts"
+    with MHTSStreamingEncoder(one, 16, 24, NATIVE) as enc:
+        enc.push(f)
+    assert p.read_bytes() == one.read_bytes()
+    # mixed precoder append: records are self-contained
+    with MHTSStreamingEncoder(p, 16, 24,
+                              CodecConfig(backend="native",
+                                          delta2d=True),
+                              append=True) as enc:
+        enc.push(f[:2])
+    outs = [fr for _i, fr, _e, _c in
+            frame_stream.iter_stream_frames(p.read_bytes(), NATIVE)]
+    np.testing.assert_array_equal(np.stack(outs),
+                                  np.concatenate([f, f[:2]]))
+    # failure restores
+    class Boom(Exception):
+        pass
+
+    before = p.read_bytes()
+    with pytest.raises(Boom):
+        with MHTSStreamingEncoder(p, 16, 24, NATIVE, append=True) as enc:
+            enc.push(f[:1])
+            raise Boom()
+    assert p.read_bytes() == before
+
+
+def test_color_append_equals_concat(tmp_path):
+    rng = np.random.default_rng(15)
+    col = rng.integers(0, 200, (9, 24, 24, 3)).astype(np.uint8)
+    p = tmp_path / "cap.mhtc"
+    with ColorStreamingEncoder(p, 24, 24, channels=3, config=NATIVE,
+                               max_segment_frames=2,
+                               frame_crcs=True) as enc:
+        enc.push(col[:5])
+    first = p.read_bytes()
+    with ColorStreamingEncoder(p, 24, 24, channels=3, config=NATIVE,
+                               max_segment_frames=2, append=True) as enc:
+        enc.push(col[5:])
+    assert enc.stats.total_frames == 9
+    q = tmp_path / "b.mhtc"
+    with ColorStreamingEncoder(q, 24, 24, channels=3, config=NATIVE,
+                               max_segment_frames=2,
+                               frame_crcs=True) as enc:
+        enc.push(col[5:])
+    assert p.read_bytes() == surgery.concat_videos([first,
+                                                    q.read_bytes()])
+    np.testing.assert_array_equal(
+        color.decode_color_video_from_bytes(p.read_bytes(), NATIVE), col)
+    # colorspace mismatch refused
+    with pytest.raises(ValueError, match="disagree"):
+        ColorStreamingEncoder(p, 24, 24, channels=3, config=NATIVE,
+                              colorspace=color.CS_SUBGREEN, append=True)
+
+
+def test_cli_append_resume(tmp_path):
+    from metalhuffman_tpu import cli
+
+    f = _frames(10, 32, 32, seed=17, pan=4)
+    np.save(tmp_path / "a1.npy", f[:6])
+    np.save(tmp_path / "a2.npy", f[6:])
+    np.save(tmp_path / "all.npy", f)
+    out = tmp_path / "cap.mhvt"
+    base_args = ["--streaming", "--temporal", "--motion", "--keyint", "3",
+                 "--frame-crcs", "--segment-frames", "3",
+                 "--backend", "native"]
+    assert cli.main(["encode-video", str(tmp_path / "a1.npy"), str(out),
+                     *base_args]) == 0
+    assert cli.main(["encode-video", str(tmp_path / "a2.npy"), str(out),
+                     "--append", "--streaming", "--temporal", "--motion",
+                     "--keyint", "3", "--segment-frames", "3",
+                     "--backend", "native"]) == 0
+    one = tmp_path / "one.mhvt"
+    assert cli.main(["encode-video", str(tmp_path / "all.npy"), str(one),
+                     *base_args]) == 0
+    assert out.read_bytes() == one.read_bytes()
+    assert cli.main(["verify", str(out), "--streaming",
+                     "--backend", "native"]) == 0
+    # refusals: no --streaming / missing file
+    with pytest.raises(SystemExit, match="streaming"):
+        cli.main(["encode-video", str(tmp_path / "a2.npy"), str(out),
+                  "--append"])
+    with pytest.raises(SystemExit, match="does not exist"):
+        cli.main(["encode-video", str(tmp_path / "a2.npy"),
+                  str(tmp_path / "nope.mhv2"), "--streaming", "--append"])
