@@ -425,11 +425,16 @@ def _cmd_encode_video_streaming(args) -> int:
             frame_crcs=cfg.frame_crcs, append=appending)
 
     def drive(make_enc, chunks, first=None):
-        with make_enc() as enc:
-            if first is not None:
-                enc.push(first)
-            for c in chunks:
-                enc.push(c)
+        try:
+            with make_enc() as enc:
+                if first is not None:
+                    enc.push(first)
+                for c in chunks:
+                    enc.push(c)
+        except ValueError as e:
+            # writer validation (append mismatches, geometry, torn
+            # inputs) becomes a clean CLI message, not a traceback
+            raise SystemExit(str(e))
         return enc.stats
 
     if is_u16:
@@ -2209,10 +2214,12 @@ def main(argv=None) -> int:
                    help="with --streaming: RESUME an existing finalized "
                         "container in place (capture resume) — new frames "
                         "chain onto the recorded CRC/FCRC tables and, for "
-                        "--temporal, the keyframe cadence and motion "
-                        "table continue; byte-identical to concatenating "
-                        "the parts, and a failed append restores the "
-                        "original file untouched")
+                        "--temporal (grayscale; color/u16 temporal "
+                        "captures splice with `concat`), the keyframe "
+                        "cadence and motion table continue; "
+                        "byte-identical to concatenating the parts, and "
+                        "a failed append restores the original file "
+                        "untouched")
     p.add_argument("--segment-frames", type=int, default=None, metavar="N",
                    help="with --streaming: cap frames per MHV2 segment to "
                         "bound peak memory below the u32 offset-cap "

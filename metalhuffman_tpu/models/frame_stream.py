@@ -1127,17 +1127,22 @@ def decode_video_region(data: bytes, a: int, b: int, y0: int, x0: int,
         cfg0 = config or CodecConfig()
         outs = []
         geom = None
-        for i, (s, h, w, bd, delta, _crc) in enumerate(
-                _iter_stream_records(data)):
+        # the light span walk skips records before ``a`` WITHOUT parsing
+        # their core blobs / offset indexes — an ROI deep into a long
+        # MHTS pays O(records walked), not O(container parsed)
+        for i, pos, rec_len in _iter_record_spans(data):
+            if i >= b:
+                break
             if geom is None:
-                geom = (h, w)
-                if not (0 <= y0 and y0 + rh <= h
-                        and 0 <= x0 and x0 + rw <= w):
+                h0, w0 = struct.unpack_from("<II", data, pos + 4)
+                geom = (h0, w0)
+                if not (0 <= y0 and y0 + rh <= h0
+                        and 0 <= x0 and x0 + rw <= w0):
                     raise ValueError("region out of bounds")
             if i < a:
                 continue
-            if i >= b:
-                break
+            s, h, w, bd, delta, _crc = container.read_frame(
+                data[pos : pos + rec_len])
             fcfg = dataclasses.replace(cfg0, block_dim=bd, delta=delta,
                                        delta2d=s.predictor == "2d")
             codec = ImageCodec(fcfg)
@@ -1345,7 +1350,14 @@ def write_stream(streams: list[container.EncodedStream], height: int, width: int
     return b"".join(out)
 
 
-def _iter_stream_records(data: bytes):
+def _iter_record_spans(data: bytes):
+    """The ONE light MHTS record walk: yields ``(i, offset, rec_len)`` per
+    record (offset = start of the MHT1 blob, past the u32 length prefix)
+    without parsing record bodies. Length-checked so truncation is a
+    clean ValueError. Every MHTS consumer — the full parser, the
+    one-frame-at-a-time reader, the region decode's skip, surgery's span
+    splices, the append opener — walks through here (or mirrors its
+    checks on a file handle), so the validation rules cannot diverge."""
     if data[:4] != STREAM_MAGIC:
         raise ValueError("not an MHTS container")
     if len(data) < 8:
@@ -1361,8 +1373,13 @@ def _iter_stream_records(data: bytes):
         if len(data) < pos + rec_len:
             raise ValueError(
                 f"truncated MHTS container (record {i} incomplete)")
-        yield container.read_frame(data[pos : pos + rec_len])
+        yield i, pos, rec_len
         pos += rec_len
+
+
+def _iter_stream_records(data: bytes):
+    for _i, pos, rec_len in _iter_record_spans(data):
+        yield container.read_frame(data[pos : pos + rec_len])
 
 
 def read_stream(data: bytes):

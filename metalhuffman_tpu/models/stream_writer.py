@@ -207,6 +207,20 @@ class StreamingEncoder:
             raise ValueError(
                 f"existing container uses block_dim={bd}, the config "
                 f"says {self._cfg.block_dim}")
+        cfg = self._cfg
+        want_mode = (4 if cfg.delta2d and cfg.zero_init else
+                     3 if cfg.delta2d else 2 if cfg.zero_init else
+                     int(cfg.delta))
+        if mode != want_mode:
+            # fail FAST with the config mismatch, not after a whole
+            # segment of encode work trips _write_segment's internal
+            # "segments must share one mode" invariant
+            names = {0: "no precoding", 1: "delta", 2: "delta+zero-init",
+                     3: "delta2d", 4: "delta2d+zero-init"}
+            raise ValueError(
+                f"existing container uses {names.get(mode, mode)}, the "
+                f"config says {names.get(want_mode, want_mode)} — append "
+                "must continue the same coding mode")
         pos = self._base + 22
         for i in range(n_seg):
             fh.seek(pos)
@@ -761,7 +775,20 @@ class TemporalStreamingEncoder:
                         max_segment_frames=max_segment_frames)
         except BaseException:
             try:
-                if not append:
+                if append:
+                    # _open_for_append may have truncated the outer
+                    # tables before the inner writer's constructor
+                    # raised (e.g. a block_dim mismatch the inner walk
+                    # detects) — restore the original file, never leave
+                    # it torn
+                    if self._restore is not None and not self._fh.closed:
+                        end, tables, head = self._restore
+                        self._fh.truncate(end)
+                        self._fh.seek(end)
+                        self._fh.write(tables)
+                        self._fh.seek(self._base)
+                        self._fh.write(head)
+                else:
                     self._fh.seek(self._base)
                     self._fh.truncate(self._base)
             finally:
@@ -788,12 +815,17 @@ class TemporalStreamingEncoder:
         """
         import struct as struct_mod
 
+        from .image_codec import CodecConfig as _CC
+
         temporal = self._temporal
         fh = self._fh
+        fh.seek(0, 2)
+        fsize = fh.tell()
         fh.seek(self._base)
-        data = fh.read()
-        inner, keyint, tcrc, mvs, fcrcs, fl = temporal.unwrap(data)
-        flags = struct_mod.unpack_from("<HHI", data, 4)[1]
+        head12 = fh.read(12)
+        if len(head12) < 12 or head12[:4] != temporal.TEMPORAL_MAGIC:
+            raise ValueError("append needs an existing MHVT container")
+        keyint, flags, _il32 = struct_mod.unpack_from("<HHI", head12, 4)
         if not flags & temporal.FLAG_TRAILER:
             raise ValueError(
                 "append needs the streamed (trailer) MHVT layout; splice "
@@ -802,23 +834,102 @@ class TemporalStreamingEncoder:
             raise ValueError(
                 f"existing container uses keyint={keyint}, the config "
                 f"says {self._keyint}")
-        if (mvs is not None) != self._motion:
+        if bool(flags & temporal.FLAG_MOTION) != self._motion:
             raise ValueError(
                 "motion-compensation presence must match the existing "
                 "container (it records "
-                + ("a" if mvs is not None else "no") + " motion table)")
-        t = temporal._inner_frame_count(inner)
-        if t is None or t == 0:
+                + ("a" if flags & temporal.FLAG_MOTION else "no")
+                + " motion table)")
+        b8 = fh.read(8)
+        if len(b8) < 8:
+            raise ValueError("truncated MHVT container (u64 inner length)")
+        (inner_len,) = struct_mod.unpack("<Q", b8)
+        fl = keyint
+        inner_start = self._base + 20
+        if flags & temporal.FLAG_FIRST_LEN:
+            b2 = fh.read(2)
+            if len(b2) < 2:
+                raise ValueError("truncated MHVT container (first_len)")
+            (fl,) = struct_mod.unpack("<H", b2)
+            inner_start += 2
+        inner_end = inner_start + inner_len
+        if inner_end + 4 > fsize:
+            raise ValueError(
+                "truncated MHVT container (inner/trailer missing)")
+        # trailer tables + CRC: small, read whole; header bytes for restore
+        fh.seek(self._base)
+        head = fh.read(inner_start - self._base)
+        fh.seek(inner_end)
+        tables = fh.read()
+        mvs, fcrcs, tpos = temporal._parse_tables(tables, 0, flags)
+        if len(tables) < tpos + 4:
+            raise ValueError(
+                "truncated MHVT container (inner/trailer missing)")
+        (tcrc,) = struct_mod.unpack_from("<I", tables, tpos)
+        # inner MHV2 header (the streamed layout always writes MHV2)
+        fh.seek(inner_start)
+        ih = fh.read(22)
+        if len(ih) < 22 or ih[:4] != frame_stream.SEGMENTED_MAGIC:
+            raise ValueError(
+                "append needs a segmented MHV2 inner (the streamed "
+                "layout)")
+        t, h, w, ibd, mode, n_seg = struct_mod.unpack("<IIIBBI", ih[4:])
+        if t == 0:
             raise ValueError(
                 "corrupt MHVT container (unrecognized inner stream)")
-        from .image_codec import CodecConfig as _CC
-
-        self._prev = np.ascontiguousarray(temporal.decode_temporal_frame(
-            data, t - 1, _CC(backend="native")))
-        if self._prev.shape != (self._h, self._w):
+        if (h, w) != (self._h, self._w):
             raise ValueError(
-                f"existing container is {self._prev.shape}, not "
+                f"existing container is {h}x{w}, not "
                 f"({self._h}, {self._w})")
+        # previous TRUE frame — the predictor for the first appended
+        # residual. Constant memory: walk the inner's segment HEADERS
+        # (12 bytes each) and materialize only the segments covering the
+        # last keyframe group (<= keyint frames), never the archive
+        kf = temporal._group_start(t - 1, keyint, fl)
+        pos = inner_start + 22
+        base_f = 0
+        span_base = None
+        parts = []
+        span_frames = 0
+        for i in range(n_seg):
+            fh.seek(pos)
+            rec = fh.read(12)
+            if len(rec) < 12:
+                raise ValueError(
+                    f"truncated MHV2 container (segment {i} header)")
+            ts, nb, ln = struct_mod.unpack("<III", rec)
+            seg_len = 12 + ln + 4 * nb + (nb if mode in (2, 4) else 0)
+            if base_f + ts > kf:  # overlaps [kf, t)
+                if span_base is None:
+                    span_base = base_f
+                fh.seek(pos)
+                parts.append(fh.read(seg_len))
+                span_frames += ts
+            pos += seg_len
+            base_f += ts
+        if span_base is None or base_f != t:
+            raise ValueError(
+                "corrupt MHVT container (inner frame count disagrees "
+                "with its segments)")
+        mini = (frame_stream.SEGMENTED_MAGIC + struct_mod.pack(
+            "<IIIBBI", span_frames, h, w, ibd, mode,
+            len(parts)) + b"".join(parts))
+        res, _h, _w = frame_stream.decode_range(
+            mini, kf - span_base, t - span_base, _CC(backend="native"))
+        res = res.reshape(-1, h, w)
+        # the span [kf, t) lies inside ONE keyframe group (kf = its
+        # start), so the plain group fold applies; MC folds with the
+        # recorded vectors for exactly those frames
+        if self._motion:
+            if mvs is None or mvs.shape[0] != t:
+                raise ValueError(
+                    "corrupt MHVT container (motion table length "
+                    "disagrees with the frame count)")
+            prev = temporal.temporal_decode_mc(res, keyint,
+                                               mvs[kf:t])[-1]
+        else:
+            prev = temporal.temporal_decode(res, keyint)[-1]
+        self._prev = np.ascontiguousarray(prev)
         self._t = t
         self._fl = fl if fl != keyint else None
         if self._motion:
@@ -832,11 +943,6 @@ class TemporalStreamingEncoder:
                 "existing container records none (drop frame_crcs)")
         self._crc = tcrc
         self._crc_valid = tcrc != 0
-        inner_start = (self._base + 12 + 8
-                       + (2 if flags & temporal.FLAG_FIRST_LEN else 0))
-        inner_end = inner_start + len(inner)
-        head = data[: inner_start - self._base]
-        tables = data[inner_end - self._base :]
         self._restore = (inner_end, tables, head)
         fh.truncate(inner_end)
         fh.seek(inner_start)
@@ -1085,6 +1191,8 @@ class MHTSStreamingEncoder:
         truncates back to the original end: the pre-existing container
         survives."""
         fh = self._fh
+        fh.seek(0, 2)
+        fsize = fh.tell()
         fh.seek(self._base)
         head = fh.read(8)
         if len(head) < 8 or head[:4] != frame_stream.STREAM_MAGIC:
@@ -1100,7 +1208,7 @@ class MHTSStreamingEncoder:
                 raise ValueError(
                     f"truncated MHTS container (record {i} incomplete)")
             (rec_len,) = struct.unpack_from("<I", rec, 0)
-            h, w, _nb, bd, _mode = struct.unpack_from("<IIIBB", rec, 8)
+            h, w, _nb, bd, mode = struct.unpack_from("<IIIBB", rec, 8)
             if (h, w) != (self._h, self._w):
                 raise ValueError(
                     f"existing container is {h}x{w}, not "
@@ -1109,7 +1217,21 @@ class MHTSStreamingEncoder:
                 raise ValueError(
                     f"existing container uses block_dim={bd}, the "
                     f"config says {self._cfg.block_dim}")
+            if (mode != 0) != bool(self._cfg.delta):
+                # batch readers require one delta-ness across records
+                # (per-record PREDICTORS may differ; delta vs none not)
+                raise ValueError(
+                    "existing container records "
+                    + ("delta" if mode else "non-delta")
+                    + " frames — append must keep the same delta-ness "
+                    "(per-record delta/delta2d predictors may differ)")
             pos += 4 + rec_len
+            if pos > fsize:
+                # never truncate(pos) past EOF: that would zero-EXTEND a
+                # truncated file and bake the corruption in silently
+                raise ValueError(
+                    f"truncated MHTS container (record {i} payload ends "
+                    "past the file)")
         self._t = count
         self._restore = (pos, head)
         fh.truncate(pos)

@@ -124,29 +124,21 @@ def _mhts_spans(data: bytes):
     its own per-frame CRC)."""
     import struct
 
-    if data[:4] != frame_stream.STREAM_MAGIC:
-        raise ValueError("not an MHTS container")
-    if len(data) < 8:
-        raise ValueError("truncated MHTS container (header incomplete)")
-    (count,) = struct.unpack_from("<I", data, 4)
     spans, geom = [], None
-    pos = 8
-    for i in range(count):
-        if len(data) < pos + 4:
-            raise ValueError(
-                f"truncated MHTS container (record {i} length missing)")
-        (rec_len,) = struct.unpack_from("<I", data, pos)
-        if len(data) < pos + 4 + rec_len or rec_len < 18:
+    count = pos = 0
+    for i, off, rec_len in frame_stream._iter_record_spans(data):
+        if rec_len < 18:
             raise ValueError(
                 f"truncated MHTS container (record {i} incomplete)")
-        h, w, _nb, bd, mode = struct.unpack_from("<IIIBB", data, pos + 8)
+        h, w, _nb, bd, mode = struct.unpack_from("<IIIBB", data, off + 4)
         g = (h, w, bd, mode != 0)
         if geom is None:
             geom = g
         elif geom != g:
             raise ValueError("MHTS frames must share geometry")
-        spans.append((pos, 4 + rec_len))
-        pos += 4 + rec_len
+        spans.append((off - 4, 4 + rec_len))
+        pos = off + rec_len
+        count = i + 1
     if geom is None:
         raise ValueError("empty MHTS stream")
     return spans, count, geom, pos

@@ -311,3 +311,91 @@ def test_cli_append_resume(tmp_path):
     with pytest.raises(SystemExit, match="does not exist"):
         cli.main(["encode-video", str(tmp_path / "a2.npy"),
                   str(tmp_path / "nope.mhv2"), "--streaming", "--append"])
+
+
+def test_temporal_append_ctor_failure_restores(tmp_path):
+    """Round-5 review finding: _open_for_append truncates the outer
+    tables BEFORE the inner writer's constructor runs; a failure there
+    (e.g. a coding-mode mismatch the inner walk detects) must restore
+    the original file, not leave it torn."""
+    cfg = CodecConfig(backend="native", temporal=True, keyint=3)
+    f = _frames(6, 16, 16, seed=21)
+    p = tmp_path / "cap.mhvt"
+    with TemporalStreamingEncoder(p, 16, 16, cfg,
+                                  max_segment_frames=3) as enc:
+        enc.push(f)
+    orig = p.read_bytes()
+    bad = CodecConfig(backend="native", temporal=True, keyint=3,
+                      delta=False)  # inner mode mismatch -> inner raises
+    with pytest.raises(ValueError, match="coding mode|delta"):
+        TemporalStreamingEncoder(p, 16, 16, bad, append=True)
+    assert p.read_bytes() == orig  # bit-for-bit, tables intact
+    np.testing.assert_array_equal(
+        temporal.decode_temporal_video(p.read_bytes(), NATIVE), f)
+
+
+def test_mhv2_append_mode_mismatch_fails_fast(tmp_path):
+    f = _frames(3, 16, 16, seed=23)
+    p = tmp_path / "cap.mhv2"
+    with StreamingEncoder(p, 16, 16, NATIVE) as enc:
+        enc.push(f)
+    orig = p.read_bytes()
+    with pytest.raises(ValueError, match="coding mode"):
+        StreamingEncoder(p, 16, 16,
+                         CodecConfig(backend="native", delta2d=True),
+                         append=True)
+    assert p.read_bytes() == orig
+
+
+def test_mhts_append_truncated_payload_never_zero_extends(tmp_path):
+    """Round-5 review finding: a truncated last record must be a clean
+    error — never a truncate() past EOF that bakes zero bytes in."""
+    f = _frames(3, 16, 16, seed=25)
+    p = tmp_path / "cap.mhts"
+    with MHTSStreamingEncoder(p, 16, 16, NATIVE) as enc:
+        enc.push(f)
+    data = p.read_bytes()
+    cut = p.with_name("cut.mhts")
+    cut.write_bytes(data[: len(data) - 10])  # last record loses 10 bytes
+    size_before = cut.stat().st_size
+    with pytest.raises(ValueError, match="truncated"):
+        MHTSStreamingEncoder(cut, 16, 16, NATIVE, append=True)
+    assert cut.stat().st_size == size_before  # untouched, not extended
+
+
+def test_mhts_append_delta_ness_must_match(tmp_path):
+    """Appending no-delta records onto a delta MHTS would produce a file
+    every batch reader rejects — refuse it at open time instead."""
+    f = _frames(3, 16, 16, seed=27)
+    p = tmp_path / "cap.mhts"
+    with MHTSStreamingEncoder(p, 16, 16, NATIVE) as enc:
+        enc.push(f)
+    with pytest.raises(ValueError, match="delta-ness"):
+        MHTSStreamingEncoder(p, 16, 16,
+                             CodecConfig(backend="native", delta=False),
+                             append=True)
+    # delta2d onto delta IS fine — and the result must stay readable by
+    # the BATCH surfaces too (read_stream booleanizes the mode)
+    with MHTSStreamingEncoder(p, 16, 16,
+                              CodecConfig(backend="native",
+                                          delta2d=True),
+                              append=True) as enc:
+        enc.push(f[:1])
+    out, _h, _w = frame_stream.decode_range(p.read_bytes(), 0, 4, NATIVE)
+    np.testing.assert_array_equal(out.reshape(4, 16, 16),
+                                  np.concatenate([f, f[:1]]))
+
+
+def test_cli_append_mismatch_is_clean_error(tmp_path):
+    from metalhuffman_tpu import cli
+
+    f = _frames(4, 16, 16, seed=29)
+    np.save(tmp_path / "f.npy", f)
+    out = tmp_path / "cap.mhvt"
+    assert cli.main(["encode-video", str(tmp_path / "f.npy"), str(out),
+                     "--streaming", "--temporal", "--keyint", "4",
+                     "--backend", "native"]) == 0
+    with pytest.raises(SystemExit, match="keyint"):
+        cli.main(["encode-video", str(tmp_path / "f.npy"), str(out),
+                  "--streaming", "--temporal", "--keyint", "5",
+                  "--append", "--backend", "native"])
