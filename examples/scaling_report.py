@@ -1,4 +1,4 @@
-"""Multi-chip scaling report: sharded decode throughput vs device count.
+"""Multi-chip scaling report: sharded DECODE + ENCODE vs device count.
 
     python examples/scaling_report.py                 # all visible devices
     python examples/scaling_report.py --cpu-devices 8 # virtual CPU mesh
@@ -121,6 +121,34 @@ def main():
         eff = gbps / (base_gbps * n) * 100
         print(f"  {n:2d} device(s): {dt*1e3:8.2f} ms  {gbps:7.3f} GB/s  "
               f"scaling {eff:5.1f}%  bit-exact={ok}")
+        if not ok:
+            sys.exit(1)
+
+    # ENCODE direction (round 5): the sharded stage-1 pack under
+    # shard_map + per-shard merges, byte-identical to the host encoder.
+    # Stage-1 device time is reported per mesh size; stage 2 is the
+    # multithreaded host merge (PERF.md "Sharded/multi-host encode
+    # components" gives the scaling shape min(N*kernel, M*cores*merge))
+    from metalhuffman_tpu import native
+    from metalhuffman_tpu.core import blocks as blocks_mod
+    from metalhuffman_tpu.core import delta as delta_mod
+    from metalhuffman_tpu.parallel import shard_encode
+
+    blk = np.concatenate([blocks_mod.image_to_blocks(f)
+                          for f in base_frames])
+    syms = delta_mod.delta_encode_blocks(blk).reshape(-1)
+    ref = native.encode_symbols(syms, 64)
+    print("encode (sharded stage-1 + per-shard merge):")
+    for n in counts:
+        mesh = mesh_mod.make_mesh(n)
+        t0 = time.perf_counter()
+        enc = shard_encode.encode_symbols_sharded(
+            syms, mesh=mesh, interpret=interpret)
+        dt = time.perf_counter() - t0
+        ok = (np.array_equal(enc.code_bytes, ref.code_bytes)
+              and np.array_equal(enc.block_offsets, ref.block_offsets))
+        print(f"  {n:2d} device(s): {dt*1e3:8.2f} ms end-to-end  "
+              f"byte-identical={ok}")
         if not ok:
             sys.exit(1)
 
