@@ -236,12 +236,21 @@ class StreamingEncoder:
             raise ValueError("truncated MHV2 container (trailer missing)")
         (crc,) = struct.unpack_from("<I", trailer, 0)
         old_fcrcs = None
+        expected = 4
         if (len(trailer) >= 12
                 and trailer[4:8] == frame_stream.FRAME_CRC_MAGIC):
             (n,) = struct.unpack_from("<I", trailer, 8)
             if len(trailer) < 12 + 4 * n:
                 raise ValueError("truncated FCRC table")
             old_fcrcs = np.frombuffer(trailer, "<u4", count=n, offset=12)
+            expected = 12 + 4 * n
+        if len(trailer) != expected:
+            # trailing bytes beyond the trailer mean the segment walk
+            # landed in the wrong place (corrupt header/lengths) — an
+            # append from here would splice at a garbage offset
+            raise ValueError(
+                "corrupt MHV2 container (segment walk does not land on "
+                "the trailer — refusing to append)")
         self._total, self._n_seg, self._mode = total, n_seg, mode
         self._crc = crc
         self._crc_valid = crc != 0

@@ -399,3 +399,34 @@ def test_cli_append_mismatch_is_clean_error(tmp_path):
         cli.main(["encode-video", str(tmp_path / "f.npy"), str(out),
                   "--streaming", "--temporal", "--keyint", "5",
                   "--append", "--backend", "native"])
+
+
+def test_append_bitflip_fuzz_never_crashes_or_tears(tmp_path):
+    """Single-bit flips anywhere in an existing MHV2: opening it for
+    append either raises a clean ValueError with the file UNTOUCHED, or
+    the walk still lands consistently and the append completes without a
+    crash. Never struct.error/IndexError, never a torn original."""
+    f = _frames(5, 16, 16, seed=31)
+    p = tmp_path / "cap.mhv2"
+    with StreamingEncoder(p, 16, 16, NATIVE, max_segment_frames=2,
+                          frame_crcs=True) as enc:
+        enc.push(f)
+    good = p.read_bytes()
+    rng = np.random.default_rng(33)
+    for _ in range(60):
+        data = bytearray(good)
+        pos = int(rng.integers(0, len(data)))
+        data[pos] ^= 1 << int(rng.integers(0, 8))
+        q = tmp_path / "mut.mhv2"
+        q.write_bytes(bytes(data))
+        before = q.read_bytes()
+        try:
+            with StreamingEncoder(q, 16, 16, NATIVE,
+                                  max_segment_frames=2,
+                                  append=True) as enc:
+                enc.push(f[:1])
+        except ValueError:
+            assert q.read_bytes() == before, f"torn at byte {pos}"
+        except Exception as e:  # noqa: BLE001
+            raise AssertionError(
+                f"uncontrolled {type(e).__name__} at byte {pos}: {e}")
