@@ -66,7 +66,9 @@ def main():
     rows.append(("2048x1536", "photo", "MHVT fold (plain gray)", gbps))
     for label, kw in (("MHVT fold (motion)", {"motion": True}),
                       ("MHVT fold (color)", {"inner": "color"}),
-                      ("MHVT fold (u16)", {"inner": "u16"})):
+                      ("MHVT fold (u16)", {"inner": "u16"}),
+                      ("MHVT fold (color+motion)",
+                       {"inner": "color", "motion": True})):
         gbps, _reps, _spread = bench.run_temporal_ext(
             1536, 2048, args.frames, args.iters, verbose=False,
             content="photo", variants=args.variants, **kw)
