@@ -2213,10 +2213,9 @@ def main(argv=None) -> int:
     p.add_argument("--append", action="store_true",
                    help="with --streaming: RESUME an existing finalized "
                         "container in place (capture resume) — new frames "
-                        "chain onto the recorded CRC/FCRC tables and, for "
-                        "--temporal (grayscale; color/u16 temporal "
-                        "captures splice with `concat`), the keyframe "
-                        "cadence and motion table continue; "
+                        "chain onto the recorded CRC/FCRC tables and, "
+                        "for --temporal, the keyframe cadence and "
+                        "motion table continue; "
                         "byte-identical to concatenating the parts, and "
                         "a failed append restores the original file "
                         "untouched")

@@ -632,6 +632,13 @@ class ColorStreamingEncoder:
             self._fh.close()
         return self.stats
 
+    def _discard(self) -> None:
+        """Restore/cleanup for an enclosing writer's failure path: the
+        8-byte MHTC header is immutable, so discarding is exactly the
+        inner MHV2 writer's discard (restore in append mode, truncate to
+        the inner base otherwise)."""
+        self._inner._discard()
+
     def abort(self) -> None:
         """Discard everything (incl. the MHTC header) and close the sink;
         in append mode the original container is restored instead."""
@@ -723,13 +730,9 @@ class TemporalStreamingEncoder:
         self._h, self._w = int(height), int(width)
         self._u16 = bool(u16)
         self._c = None if channels is None else int(channels)
+        self._colorspace = colorspace
         if self._u16 and self._c not in (None, 2):
             raise ValueError("u16 streams always carry 2 (hi/lo) planes")
-        if append and (self._u16 or self._c is not None):
-            raise ValueError(
-                "append currently supports grayscale temporal streams; "
-                "splice color/u16 captures with surgery.concat_videos")
-
         if isinstance(sink, (str, Path)):
             self._fh: io.IOBase = open(sink, "r+b" if append else "wb")
             self._owns_fh = True
@@ -875,17 +878,39 @@ class TemporalStreamingEncoder:
             raise ValueError(
                 "truncated MHVT container (inner/trailer missing)")
         (tcrc,) = struct_mod.unpack_from("<I", tables, tpos)
-        # inner MHV2 header (the streamed layout always writes MHV2)
+        # inner kind: bare MHV2 (gray) or MHTC wrapper (color / u16) —
+        # must agree with this writer's requested kind; the inner
+        # writer's own append validation re-checks the exact header
+        from . import color as color_mod
+
         fh.seek(inner_start)
+        magic4 = fh.read(4)
+        ppf = 2 if self._u16 else (self._c if self._c is not None else 1)
+        if magic4 == color_mod.COLOR_MAGIC:
+            if ppf == 1:
+                raise ValueError(
+                    "existing container holds a color/u16 (MHTC) stream "
+                    "— construct the writer with channels=/u16= to "
+                    "append to it")
+            mhv2_at = inner_start + 8
+        else:
+            if ppf != 1:
+                raise ValueError(
+                    "existing container holds a grayscale stream — drop "
+                    "channels=/u16= to append to it")
+            mhv2_at = inner_start
+        fh.seek(mhv2_at)
         ih = fh.read(22)
         if len(ih) < 22 or ih[:4] != frame_stream.SEGMENTED_MAGIC:
             raise ValueError(
                 "append needs a segmented MHV2 inner (the streamed "
                 "layout)")
-        t, h, w, ibd, mode, n_seg = struct_mod.unpack("<IIIBBI", ih[4:])
-        if t == 0:
+        t_planes, h, w, ibd, mode, n_seg = struct_mod.unpack("<IIIBBI",
+                                                             ih[4:])
+        if t_planes == 0 or t_planes % ppf:
             raise ValueError(
                 "corrupt MHVT container (unrecognized inner stream)")
+        t = t_planes // ppf
         if (h, w) != (self._h, self._w):
             raise ValueError(
                 f"existing container is {h}x{w}, not "
@@ -893,9 +918,10 @@ class TemporalStreamingEncoder:
         # previous TRUE frame — the predictor for the first appended
         # residual. Constant memory: walk the inner's segment HEADERS
         # (12 bytes each) and materialize only the segments covering the
-        # last keyframe group (<= keyint frames), never the archive
+        # last keyframe group's PLANES (<= keyint*ppf), never the archive
         kf = temporal._group_start(t - 1, keyint, fl)
-        pos = inner_start + 22
+        kf_planes = kf * ppf
+        pos = mhv2_at + 22
         base_f = 0
         span_base = None
         parts = []
@@ -908,7 +934,7 @@ class TemporalStreamingEncoder:
                     f"truncated MHV2 container (segment {i} header)")
             ts, nb, ln = struct_mod.unpack("<III", rec)
             seg_len = 12 + ln + 4 * nb + (nb if mode in (2, 4) else 0)
-            if base_f + ts > kf:  # overlaps [kf, t)
+            if base_f + ts > kf_planes:  # overlaps [kf_planes, t_planes)
                 if span_base is None:
                     span_base = base_f
                 fh.seek(pos)
@@ -916,16 +942,28 @@ class TemporalStreamingEncoder:
                 span_frames += ts
             pos += seg_len
             base_f += ts
-        if span_base is None or base_f != t:
+        if span_base is None or base_f != t_planes:
             raise ValueError(
                 "corrupt MHVT container (inner frame count disagrees "
                 "with its segments)")
         mini = (frame_stream.SEGMENTED_MAGIC + struct_mod.pack(
             "<IIIBBI", span_frames, h, w, ibd, mode,
             len(parts)) + b"".join(parts))
-        res, _h, _w = frame_stream.decode_range(
-            mini, kf - span_base, t - span_base, _CC(backend="native"))
-        res = res.reshape(-1, h, w)
+        planes, _h, _w = frame_stream.decode_range(
+            mini, kf_planes - span_base, t_planes - span_base,
+            _CC(backend="native"))
+        planes = planes.reshape(-1, h, w)
+        if self._u16:
+            res = color_mod.fold_video_planes(planes, 2,
+                                              color_mod.KIND_U16,
+                                              color_mod.CS_IDENTITY)
+        elif self._c is not None:
+            cs = (color_mod.CS_IDENTITY if self._colorspace is None
+                  else self._colorspace)
+            res = color_mod.fold_video_planes(planes, self._c,
+                                              color_mod.KIND_U8, cs)
+        else:
+            res = planes
         # the span [kf, t) lies inside ONE keyframe group (kf = its
         # start), so the plain group fold applies; MC folds with the
         # recorded vectors for exactly those frames
@@ -955,10 +993,22 @@ class TemporalStreamingEncoder:
         self._restore = (inner_end, tables, head)
         fh.truncate(inner_end)
         fh.seek(inner_start)
-        self._inner = StreamingEncoder(
-            self._fh, self._h, self._w, inner_cfg,
-            max_segment_bits=max_segment_bits,
-            max_segment_frames=max_segment_frames, append=True)
+        if self._u16:
+            self._inner = ColorStreamingEncoder(
+                self._fh, self._h, self._w, u16=True, config=inner_cfg,
+                max_segment_bits=max_segment_bits,
+                max_segment_frames=max_segment_frames, append=True)
+        elif self._c is not None:
+            self._inner = ColorStreamingEncoder(
+                self._fh, self._h, self._w, channels=self._c,
+                config=inner_cfg, colorspace=self._colorspace,
+                max_segment_bits=max_segment_bits,
+                max_segment_frames=max_segment_frames, append=True)
+        else:
+            self._inner = StreamingEncoder(
+                self._fh, self._h, self._w, inner_cfg,
+                max_segment_bits=max_segment_bits,
+                max_segment_frames=max_segment_frames, append=True)
 
     # -- frame intake ---------------------------------------------------------
 

@@ -430,3 +430,101 @@ def test_append_bitflip_fuzz_never_crashes_or_tears(tmp_path):
         except Exception as e:  # noqa: BLE001
             raise AssertionError(
                 f"uncontrolled {type(e).__name__} at byte {pos}: {e}")
+
+
+def test_temporal_color_and_u16_append(tmp_path):
+    """Round-5 completion: temporal append covers color and u16 inners
+    too (the grayscale-only scope note is gone) — one-shot identity at
+    segment boundaries, kind mismatches refused, failure restores."""
+    rng = np.random.default_rng(35)
+    cfg = CodecConfig(backend="native", temporal=True, keyint=3)
+    col = (rng.integers(0, 40, (12, 24, 24, 3))
+           + np.arange(12)[:, None, None, None] * 2).astype(np.uint8)
+    p = tmp_path / "cap.mhvt"
+    kw = dict(channels=3, colorspace=color.CS_SUBGREEN,
+              max_segment_frames=3)
+    with TemporalStreamingEncoder(p, 24, 24, cfg, frame_crcs=True,
+                                  **kw) as enc:
+        enc.push(col[:6])
+    with TemporalStreamingEncoder(p, 24, 24, cfg, append=True,
+                                  **kw) as enc:
+        enc.push(col[6:])
+    one = tmp_path / "one.mhvt"
+    with TemporalStreamingEncoder(one, 24, 24, cfg, frame_crcs=True,
+                                  **kw) as enc:
+        enc.push(col)
+    assert p.read_bytes() == one.read_bytes()
+    np.testing.assert_array_equal(
+        temporal.decode_temporal_video(p.read_bytes(), NATIVE), col)
+
+    u16 = rng.integers(0, 3000, (10, 24, 24)).astype(np.uint16)
+    cfgm = CodecConfig(backend="native", temporal=True, motion=True,
+                      keyint=4)
+    q = tmp_path / "cap16.mhvt"
+    with TemporalStreamingEncoder(q, 24, 24, cfgm, u16=True,
+                                  max_segment_frames=2,
+                                  frame_crcs=True) as enc:
+        enc.push(u16[:6])
+    before = q.read_bytes()
+    with TemporalStreamingEncoder(q, 24, 24, cfgm, u16=True,
+                                  max_segment_frames=2,
+                                  append=True) as enc:
+        enc.push(u16[6:])
+    one2 = tmp_path / "one16.mhvt"
+    with TemporalStreamingEncoder(one2, 24, 24, cfgm, u16=True,
+                                  max_segment_frames=2,
+                                  frame_crcs=True) as enc:
+        enc.push(u16)
+    assert q.read_bytes() == one2.read_bytes()
+    got = temporal.decode_temporal_video(q.read_bytes(), NATIVE)
+    assert got.dtype == np.uint16
+    np.testing.assert_array_equal(got, u16)
+    # kind mismatches refused both ways; failure restores
+    with pytest.raises(ValueError, match="MHTC"):
+        TemporalStreamingEncoder(q, 24, 24, cfgm, append=True)
+    gray_p = tmp_path / "gray.mhvt"
+    with TemporalStreamingEncoder(gray_p, 24, 24,
+                                  CodecConfig(backend="native",
+                                              temporal=True,
+                                              keyint=3)) as enc:
+        enc.push(_frames(4, 24, 24, seed=37))
+    with pytest.raises(ValueError, match="grayscale"):
+        TemporalStreamingEncoder(gray_p, 24, 24, cfg, channels=3,
+                                 append=True)
+
+    class Boom(Exception):
+        pass
+
+    after = q.read_bytes()
+    with pytest.raises(Boom):
+        with TemporalStreamingEncoder(q, 24, 24, cfgm, u16=True,
+                                      max_segment_frames=2,
+                                      append=True) as enc:
+            enc.push(u16[:3])
+            raise Boom()
+    assert q.read_bytes() == after
+
+
+def test_cli_color_temporal_append(tmp_path):
+    from metalhuffman_tpu import cli
+
+    rng = np.random.default_rng(39)
+    col = (rng.integers(0, 60, (8, 16, 16, 3))).astype(np.uint8)
+    np.save(tmp_path / "c1.npy", col[:4])
+    np.save(tmp_path / "c2.npy", col[4:])
+    np.save(tmp_path / "all.npy", col)
+    out = tmp_path / "cap.mhvt"
+    args = ["--streaming", "--temporal", "--color", "--keyint", "2",
+            "--segment-frames", "2", "--backend", "native"]
+    assert cli.main(["encode-video", str(tmp_path / "c1.npy"), str(out),
+                     *args]) == 0
+    assert cli.main(["encode-video", str(tmp_path / "c2.npy"), str(out),
+                     "--append", *args]) == 0
+    one = tmp_path / "one.mhvt"
+    assert cli.main(["encode-video", str(tmp_path / "all.npy"), str(one),
+                     *args]) == 0
+    assert out.read_bytes() == one.read_bytes()
+    dec = tmp_path / "d.npy"
+    assert cli.main(["decode-video", str(out), str(dec), "--streaming",
+                     "--backend", "native"]) == 0
+    np.testing.assert_array_equal(np.load(dec), col)
