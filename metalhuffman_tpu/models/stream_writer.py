@@ -892,6 +892,20 @@ class TemporalStreamingEncoder:
                     "existing container holds a color/u16 (MHTC) stream "
                     "— construct the writer with channels=/u16= to "
                     "append to it")
+            # validate the full MHTC header BEFORE the predictor decode:
+            # a channels/kind/colorspace mismatch must fail here with a
+            # clear message, not after folding planes under wrong
+            # parameters (the inner writer re-checks the same bytes)
+            mh = fh.read(4)
+            want_kind = (color_mod.KIND_U16 if self._u16
+                         else color_mod.KIND_U8)
+            want_cs = (color_mod.CS_IDENTITY if self._colorspace is None
+                       or self._u16 else self._colorspace)
+            if len(mh) < 4 or (mh[0], mh[1], mh[2], mh[3]) != (
+                    ppf, color_mod.LAYOUT_VIDEO, want_kind, want_cs):
+                raise ValueError(
+                    "existing MHTC channels/layout/kind/colorspace "
+                    "disagree with the requested configuration")
             mhv2_at = inner_start + 8
         else:
             if ppf != 1:

@@ -528,3 +528,20 @@ def test_cli_color_temporal_append(tmp_path):
     assert cli.main(["decode-video", str(out), str(dec), "--streaming",
                      "--backend", "native"]) == 0
     np.testing.assert_array_equal(np.load(dec), col)
+
+
+def test_temporal_color_append_header_mismatch_fails_early(tmp_path):
+    rng = np.random.default_rng(41)
+    col = rng.integers(0, 60, (4, 16, 16, 3)).astype(np.uint8)
+    cfg = CodecConfig(backend="native", temporal=True, keyint=2)
+    p = tmp_path / "cap.mhvt"
+    with TemporalStreamingEncoder(p, 16, 16, cfg, channels=3,
+                                  max_segment_frames=2) as enc:
+        enc.push(col)
+    orig = p.read_bytes()
+    # wrong channel count / colorspace: clean early refusal, untouched
+    for kw in (dict(channels=4),
+               dict(channels=3, colorspace=color.CS_SUBGREEN)):
+        with pytest.raises(ValueError, match="disagree"):
+            TemporalStreamingEncoder(p, 16, 16, cfg, append=True, **kw)
+        assert p.read_bytes() == orig
