@@ -137,6 +137,8 @@ class StreamingEncoder:
         self._crc = 0
         self._crc_valid = True  # False: combined CRC unrecordable (append
         #                         onto a file that records none)
+        # (_poison() sets _closed so an enclosing writer's abort refuses
+        # further pushes regardless of who owns the file handle)
         self._buf: list[np.ndarray] = []  # pending frames, each (H, W)
         self._buffered = 0
         self._total = 0
@@ -424,6 +426,10 @@ class StreamingEncoder:
             self._fh.seek(self._base)
             self._fh.truncate(self._base)
 
+    def _poison(self) -> None:
+        """Refuse all further pushes (an enclosing writer aborted)."""
+        self._closed = True
+
     def abort(self) -> None:
         """Discard everything written and close the sink without
         finalizing: truncate a fresh stream to nothing, or — in append
@@ -559,10 +565,12 @@ class ColorStreamingEncoder:
 
     def push(self, frames: np.ndarray) -> None:
         """Buffer one frame or a stack: (T, H, W, C) uint8 / (T, H, W) u16."""
-        if self.stats is not None or self._fh.closed:
+        if (self.stats is not None or self._fh.closed
+                or self._inner._closed):
             # guard BEFORE delegating: the inner writer's own "push()
             # after close()" error must not trip the abort wrapper below,
-            # which would truncate an already-finalized container
+            # which would truncate an already-finalized container (the
+            # _closed check covers an enclosing writer's abort/poison)
             raise ValueError("push() after close()")
         arr = np.asarray(frames)
         if self._u16:
@@ -638,6 +646,10 @@ class ColorStreamingEncoder:
         inner MHV2 writer's discard (restore in append mode, truncate to
         the inner base otherwise)."""
         self._inner._discard()
+
+    def _poison(self) -> None:
+        """Refuse all further pushes (an enclosing writer aborted)."""
+        self._inner._poison()
 
     def abort(self) -> None:
         """Discard everything (incl. the MHTC header) and close the sink;
@@ -769,22 +781,9 @@ class TemporalStreamingEncoder:
                 self._fh.write(temporal.TEMPORAL_MAGIC + struct.pack(
                     temporal._HEADER, self._keyint, flags, 0))
                 self._fh.write(struct.pack("<Q", 0))  # u64, patched on close
-                if self._u16:
-                    self._inner = ColorStreamingEncoder(
-                        self._fh, height, width, u16=True, config=inner_cfg,
-                        max_segment_bits=max_segment_bits,
-                        max_segment_frames=max_segment_frames)
-                elif self._c is not None:
-                    self._inner = ColorStreamingEncoder(
-                        self._fh, height, width, channels=self._c,
-                        config=inner_cfg, colorspace=colorspace,
-                        max_segment_bits=max_segment_bits,
-                        max_segment_frames=max_segment_frames)
-                else:
-                    self._inner = StreamingEncoder(
-                        self._fh, height, width, inner_cfg,
-                        max_segment_bits=max_segment_bits,
-                        max_segment_frames=max_segment_frames)
+                self._inner = self._make_inner(
+                    inner_cfg, max_segment_bits, max_segment_frames,
+                    append=False)
         except BaseException:
             try:
                 if append:
@@ -808,6 +807,26 @@ class TemporalStreamingEncoder:
                     self._fh.close()
             raise
         self.stats: StreamStats | None = None
+
+    def _make_inner(self, inner_cfg, max_segment_bits, max_segment_frames,
+                    append: bool):
+        """The inner residual writer for this stream's kind — ONE factory
+        for the fresh and append paths, so their arguments cannot drift."""
+        if self._u16:
+            return ColorStreamingEncoder(
+                self._fh, self._h, self._w, u16=True, config=inner_cfg,
+                max_segment_bits=max_segment_bits,
+                max_segment_frames=max_segment_frames, append=append)
+        if self._c is not None:
+            return ColorStreamingEncoder(
+                self._fh, self._h, self._w, channels=self._c,
+                config=inner_cfg, colorspace=self._colorspace,
+                max_segment_bits=max_segment_bits,
+                max_segment_frames=max_segment_frames, append=append)
+        return StreamingEncoder(
+            self._fh, self._h, self._w, inner_cfg,
+            max_segment_bits=max_segment_bits,
+            max_segment_frames=max_segment_frames, append=append)
 
     def _open_for_append(self, inner_cfg, max_segment_bits,
                          max_segment_frames) -> None:
@@ -864,6 +883,10 @@ class TemporalStreamingEncoder:
                 raise ValueError("truncated MHVT container (first_len)")
             (fl,) = struct_mod.unpack("<H", b2)
             inner_start += 2
+            if not 1 <= fl <= keyint:
+                raise ValueError(
+                    "corrupt MHVT container (first keyframe group length "
+                    f"{fl} outside 1..keyint={keyint})")
         inner_end = inner_start + inner_len
         if inner_end + 4 > fsize:
             raise ValueError(
@@ -885,9 +908,10 @@ class TemporalStreamingEncoder:
 
         fh.seek(inner_start)
         magic4 = fh.read(4)
+        want_mhtc = self._u16 or self._c is not None
         ppf = 2 if self._u16 else (self._c if self._c is not None else 1)
         if magic4 == color_mod.COLOR_MAGIC:
-            if ppf == 1:
+            if not want_mhtc:
                 raise ValueError(
                     "existing container holds a color/u16 (MHTC) stream "
                     "— construct the writer with channels=/u16= to "
@@ -908,7 +932,7 @@ class TemporalStreamingEncoder:
                     "disagree with the requested configuration")
             mhv2_at = inner_start + 8
         else:
-            if ppf != 1:
+            if want_mhtc:
                 raise ValueError(
                     "existing container holds a grayscale stream — drop "
                     "channels=/u16= to append to it")
@@ -929,6 +953,21 @@ class TemporalStreamingEncoder:
             raise ValueError(
                 f"existing container is {h}x{w}, not "
                 f"({self._h}, {self._w})")
+        # ALL cheap config/corruption validation runs BEFORE the
+        # predictor decode below — a doomed append must not pay (or risk
+        # miscomputing under) the last-group materialization
+        if self._motion and (mvs is None or mvs.shape[0] != t):
+            raise ValueError(
+                "corrupt MHVT container (motion table length disagrees "
+                "with the frame count)")
+        if fcrcs is not None and fcrcs.shape[0] != t:
+            raise ValueError(
+                "corrupt MHVT container (frame CRC table length "
+                "disagrees with the frame count)")
+        if fcrcs is None and self._want_fcrcs:
+            raise ValueError(
+                "cannot start a per-frame CRC table mid-stream: the "
+                "existing container records none (drop frame_crcs)")
         # previous TRUE frame — the predictor for the first appended
         # residual. Constant memory: walk the inner's segment HEADERS
         # (12 bytes each) and materialize only the segments covering the
@@ -980,12 +1019,8 @@ class TemporalStreamingEncoder:
             res = planes
         # the span [kf, t) lies inside ONE keyframe group (kf = its
         # start), so the plain group fold applies; MC folds with the
-        # recorded vectors for exactly those frames
+        # recorded vectors for exactly those frames (validated above)
         if self._motion:
-            if mvs is None or mvs.shape[0] != t:
-                raise ValueError(
-                    "corrupt MHVT container (motion table length "
-                    "disagrees with the frame count)")
             prev = temporal.temporal_decode_mc(res, keyint,
                                                mvs[kf:t])[-1]
         else:
@@ -998,31 +1033,13 @@ class TemporalStreamingEncoder:
         if fcrcs is not None:
             self._want_fcrcs = True
             self._fcrcs = [int(c) for c in fcrcs]
-        elif self._want_fcrcs:
-            raise ValueError(
-                "cannot start a per-frame CRC table mid-stream: the "
-                "existing container records none (drop frame_crcs)")
         self._crc = tcrc
         self._crc_valid = tcrc != 0
         self._restore = (inner_end, tables, head)
         fh.truncate(inner_end)
         fh.seek(inner_start)
-        if self._u16:
-            self._inner = ColorStreamingEncoder(
-                self._fh, self._h, self._w, u16=True, config=inner_cfg,
-                max_segment_bits=max_segment_bits,
-                max_segment_frames=max_segment_frames, append=True)
-        elif self._c is not None:
-            self._inner = ColorStreamingEncoder(
-                self._fh, self._h, self._w, channels=self._c,
-                config=inner_cfg, colorspace=self._colorspace,
-                max_segment_bits=max_segment_bits,
-                max_segment_frames=max_segment_frames, append=True)
-        else:
-            self._inner = StreamingEncoder(
-                self._fh, self._h, self._w, inner_cfg,
-                max_segment_bits=max_segment_bits,
-                max_segment_frames=max_segment_frames, append=True)
+        self._inner = self._make_inner(
+            inner_cfg, max_segment_bits, max_segment_frames, append=True)
 
     # -- frame intake ---------------------------------------------------------
 
@@ -1163,7 +1180,7 @@ class TemporalStreamingEncoder:
         try:
             if self._restore is not None:
                 self._discard()
-                self._inner._closed = True  # poison further pushes
+                self._inner._poison()  # any inner kind refuses pushes
             else:
                 self._inner.abort()
                 self._fh.seek(self._base)

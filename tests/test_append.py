@@ -545,3 +545,74 @@ def test_temporal_color_append_header_mismatch_fails_early(tmp_path):
         with pytest.raises(ValueError, match="disagree"):
             TemporalStreamingEncoder(p, 16, 16, cfg, append=True, **kw)
         assert p.read_bytes() == orig
+
+
+def test_temporal_append_abort_poisons_color_inner(tmp_path):
+    """Round-5 review: abort() on a color/u16 temporal append must refuse
+    later pushes for EVERY inner kind (a caller-owned handle stays open,
+    so the guard must not rely on the file being closed) — a push after
+    abort previously wrote over the restored trailer."""
+    cfg = CodecConfig(backend="native", temporal=True, keyint=2)
+    rng = np.random.default_rng(43)
+    col = rng.integers(0, 60, (4, 16, 16, 3)).astype(np.uint8)
+    buf = io.BytesIO()
+    with TemporalStreamingEncoder(buf, 16, 16, cfg, channels=3,
+                                  max_segment_frames=1) as enc:
+        enc.push(col)
+    good = buf.getvalue()
+    buf.seek(0)
+    enc = TemporalStreamingEncoder(buf, 16, 16, cfg, channels=3,
+                                   max_segment_frames=1, append=True)
+    enc.abort()
+    with pytest.raises(ValueError, match="close"):
+        enc.push(col[:1])
+    assert buf.getvalue() == good
+
+
+def test_temporal_append_one_channel_mhtc(tmp_path):
+    """channels=1 MHTC temporal streams append like any other (the
+    gray-vs-MHTC detection keys on the REQUESTED kind, not ppf==1)."""
+    cfg = CodecConfig(backend="native", temporal=True, keyint=2)
+    rng = np.random.default_rng(45)
+    g1 = rng.integers(0, 60, (4, 16, 16, 1)).astype(np.uint8)
+    p = tmp_path / "one_ch.mhvt"
+    with TemporalStreamingEncoder(p, 16, 16, cfg, channels=1,
+                                  max_segment_frames=2) as enc:
+        enc.push(g1[:2])
+    with TemporalStreamingEncoder(p, 16, 16, cfg, channels=1,
+                                  max_segment_frames=2,
+                                  append=True) as enc:
+        enc.push(g1[2:])
+    np.testing.assert_array_equal(
+        temporal.decode_temporal_video(p.read_bytes(), NATIVE), g1)
+
+
+def test_temporal_append_corrupt_tables_fail_before_decode(tmp_path):
+    """Corrupt first_len / FCRC-count fields are clean refusals with the
+    file untouched — validated BEFORE the predictor decode."""
+    import struct
+
+    cfg = CodecConfig(backend="native", temporal=True, keyint=4)
+    f = _frames(6, 16, 16, seed=47)
+    p = tmp_path / "cap.mhvt"
+    with TemporalStreamingEncoder(p, 16, 16, cfg, max_segment_frames=3,
+                                  frame_crcs=True) as enc:
+        enc.push(f)
+    good = p.read_bytes()
+    # corrupt FCRC count (the u32 after the FCRC-table position): the
+    # trailer layout puts tables after the inner — count sits at
+    # inner_end (no motion table here) per FORMAT.md
+    data = bytearray(good)
+    keyint, flags, _ = struct.unpack_from("<HHI", data, 4)
+    (inner_len,) = struct.unpack_from("<Q", data, 12)
+    fc_at = 20 + inner_len
+    (n,) = struct.unpack_from("<I", data, fc_at)
+    assert n == 6
+    struct.pack_into("<I", data, fc_at, 5)  # shrink the count: 5 != t,
+    # and the table parse still succeeds (fewer bytes consumed)
+    q = tmp_path / "bad_fc.mhvt"
+    q.write_bytes(bytes(data))
+    before = q.read_bytes()
+    with pytest.raises(ValueError, match="frame CRC table|trailer|corrupt"):
+        TemporalStreamingEncoder(q, 16, 16, cfg, append=True)
+    assert q.read_bytes() == before
