@@ -12,6 +12,8 @@ clip length:
 2. ``iter_frames_segmented`` streamed decode, source CRC chained per chunk
 3. ``ColorStreamingEncoder`` the same for MHTC color (sub-green planes)
 4. ``iter_temporal_video``   streamed MHVT serving, group-aligned chunks
+5. ``TemporalStreamingEncoder`` + ``append=True``: a capture that STOPS
+   (clean close) and RESUMES in place — byte-identical to never stopping
 
 Uses the host (native C++) backend so it runs anywhere instantly; the
 device backends stream identically (each chunk is a normal segment decode,
@@ -108,6 +110,37 @@ def main():
         assert np.array_equal(chunk, frames[base : base + chunk.shape[0]])
     print("streamed temporal serving: 3 group chunks, bit-exact, "
           "chained CRC verified")
+
+    # 5. capture resume: stop after 6 frames (finalized container), come
+    #    back later and --append the rest — CRC/motion tables chain, the
+    #    keyframe cadence continues, and the result is byte-identical to
+    #    a capture that never stopped (SURVEY section 5 checkpoint/resume)
+    import tempfile
+    from pathlib import Path
+
+    from metalhuffman_tpu.models import TemporalStreamingEncoder
+
+    cap = Path(tempfile.mkdtemp()) / "capture.mhvt"
+    scfg = CodecConfig(backend="native", temporal=True, keyint=3,
+                       motion=True)
+    with TemporalStreamingEncoder(cap, h, w, scfg, max_segment_frames=3,
+                                  frame_crcs=True) as enc1:
+        for f in frames[:6]:
+            enc1.push(f)      # ... crash/stop here: file is finalized
+    with TemporalStreamingEncoder(cap, h, w, scfg, max_segment_frames=3,
+                                  append=True) as enc2:
+        for f in frames[6:]:
+            enc2.push(f)      # resumed in place
+    one_shot = io.BytesIO()
+    with TemporalStreamingEncoder(one_shot, h, w, scfg,
+                                  max_segment_frames=3,
+                                  frame_crcs=True) as enc3:
+        enc3.push(frames)
+    assert cap.read_bytes() == one_shot.getvalue()
+    assert np.array_equal(temporal.decode_temporal_video(
+        cap.read_bytes(), cfg), frames)
+    print(f"capture resume: 6 + 6 frames appended in place == one-shot "
+          f"capture bytes ({enc2.stats.bytes_written} B), bit-exact")
     print("OK")
 
 

@@ -8,4 +8,9 @@ for (``README.md:9-11``) becomes :mod:`frame_stream`.
 
 from . import color, frame_stream, stream_writer  # noqa: F401
 from .image_codec import CodecConfig, ImageCodec  # noqa: F401
-from .stream_writer import ColorStreamingEncoder, StreamingEncoder  # noqa: F401
+from .stream_writer import (  # noqa: F401
+    ColorStreamingEncoder,
+    MHTSStreamingEncoder,
+    StreamingEncoder,
+    TemporalStreamingEncoder,
+)
