@@ -311,18 +311,21 @@ def run_temporal_ext(height: int, width: int, frames: int, iters: int,
     methodology (distinct staged inputs, dependent-reduction barrier,
     median of reps):
 
+    Since round 5 every chain runs the words-domain production path:
+
     - ``motion=True`` (gray): raw packed strips + the packed-words MC fold
       (``temporal_fold_words_mc_jax`` — row/word rolls + byte rotate +
-      SWAR add; the production path for exact strip geometry);
-    - ``motion=True`` with ``inner="color"``: byte-image decode + the
-      vmapped roll+scan MC fold (``temporal_decode_mc_jax`` — the padded/
-      color production chain, pixel-granular rolls);
-    - ``inner="color"``: (T*3) plane decode + ``fold_video_planes_jax`` +
-      group fold on (T, H, W, 3);
-    - ``inner="u16"``: hi/lo plane decode + u16 recombine + wrapping-u16
-      group fold.
+      SWAR add; padded geometries via the double-roll + byte-mask select);
+    - ``inner="color"``: plane-words group fold
+      (``temporal_fold_plane_words_jax``) + the word-domain channel
+      interleave (``_interleave_words_jax`` — the host view of the output
+      words IS the (T, H, W, C) frames);
+    - ``inner="u16"``: hi/lo carry fold (``temporal_fold_u16_words_jax``)
+      + word-domain LE interleave (host view = u16 frames);
+    - ``motion=True`` + ``inner="color"``: per-plane MC rolls in the same
+      words fold, then the interleave.
 
-    The stderr diagnostic reports the plain (fold-less) byte-image decode
+    The stderr diagnostic reports the plain (fold-less) strips-decode
     rate from the same staged inputs, so the printed cost factor isolates
     the reconstruction chain. Decoded bytes are TRUE-frame bytes
     (``base.nbytes``) — for color/u16 the plane payload is the same size.
