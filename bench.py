@@ -701,12 +701,13 @@ def main():
                          "smaller streams, decode pays the on-device "
                          "reconstruction post-pass")
     ap.add_argument("--motion", action="store_true",
-                    help="temporal mode: motion-compensated fold (byte-image "
-                         "decode + vmapped roll+scan reconstruction)")
+                    help="temporal mode: motion-compensated packed-words "
+                         "fold (row/word rolls + byte rotate + SWAR add)")
     ap.add_argument("--inner", default="gray",
                     choices=["gray", "color", "u16"],
                     help="temporal mode: inner container kind (color/u16 "
-                         "measure the plane-fold reconstruction chains)")
+                         "measure the words-domain plane-fold + channel-"
+                         "interleave chains)")
     ap.add_argument("--backend", default="pallas", choices=["pallas", "xla"])
     ap.add_argument("-v", "--verbose", action="store_true")
     ap.add_argument("--trace", default=None, metavar="DIR",
